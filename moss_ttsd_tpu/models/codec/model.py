@@ -1,0 +1,236 @@
+"""XYTokenizer — the dual-channel (semantic + acoustic) neural audio codec,
+TPU-native equivalent of the reference XY_Tokenizer
+(reference XY_Tokenizer/xy_tokenizer/model.py).
+
+16 kHz wav -> log-mel (100 Hz) -> [semantic encoder + adapter | acoustic
+encoder] -> concat -> pre-RVQ adapter (50 Hz) -> x4 gated downsample (12.5 Hz)
+-> ResidualVQ-8 -> post-RVQ adapter -> x4 upsample -> acoustic decoder
+(100 Hz) -> Vocos -> 24 kHz wav.
+
+TPU design: the whole tokenize/detokenize chunk path is one jitted function on
+static 30 s shapes (3000 mel frames / 375 codes); the >30 s sliding-window
+chunking loop (stride = 30 - overlap seconds, reference model.py:130-256) runs
+host-side over identical-shape jit calls so nothing retraces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.config import CodecConfig
+from ...ops.dsp import log_mel_spectrogram
+from .rvq import ResidualVQ
+from .transformer import (AdapterTransformer, AudioDecoder, AudioEncoder,
+                          GatedDownsample, Upsample)
+from .vocos import Vocos
+
+
+class XYTokenizerModule(nn.Module):
+    """The codec network. Two entry points: tokenize (wav->codes) and
+    detokenize (codes->wav); both jit-friendly with static chunk shapes."""
+
+    cfg: CodecConfig
+
+    def setup(self):
+        c = self.cfg
+        self.semantic_encoder = AudioEncoder(c.semantic_encoder)
+        self.semantic_encoder_adapter = AdapterTransformer(c.semantic_encoder_adapter)
+        self.acoustic_encoder = AudioEncoder(c.acoustic_encoder)
+        self.pre_rvq_adapter = AdapterTransformer(c.pre_rvq_adapter)
+        self.downsample = GatedDownsample(c.downsample_d_model, c.downsample_factor)
+        self.quantizer = ResidualVQ(c.quantizer)
+        self.post_rvq_adapter = AdapterTransformer(c.post_rvq_adapter)
+        self.upsample = Upsample(c.upsample_d_model, c.upsample_stride)
+        self.acoustic_decoder = AudioDecoder(c.acoustic_decoder)
+        self.vocos = Vocos(c.vocos)
+
+    def tokenize(self, wav: jnp.ndarray, lengths: jnp.ndarray):
+        """wav (B, chunk_samples) 16 kHz + valid lengths -> codes.
+
+        Mirrors reference inference_tokenize (model.py:54-101); the mel frontend
+        runs on-device (replacing the CPU hop at reference model.py:66-73).
+        Returns dict(zq (B, T', D), codes (nq, B, T'), codes_lengths (B,)).
+        """
+        c = self.cfg
+        mel = log_mel_spectrogram(
+            wav, n_fft=c.feature_extractor.n_fft, hop=c.feature_extractor.hop_length,
+            num_mels=c.feature_extractor.feature_size,
+            sampling_rate=c.feature_extractor.sampling_rate)      # (B, M, T)
+        mel = jnp.swapaxes(mel, -1, -2)                           # (B, T, M)
+        mel_lengths = jnp.ceil(lengths / c.feature_extractor.hop_length).astype(jnp.int32)
+
+        sem, sem_len = self.semantic_encoder(mel, mel_lengths)            # 100->50 Hz
+        sem, sem_len = self.semantic_encoder_adapter(sem, sem_len)
+        aco, aco_len = self.acoustic_encoder(mel, mel_lengths)            # 100->50 Hz
+        mixed = jnp.concatenate([sem, aco], axis=-1)                      # (B, T, 2D)
+        mixed, mix_len = self.pre_rvq_adapter(mixed, aco_len)
+        down, down_len = self.downsample(mixed, mix_len)                  # 50->12.5 Hz
+        zq, codes, _, q_len = self.quantizer(down, down_len)
+        return {"zq": zq, "codes": codes, "codes_lengths": q_len}
+
+    def detokenize(self, codes: jnp.ndarray, codes_lengths: jnp.ndarray):
+        """codes (nq, B, T') -> 24 kHz wav.
+
+        Mirrors reference inference_detokenize (model.py:103-128).
+        Returns dict(wav (B, T'*upsample), wav_lengths (B,)).
+        """
+        zq = self.quantizer.decode(codes)                                  # (B, T, D)
+        h, h_len = self.post_rvq_adapter(zq, codes_lengths)
+        h, h_len = self.upsample(h, h_len)                                 # 12.5->50 Hz
+        h, h_len = self.acoustic_decoder(h, h_len)                         # 50->100 Hz
+        wav, wav_len = self.vocos(h, h_len)                                # 100Hz->24k
+        return {"wav": wav, "wav_lengths": wav_len}
+
+    def __call__(self, wav: jnp.ndarray, lengths: jnp.ndarray):
+        """Round-trip (used for init and training)."""
+        tok = self.tokenize(wav, lengths)
+        det = self.detokenize(tok["codes"], tok["codes_lengths"])
+        return {**tok, **det}
+
+
+class XYTokenizer:
+    """User-facing codec with the reference's chunked encode/decode API
+    (reference model.py:130-256). Host-side loop over fixed-shape jit calls."""
+
+    def __init__(self, cfg: CodecConfig, params, chunk_seconds: int = 30):
+        self.cfg = cfg
+        self.params = params
+        self.module = XYTokenizerModule(cfg)
+        self.input_sample_rate = cfg.input_sample_rate
+        self.output_sample_rate = cfg.output_sample_rate
+        self.encoder_downsample_rate = cfg.encoder_downsample_rate
+        self.decoder_upsample_rate = cfg.decoder_upsample_rate
+        self.nq = cfg.quantizer.num_quantizers
+        self.chunk_samples = chunk_seconds * cfg.input_sample_rate
+        self.chunk_codes = self.chunk_samples // cfg.encoder_downsample_rate
+
+        self._tokenize = jax.jit(
+            lambda p, wav, lens: self.module.apply(p, wav, lens,
+                                                   method=XYTokenizerModule.tokenize))
+        self._detokenize = jax.jit(
+            lambda p, codes, lens: self.module.apply(p, codes, lens,
+                                                     method=XYTokenizerModule.detokenize))
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def init_random(cls, cfg: CodecConfig, seed: int = 0) -> "XYTokenizer":
+        module = XYTokenizerModule(cfg)
+        wav = jnp.zeros((1, cfg.input_sample_rate), jnp.float32)
+        params = module.init(jax.random.PRNGKey(seed), wav, jnp.array([cfg.input_sample_rate]))
+        return cls(cfg, params)
+
+    @classmethod
+    def load_from_checkpoint(cls, config_path: str, ckpt_path: str) -> "XYTokenizer":
+        """Load a reference-format (yaml + torch .ckpt) or native checkpoint.
+
+        Mirrors reference model.py:258-278; torch checkpoints go through the
+        weight converter (moss_ttsd_tpu.utils.convert_codec).
+        """
+        cfg = CodecConfig.from_yaml(config_path)
+        if ckpt_path.endswith((".ckpt", ".pt", ".bin")):
+            from ...utils.convert_codec import convert_codec_checkpoint
+            params = convert_codec_checkpoint(cfg, ckpt_path)
+        else:
+            from ...core.checkpoint import load_pytree
+            params = load_pytree(ckpt_path)
+        return cls(cfg, params)
+
+    # -- reference-parity API ---------------------------------------------
+
+    def encode(self, wav_list: List[np.ndarray], overlap_seconds: int = 10):
+        """wav_list: B * (T,) 16 kHz float arrays (any length) ->
+        {"codes_list": B * (nq, T_codes) int32}.
+
+        Chunking contract (reference model.py:130-192): window 30 s, stride
+        (30 - overlap) s, keep the leading stride worth of codes per window,
+        hard-concatenate, trim to len//1280 per item.
+        """
+        sr = self.input_sample_rate
+        duration = self.chunk_samples - overlap_seconds * sr      # stride in samples
+        code_duration = duration // self.encoder_downsample_rate  # codes kept per chunk
+
+        B = len(wav_list)
+        lengths = np.array([len(w) for w in wav_list], np.int64)
+        max_len = int(lengths.max())
+        max_chunks = max(1, -(-max_len // duration))
+
+        chunks_codes = []
+        for ci in range(max_chunks):
+            start = ci * duration
+            chunk = np.zeros((B, self.chunk_samples), np.float32)
+            chunk_lens = np.clip(lengths - start, 0, self.chunk_samples)
+            for b, w in enumerate(wav_list):
+                seg = np.asarray(w, np.float32)[start:start + self.chunk_samples]
+                chunk[b, :len(seg)] = seg
+            if chunk_lens.max() == 0:
+                continue
+            out = self._tokenize(self.params, jnp.asarray(chunk),
+                                 jnp.asarray(chunk_lens))
+            codes = np.asarray(out["codes"])                      # (nq, B, T')
+            code_lens = np.clip(np.asarray(out["codes_lengths"]), 0, code_duration)
+            valid = np.zeros((self.nq, B, code_duration), codes.dtype)
+            for b in range(B):
+                n = int(code_lens[b])
+                if n > 0:
+                    valid[:, b, :n] = codes[:, b, :n]
+            chunks_codes.append(valid)
+
+        if chunks_codes:
+            all_codes = np.concatenate(chunks_codes, axis=-1)
+            codes_list = [all_codes[:, b, :int(lengths[b] // self.encoder_downsample_rate)]
+                          for b in range(B)]
+        else:
+            codes_list = [np.zeros((self.nq, 0), np.int32) for _ in range(B)]
+        return {"codes_list": codes_list}
+
+    def decode(self, codes_list: List[np.ndarray], overlap_seconds: int = 10):
+        """codes_list: B * (nq, T) -> {"syn_wav_list": B * (T*1920,) 24 kHz}.
+
+        Chunking contract mirrors reference model.py:194-256.
+        """
+        duration_codes = self.chunk_codes - overlap_seconds * self.input_sample_rate \
+            // self.encoder_downsample_rate
+        duration_wav = duration_codes * self.decoder_upsample_rate
+
+        B = len(codes_list)
+        code_lengths = np.array([c.shape[-1] for c in codes_list], np.int64)
+        max_codes = int(code_lengths.max())
+        codes_tensor = np.zeros((self.nq, B, max(max_codes, 1)), np.int32)
+        for b, c in enumerate(codes_list):
+            codes_tensor[:, b, :c.shape[-1]] = np.asarray(c, np.int32)
+
+        max_chunks = max(1, -(-max_codes // duration_codes))
+        wav_chunks = []
+        for ci in range(max_chunks):
+            start = ci * duration_codes
+            chunk = np.zeros((self.nq, B, self.chunk_codes), np.int32)
+            seg = codes_tensor[:, :, start:start + self.chunk_codes]
+            chunk[:, :, :seg.shape[-1]] = seg
+            chunk_lens = np.clip(code_lengths - start, 0, self.chunk_codes)
+            if chunk_lens.max() == 0:
+                continue
+            out = self._detokenize(self.params, jnp.asarray(chunk),
+                                   jnp.asarray(chunk_lens))
+            wav = np.asarray(out["wav"])
+            wav_lens = np.clip(np.asarray(out["wav_lengths"]), 0, duration_wav)
+            valid = np.zeros((B, duration_wav), np.float32)
+            for b in range(B):
+                n = int(wav_lens[b])
+                if n > 0:
+                    valid[b, :n] = wav[b, :n]
+            wav_chunks.append(valid)
+
+        if wav_chunks:
+            full = np.concatenate(wav_chunks, axis=-1)
+            syn = [full[b, :int(code_lengths[b] * self.decoder_upsample_rate)]
+                   for b in range(B)]
+        else:
+            syn = [np.zeros((0,), np.float32) for _ in range(B)]
+        return {"syn_wav_list": syn}
