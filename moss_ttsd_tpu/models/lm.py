@@ -1,0 +1,203 @@
+"""AsteroidLM — the 8-channel Qwen3-style autoregressive decoder, TPU-native
+equivalent of the reference AsteroidTTSInstruct + Qwen3Model backbone
+(reference modeling_asteroid.py:215-425).
+
+Architecture (parity targets):
+  * 8 embedding tables summed into one hidden stream
+    (reference _prepare_multi_modal_inputs, modeling_asteroid.py:235-250).
+  * Qwen3 blocks: RMSNorm, GQA attention with per-head q/k RMSNorm + RoPE,
+    SwiGLU MLP.
+  * 8 LM heads; all tied to their embedding tables
+    (reference tie_weights, modeling_asteroid.py:315-317).
+
+TPU design:
+  * layers run under nn.scan (stacked params) — one compiled block body,
+    fast compile inside the lax.while_loop decode graph.
+  * static-shape KV cache (B, S, Hkv, D) per layer, stacked (L, ...) and
+    updated with dynamic_update_slice; S == 0 selects the cache-free
+    training path at trace time.
+  * bf16 activations, fp32 softmax/norms.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LMConfig
+from ..ops.attention import causal_mask, gqa_attention
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        normed = (xf * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        return normed * w.astype(x.dtype)
+
+
+class Qwen3Block(nn.Module):
+    """One decoder layer; scanned over the stacked layer axis."""
+
+    cfg: LMConfig
+
+    @nn.compact
+    def __call__(self, x, cache_k, cache_v, cos, sin, mask, cache_pos):
+        c = self.cfg
+        dtype = x.dtype
+        H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        B, T, _ = x.shape
+
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln")(x)
+        q = nn.Dense(H * D, use_bias=c.attention_bias, dtype=dtype, name="q_proj")(h)
+        k = nn.Dense(Hkv * D, use_bias=c.attention_bias, dtype=dtype, name="k_proj")(h)
+        v = nn.Dense(Hkv * D, use_bias=c.attention_bias, dtype=dtype, name="v_proj")(h)
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        q = RMSNorm(D, c.rms_norm_eps, name="q_norm")(q)
+        k = RMSNorm(D, c.rms_norm_eps, name="k_norm")(k)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache_k.shape[1] > 0:       # decode/prefill path: write into cache
+            cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
+                                                   (0, cache_pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
+                                                   (0, cache_pos, 0, 0))
+            k_all, v_all = cache_k, cache_v
+        else:                          # training path: attend over current tokens
+            k_all, v_all = k, v
+
+        attn = gqa_attention(q, k_all.astype(dtype), v_all.astype(dtype),
+                             mask, scale=D ** -0.5)
+        attn = attn.reshape(B, T, H * D)
+        x = x + nn.Dense(c.hidden_size, use_bias=False, dtype=dtype, name="o_proj")(attn)
+
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_ln")(x)
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=dtype, name="gate_proj")(h)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=dtype, name="up_proj")(h)
+        down = nn.Dense(c.hidden_size, use_bias=False, dtype=dtype,
+                        name="down_proj")(jax.nn.silu(gate) * up)
+        return x + down, cache_k, cache_v
+
+
+class _ScanBlock(nn.Module):
+    cfg: LMConfig
+
+    @nn.compact
+    def __call__(self, x, cache_lv, cos, sin, mask, cache_pos):
+        cache_k, cache_v = cache_lv
+        x, new_k, new_v = Qwen3Block(self.cfg, name="block")(
+            x, cache_k, cache_v, cos, sin, mask, cache_pos)
+        return x, (new_k, new_v)
+
+
+class AsteroidLM(nn.Module):
+    """8-channel LM. Channel 0 = text+speech vocab; channels 1-7 = speech-only."""
+
+    cfg: LMConfig
+
+    def setup(self):
+        c = self.cfg
+        emb_init = nn.initializers.normal(stddev=0.02)
+        self.embed_text = self.param("embed_text", emb_init,
+                                     (c.vocab_size, c.hidden_size))
+        # channels 1..C-1 stacked: (C-1, speech_vocab, hidden)
+        self.embed_speech = self.param("embed_speech", emb_init,
+                                       (c.channels - 1, c.speech_vocab_size, c.hidden_size))
+        self.blocks = nn.scan(
+            _ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=c.num_hidden_layers,
+        )(c, name="layers")
+        self.final_norm = RMSNorm(c.hidden_size, c.rms_norm_eps, name="final_norm")
+
+    # -- embeddings (reference _prepare_multi_modal_inputs, :235-250) -------
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """input_ids (B, T, C) -> summed embeddings (B, T, hidden)."""
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        x = jnp.take(self.embed_text, input_ids[..., 0], axis=0)
+        for i in range(1, c.channels):
+            x = x + jnp.take(self.embed_speech[i - 1], input_ids[..., i], axis=0)
+        return x.astype(dtype)
+
+    # -- backbone ------------------------------------------------------------
+
+    def backbone(self, input_ids: jnp.ndarray, positions: jnp.ndarray,
+                 key_valid: Optional[jnp.ndarray], cache: Optional[dict],
+                 cache_pos) -> Tuple[jnp.ndarray, Optional[dict]]:
+        """Run the decoder stack.
+
+        input_ids: (B, T, C); positions: (B, T) absolute positions (RoPE);
+        key_valid: (B, S) cache-slot validity (left-padding + unwritten slots)
+                   or (B, T) for the cache-free path;
+        cache: {"k","v": (L, B, S, Hkv, D)} or None (training);
+        cache_pos: scalar — write offset of this segment in the cache.
+        Returns (hidden (B, T, hidden), new_cache).
+        """
+        c = self.cfg
+        x = self.embed(input_ids)
+        B, T, _ = x.shape
+        cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
+
+        if cache is None:
+            S = T
+            empty = jnp.zeros((c.num_hidden_layers, B, 0, c.num_key_value_heads,
+                               c.head_dim), x.dtype)
+            cache_lv = (empty, empty)
+            mask = causal_mask(0, T, S, key_valid)
+        else:
+            S = cache["k"].shape[2]
+            cache_lv = (cache["k"], cache["v"])
+            mask = causal_mask(cache_pos, T, S, key_valid)
+
+        x, (new_k, new_v) = self.blocks(x, cache_lv, cos, sin, mask, cache_pos)
+        x = self.final_norm(x)
+        new_cache = None if cache is None else {"k": new_k, "v": new_v}
+        return x, new_cache
+
+    # -- heads (tied to embeddings; reference modeling_asteroid.py:315-317) --
+
+    def logits_all(self, hidden: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """hidden (..., hidden) -> (text_logits (..., vocab),
+        speech_logits (..., C-1, speech_vocab)). fp32 outputs."""
+        h = hidden.astype(jnp.float32)
+        t = h @ self.embed_text.T.astype(jnp.float32)
+        s = jnp.einsum("...d,cvd->...cv", h, self.embed_speech.astype(jnp.float32))
+        return t, s
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None):
+        """Training/eval forward without cache: full logits.
+
+        attention_mask: (B, T) validity (1 = real token). Positions follow the
+        HF convention for left-padded batches: cumsum(mask) - 1, clipped at 0.
+        """
+        B, T, _ = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, T), jnp.int32)
+        positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+        hidden, _ = self.backbone(input_ids, positions,
+                                  attention_mask.astype(bool), None, 0)
+        return self.logits_all(hidden)
+
+
+def init_cache(cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+             cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
