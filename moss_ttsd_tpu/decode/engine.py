@@ -1,0 +1,253 @@
+"""Jitted autoregressive generation engine.
+
+This replaces the reference's Python-per-step HF decode loop
+(reference CustomMixin._sample, modeling_asteroid.py:52-197) with ONE compiled
+XLA program: prefill + a lax.while_loop over decode steps with a static-shape
+KV cache. All of the reference's delay-pattern control flow is reproduced as
+vectorized lax ops:
+
+  * teacher-forcing window — the last (channels-1) rows of the shifted prompt
+    are re-fed channel-by-channel during the first 7 steps
+    (reference :87-91, :143-145);
+  * per-channel logit masks — pad-1024 forbidden on channel i once its delay
+    has elapsed; end-of-speech forbidden on channel 0 inside the TF window
+    (reference :124-128);
+  * EOS flush — a non-speech token on channel 0 starts a (channels-1)-step
+    staggered pad flush tracked by an integer countdown (reference :140-168);
+  * per-channel repetition penalty / temperature / top-k / top-p sampling
+    (reference :95-109, :129-138) with incremental presence masks.
+
+Prompt lengths are bucketed (left-pad to a multiple of ``bucket``) so the
+number of distinct compiled programs stays bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LMConfig, SamplingConfig
+from ..models.lm import AsteroidLM, init_cache
+from ..ops.sampling import (ChannelParams, apply_repetition_penalty,
+                            presence_from_history, sample_from_channel,
+                            scatter_presence)
+from ..ops.attention import NEG_INF
+
+
+class GenerateResult(NamedTuple):
+    tokens: np.ndarray       # (B, base + steps, C) — prompt-minus-tail + generated
+    steps: int               # decode steps actually run
+    base: int                # index of the first generated row (== bucketed L - C + 1)
+
+
+class DecodeState(NamedTuple):
+    step: jnp.ndarray           # scalar int32 — decode step s
+    tokens: jnp.ndarray         # (B, S, C) token buffer
+    cache_k: jnp.ndarray
+    cache_v: jnp.ndarray
+    key_valid: jnp.ndarray      # (B, S) bool
+    hidden_last: jnp.ndarray    # (B, 1, H)
+    last_pos: jnp.ndarray       # (B,) last RoPE position used
+    needs: jnp.ndarray          # (B,) int32 EOS-flush countdown, -1 = inactive
+    unfinished: jnp.ndarray     # (B,) bool
+    presence_text: jnp.ndarray  # (B, V_text) bool
+    presence_speech: jnp.ndarray  # (B, C-1, V_speech) bool
+    rng: jax.Array
+
+
+def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfig,
+                       base: int, max_steps: int, cache_dtype):
+    """Compile-time-closed generate(params, tokens, attn_mask, rng) for one
+    (bucketed prompt length, max_steps) shape."""
+    C = cfg.channels
+    ch_params: List[ChannelParams] = [ChannelParams.from_config(c)
+                                      for c in sampling.channels]
+    prefilter = sampling.topk_prefilter
+    speech_lo, speech_hi = cfg.speech_token_range
+    eos = cfg.eos_token_id
+    pad_speech = cfg.speech_pad_token
+    S = base + max_steps
+    L = base + C - 1      # full shifted prompt length
+
+    def is_speech(tok):
+        return (tok >= speech_lo) & (tok < speech_hi)
+
+    def sample_step(rng, text_logits, speech_logits, state: DecodeState):
+        """One sampling round -> next_tokens (B, C)."""
+        s = state.step
+        B = text_logits.shape[0]
+
+        # -- channel 0 (text vocab) -------------------------------------
+        t_logits = text_logits
+        # forbid end-of-speech during the TF window (reference :127-128)
+        in_tf = s < C - 1
+        t_logits = t_logits.at[:, eos].add(jnp.where(in_tf, NEG_INF, 0.0))
+        t_logits = apply_repetition_penalty(t_logits, state.presence_text,
+                                            ch_params[0].repetition_penalty)
+        rngs = jax.random.split(rng, C)
+        tok0 = sample_from_channel(rngs[0], t_logits, ch_params[0], prefilter)
+
+        # -- channels 1..C-1 (speech vocab) ----------------------------
+        toks = [tok0]
+        for i in range(1, C):
+            sl = speech_logits[:, i - 1]
+            # forbid pad-1024 once channel i's delay has elapsed (s >= i)
+            sl = sl.at[:, pad_speech].add(jnp.where(s >= i, NEG_INF, 0.0))
+            sl = apply_repetition_penalty(sl, state.presence_speech[:, i - 1],
+                                          ch_params[i].repetition_penalty)
+            toks.append(sample_from_channel(rngs[i], sl, ch_params[i], prefilter))
+        return jnp.stack(toks, axis=-1)      # (B, C)
+
+    def body(params, state: DecodeState) -> DecodeState:
+        s = state.step
+        cur_len = base + s
+        text_logits, speech_logits = model.apply(
+            params, state.hidden_last, method=AsteroidLM.logits_all)
+        text_logits = text_logits[:, 0]          # (B, V)
+        speech_logits = speech_logits[:, 0]      # (B, C-1, Vs)
+
+        rng, step_rng = jax.random.split(state.rng)
+        next_tokens = sample_step(step_rng, text_logits, speech_logits, state)
+
+        # EOS detection on the *sampled* channel 0 (reference :140-141)
+        trigger = (~is_speech(next_tokens[:, 0])) & (state.needs < 0)
+        needs = jnp.where(trigger, C - 1, state.needs)
+
+        # teacher forcing: while s < C-1, channels > s come from the shifted
+        # prompt tail (reference :143-145)
+        tf_row = jax.lax.dynamic_slice(state.tokens, (0, cur_len, 0),
+                                       (state.tokens.shape[0], 1, C))[:, 0]
+        chan = jnp.arange(C)
+        tf_mask = (s < C - 1) & (chan[None, :] > s)
+        next_tokens = jnp.where(tf_mask, tf_row, next_tokens)
+
+        # staggered EOS flush (reference :148-153)
+        flushing = (needs > 0) & (needs < C - 1)
+        flush_val = jnp.where(chan[None, :] == 0, eos, pad_speech)
+        flush_chan = (chan[None, :] == 0) | (needs[:, None] < C - chan[None, :])
+        next_tokens = jnp.where(flushing[:, None] & flush_chan, flush_val,
+                                next_tokens)
+
+        # finished rows emit eos/pad (reference :155-158)
+        fin_fill = jnp.where(chan[None, :] == 0, eos, pad_speech)
+        next_tokens = jnp.where(state.unfinished[:, None], next_tokens, fin_fill)
+
+        # append + bookkeeping
+        tokens = jax.lax.dynamic_update_slice(
+            state.tokens, next_tokens[:, None, :].astype(state.tokens.dtype),
+            (0, cur_len, 0))
+        presence_text = scatter_presence(state.presence_text, next_tokens[:, 0])
+        presence_speech = scatter_presence(state.presence_speech, next_tokens[:, 1:])
+
+        needs = jnp.where(needs > 0, needs - 1, needs)
+        stopping = (next_tokens[:, 0] == eos) | (needs == 0)
+        unfinished = state.unfinished & ~stopping
+        unfinished = unfinished | (needs > 0)
+
+        # forward the new token (cache write at cur_len)
+        key_valid = state.key_valid.at[:, cur_len].set(True)
+        positions = (state.last_pos + 1)[:, None]
+        hidden, new_cache = model.apply(
+            params, next_tokens[:, None, :], positions, key_valid,
+            {"k": state.cache_k, "v": state.cache_v}, cur_len,
+            method=AsteroidLM.backbone)
+
+        return DecodeState(
+            step=s + 1, tokens=tokens, cache_k=new_cache["k"],
+            cache_v=new_cache["v"], key_valid=key_valid, hidden_last=hidden,
+            last_pos=state.last_pos + 1, needs=needs, unfinished=unfinished,
+            presence_text=presence_text, presence_speech=presence_speech,
+            rng=rng)
+
+    def generate(params, tokens_full, attn_mask, rng):
+        """tokens_full: (B, L, C) shifted prompt (bucketed, left-padded);
+        attn_mask: (B, L) 1=real. Returns (tokens (B, S, C), steps)."""
+        B = tokens_full.shape[0]
+        buf = jnp.zeros((B, S, C), tokens_full.dtype)
+        buf = buf.at[:, :L].set(tokens_full)
+
+        # prefill on the first `base` rows (reference drops the last C-1 rows
+        # before the loop, :87-91)
+        positions = jnp.maximum(jnp.cumsum(attn_mask[:, :base], axis=1) - 1, 0)
+        key_valid = jnp.zeros((B, S), bool).at[:, :base].set(
+            attn_mask[:, :base].astype(bool))
+        cache = init_cache(cfg, B, S, cache_dtype)
+        hidden, cache = model.apply(
+            params, buf[:, :base], positions, key_valid, cache, 0,
+            method=AsteroidLM.backbone)
+
+        state = DecodeState(
+            step=jnp.int32(0), tokens=buf, cache_k=cache["k"],
+            cache_v=cache["v"], key_valid=key_valid,
+            hidden_last=hidden[:, -1:], last_pos=positions[:, -1],
+            needs=jnp.full((B,), -1, jnp.int32),
+            unfinished=jnp.ones((B,), bool),
+            presence_text=presence_from_history(buf[:, :base, 0], cfg.vocab_size),
+            presence_speech=jnp.moveaxis(
+                jax.vmap(presence_from_history, in_axes=(2, None))(
+                    buf[:, :base, 1:], cfg.speech_vocab_size), 0, 1),
+            rng=rng)
+
+        state = jax.lax.while_loop(
+            lambda st: (st.step < max_steps) & jnp.any(st.unfinished),
+            lambda st: body(params, st),
+            state)
+        return state.tokens, state.step
+
+    return generate
+
+
+class GenerationEngine:
+    """Holds compiled generate programs per (batch, prompt-bucket, max_steps)."""
+
+    def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
+                 bucket: int = 128, cache_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.sampling = sampling or SamplingConfig.default(cfg.channels)
+        self.model = AsteroidLM(cfg)
+        self.bucket = bucket
+        self.cache_dtype = cache_dtype
+        self._compiled = {}
+
+    def _get_fn(self, base: int, max_steps: int):
+        key = (base, max_steps)
+        if key not in self._compiled:
+            fn = _build_generate_fn(self.model, self.cfg, self.sampling,
+                                    base, max_steps, self.cache_dtype)
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    def generate(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+                 max_new_tokens: Optional[int] = None, seed: int = 0) -> GenerateResult:
+        """input_ids: (B, L, C) delay-shifted prompt, left-padded;
+        attention_mask: (B, L). Mirrors reference model.generate()
+        (generation_utils.py:406-409) with jitted execution.
+        """
+        C = self.cfg.channels
+        B, L, _ = input_ids.shape
+        max_steps = max_new_tokens or self.sampling.max_new_tokens
+
+        # bucket prompt length: extra left-padding is masked out
+        L_b = max(self.bucket, -(-L // self.bucket) * self.bucket)
+        pad = L_b - L
+        if pad:
+            pad_ids = np.zeros((B, pad, C), input_ids.dtype)
+            pad_ids[..., 0] = self.cfg.pad_token_id
+            pad_ids[..., 1:] = self.cfg.speech_pad_token
+            input_ids = np.concatenate([pad_ids, input_ids], axis=1)
+            attention_mask = np.concatenate(
+                [np.zeros((B, pad), attention_mask.dtype), attention_mask], axis=1)
+
+        base = L_b - C + 1
+        fn = self._get_fn(base, max_steps)
+        tokens, steps = fn(self.params, jnp.asarray(input_ids),
+                           jnp.asarray(attention_mask),
+                           jax.random.PRNGKey(seed))
+        steps = int(steps)
+        return GenerateResult(tokens=np.asarray(tokens[:, :base + steps]),
+                              steps=steps, base=base)

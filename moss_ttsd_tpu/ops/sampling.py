@@ -1,0 +1,101 @@
+"""Per-channel logits processing + sampling as pure jittable functions.
+
+Replaces the HF LogitsProcessor pipeline the reference builds per channel
+(reference modeling_asteroid.py:95-109: RepetitionPenalty -> Temperature ->
+TopK -> TopP, then multinomial/argmax :131-138), with exact HF semantics:
+
+  * repetition penalty: each vocab id present anywhere in the channel's
+    history is penalized once (score>0 -> /p, else *p).
+  * top-k: keep logits >= k-th largest (ties kept, like HF).
+  * top-p: keep token i (descending order) iff the probability mass strictly
+    above it is < p; top-1 always kept.
+
+TPU design: the big text-channel vocab (152k) is pre-filtered with one
+lax.top_k(K) and all subsequent work (temperature, top-p, categorical) happens
+on the K-sized slice — no 152k sort per step. K is the channel's top_k when
+set, else a configurable prefilter (exact whenever the nucleus fits in K).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .attention import NEG_INF
+
+
+class ChannelParams(NamedTuple):
+    """Static per-channel sampling params (None -> neutral)."""
+
+    do_sample: bool
+    temperature: float
+    top_k: int           # 0 = disabled
+    top_p: float         # 1.0 = disabled
+    repetition_penalty: float  # 1.0 = disabled
+
+    @classmethod
+    def from_config(cls, c) -> "ChannelParams":
+        return cls(
+            do_sample=bool(c.do_sample),
+            temperature=float(c.temperature) if c.temperature else 1.0,
+            top_k=int(c.top_k) if c.top_k else 0,
+            top_p=float(c.top_p) if c.top_p is not None else 1.0,
+            repetition_penalty=(float(c.repetition_penalty)
+                                if c.repetition_penalty else 1.0),
+        )
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, presence: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """logits (..., V); presence (..., V) bool. HF RepetitionPenaltyLogitsProcessor."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence, penalized, logits)
+
+
+def top_p_mask_sorted(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Keep-mask over descending-sorted logits (..., K)."""
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum_excl = jnp.cumsum(probs, axis=-1) - probs
+    keep = cum_excl < top_p
+    return keep.at[..., 0].set(True)
+
+
+def sample_from_channel(rng: jax.Array, logits: jnp.ndarray, p: ChannelParams,
+                        prefilter_k: int = 128) -> jnp.ndarray:
+    """One channel's sampling step. logits (B, V) fp32 -> token ids (B,).
+
+    Pipeline: top-K prefilter (sorted) -> temperature -> top-p -> categorical
+    or argmax. The caller applies repetition penalty and any hard masks first.
+    """
+    V = logits.shape[-1]
+    K = min(p.top_k if p.top_k > 0 else prefilter_k, V)
+    vals, idx = jax.lax.top_k(logits, K)                # descending (B, K)
+    if p.temperature != 1.0:
+        vals = vals / p.temperature
+    if p.top_p < 1.0:
+        vals = jnp.where(top_p_mask_sorted(vals, p.top_p), vals, NEG_INF)
+    if p.do_sample:
+        choice = jax.random.categorical(rng, vals, axis=-1)      # (B,)
+    else:
+        choice = jnp.argmax(vals, axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+
+
+def scatter_presence(presence: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Mark tokens (...,) as present in presence (..., V)."""
+    flat_p = presence.reshape(-1, presence.shape[-1])
+    flat_t = tokens.reshape(-1)
+    out = jax.vmap(lambda pr, t: pr.at[t].set(True))(flat_p, flat_t)
+    return out.reshape(presence.shape)
+
+
+def presence_from_history(tokens: jnp.ndarray, vocab: int) -> jnp.ndarray:
+    """tokens (B, T) -> (B, V) bool presence (includes padding ids, matching
+    the reference's penalty over the raw row incl. pads)."""
+    B, T = tokens.shape
+    presence = jnp.zeros((B, vocab), bool)
+    return jax.vmap(lambda pr, t: pr.at[t].set(True))(presence, tokens)

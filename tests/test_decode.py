@@ -1,0 +1,224 @@
+"""Decode engine tests: the jitted lax.while_loop generator vs a step-by-step
+Python oracle implementing the reference's _sample semantics
+(modeling_asteroid.py:52-197), plus sampling-op parity vs HF processors.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moss_ttsd_tpu.core.config import ChannelSamplingConfig, LMConfig, SamplingConfig
+from moss_ttsd_tpu.decode.engine import GenerationEngine
+from moss_ttsd_tpu.models.lm import AsteroidLM
+from moss_ttsd_tpu.ops.sampling import (ChannelParams, apply_repetition_penalty,
+                                        presence_from_history,
+                                        sample_from_channel, top_p_mask_sorted)
+from moss_ttsd_tpu.pipeline.prompt import (find_max_valid_positions,
+                                           left_pad_batch, shift_delay_pattern,
+                                           unshift_outputs)
+
+
+def tiny_cfg():
+    return LMConfig(dtype="float32", param_dtype="float32").tiny()
+
+
+def greedy_sampling(channels=8):
+    return SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=False, temperature=None,
+                                        top_k=None, top_p=None)
+                  for _ in range(channels)],
+        max_new_tokens=24)
+
+
+def python_oracle_generate(model, params, cfg, tf_inputs, attn_mask, max_steps):
+    """Reference-semantics greedy decode loop (modeling_asteroid.py:52-197),
+    executed step-by-step with the full no-cache forward."""
+    C = cfg.channels
+    B, L, _ = tf_inputs.shape
+    eos = cfg.eos_token_id
+    ids = tf_inputs[:, :L - (C - 1)].copy()
+    mask = attn_mask[:, :L - (C - 1)].copy()
+    base = ids.shape[1]
+    needs = -np.ones(B, np.int64)
+    unfinished = np.ones(B, np.int64)
+
+    for _ in range(max_steps):
+        t_logits, s_logits = model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+        t_logits = np.asarray(t_logits[:, -1]).copy()
+        s_logits = np.asarray(s_logits[:, -1]).copy()
+
+        cur = ids.shape[1]
+        for i in range(1, C):
+            if cur + 1 > L - (C - 1) + i:
+                s_logits[:, i - 1, cfg.speech_pad_token] = -np.inf
+        if cur + 1 <= L:
+            t_logits[:, eos] = -np.inf
+
+        next_tokens = np.zeros((B, C), np.int64)
+        next_tokens[:, 0] = t_logits.argmax(-1)
+        next_tokens[:, 1:] = s_logits.argmax(-1)
+
+        lo, hi = cfg.speech_token_range
+        not_speech = ~((next_tokens[:, 0] >= lo) & (next_tokens[:, 0] < hi))
+        trig = not_speech & (needs < 0)
+        needs[trig] = C - 1
+
+        if cur + 1 <= L:
+            i = cur + 1 - base
+            next_tokens[:, i:] = tf_inputs[:, cur, i:]
+
+        m = (needs > 0) & (needs < C - 1)
+        if m.any():
+            next_tokens[m, 0] = eos
+            for i in range(1, C):
+                mi = m & (needs < C - i)
+                next_tokens[mi, i] = cfg.speech_pad_token
+
+        for i in range(C):
+            pddp = eos if i == 0 else cfg.speech_pad_token
+            next_tokens[:, i] = next_tokens[:, i] * unfinished + pddp * (1 - unfinished)
+
+        ids = np.concatenate([ids, next_tokens[:, None, :]], axis=1)
+        mask = np.concatenate([mask, np.ones((B, 1), mask.dtype)], axis=1)
+
+        needs = np.where(needs > 0, needs - 1, needs)
+        stopping = (next_tokens[:, 0] == eos) | (needs == 0)
+        unfinished = unfinished & ~stopping
+        unfinished = unfinished | (needs > 0)
+        if unfinished.max() == 0:
+            break
+    return ids
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = AsteroidLM(cfg)
+    dummy = np.zeros((1, 4, cfg.channels), np.int64)
+    params = model.init(jax.random.PRNGKey(7), jnp.asarray(dummy))
+    return cfg, model, params
+
+
+def make_prompt(cfg, rng, text_len, audio_len):
+    """A shifted prompt: text-channel tokens + speech tokens in delay pattern."""
+    ids = np.full((text_len + audio_len, cfg.channels), cfg.speech_pad_token,
+                  np.int64)
+    ids[:text_len, 0] = rng.integers(1, 90, text_len)
+    lo, hi = cfg.speech_token_range
+    ids[text_len:, 0] = rng.integers(lo, hi, audio_len)
+    for i in range(1, cfg.channels):
+        ids[text_len:, i] = rng.integers(0, cfg.speech_pad_token, audio_len)
+    return shift_delay_pattern(ids, cfg.pad_token_id, cfg.speech_pad_token)
+
+
+def test_engine_matches_python_oracle_greedy(setup):
+    cfg, model, params = setup
+    rng = np.random.default_rng(0)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 9, 2)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id, cfg.speech_pad_token)
+
+    max_steps = 20
+    oracle = python_oracle_generate(model, params, cfg, batch, mask, max_steps)
+
+    engine = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                              bucket=batch.shape[1], cache_dtype=jnp.float32)
+    res = engine.generate(batch, mask, max_new_tokens=max_steps, seed=0)
+
+    # oracle's generated region starts at L-(C-1); engine's at res.base
+    C = cfg.channels
+    o_gen = oracle[:, batch.shape[1] - (C - 1):]
+    e_gen = res.tokens[:, res.base:]
+    n = min(o_gen.shape[1], e_gen.shape[1])
+    np.testing.assert_array_equal(e_gen[:, :n], o_gen[:, :n])
+    assert res.steps == o_gen.shape[1]
+
+
+def test_engine_bucketing_invariance(setup):
+    """Extra left-padding from bucketing must not change greedy outputs."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(1)
+    prompts = [make_prompt(cfg, rng, 5, 3)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id, cfg.speech_pad_token)
+
+    r1 = GenerationEngine(cfg, params, greedy_sampling(), bucket=batch.shape[1],
+                          cache_dtype=jnp.float32).generate(batch, mask, 12)
+    r2 = GenerationEngine(cfg, params, greedy_sampling(), bucket=64,
+                          cache_dtype=jnp.float32).generate(batch, mask, 12)
+    np.testing.assert_array_equal(r1.tokens[:, r1.base:], r2.tokens[:, r2.base:])
+
+
+def test_shift_unshift_roundtrip():
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(2)
+    T, C = 11, 8
+    ids = rng.integers(0, 1024, (T, C)).astype(np.int64)
+    shifted = shift_delay_pattern(ids, cfg.pad_token_id)
+    assert shifted.shape == (T + C - 1, C)
+    # treat the shifted prompt as "generated from row 0": unshift inverts
+    from moss_ttsd_tpu.pipeline.prompt import SPEECH_OFFSET
+    rec = unshift_outputs(shifted[None], base=0, channels=C)
+    rec[..., 0] += SPEECH_OFFSET
+    np.testing.assert_array_equal(rec[0], ids)
+
+
+def test_find_max_valid_positions():
+    x = np.full((2, 5, 8), 1024, np.int64)
+    x[0, 2, 1] = 7
+    li = find_max_valid_positions(x)
+    np.testing.assert_array_equal(li, [2, -1])
+
+
+# ---------------------------------------------------------------------------
+# Sampling-op parity vs HF logits processors
+# ---------------------------------------------------------------------------
+
+def test_repetition_penalty_matches_hf():
+    import torch
+    from transformers.generation.logits_process import RepetitionPenaltyLogitsProcessor
+    rng = np.random.default_rng(3)
+    V = 50
+    logits = rng.standard_normal((2, V)).astype(np.float32)
+    hist = rng.integers(0, V, (2, 12))
+    hf = RepetitionPenaltyLogitsProcessor(penalty=1.3)(
+        torch.from_numpy(hist), torch.from_numpy(logits.copy())).numpy()
+    presence = presence_from_history(jnp.asarray(hist), V)
+    ours = apply_repetition_penalty(jnp.asarray(logits), presence, 1.3)
+    np.testing.assert_allclose(np.asarray(ours), hf, atol=1e-6)
+
+
+def test_top_p_mask_matches_hf():
+    import torch
+    from transformers.generation.logits_process import TopPLogitsWarper
+    rng = np.random.default_rng(4)
+    V = 40
+    logits = rng.standard_normal((3, V)).astype(np.float32) * 2
+    hf = TopPLogitsWarper(top_p=0.8)(None, torch.from_numpy(logits.copy())).numpy()
+    hf_kept = hf > -1e9
+
+    order = np.argsort(-logits, axis=-1)
+    sorted_logits = np.take_along_axis(logits, order, axis=-1)
+    keep_sorted = np.asarray(top_p_mask_sorted(jnp.asarray(sorted_logits), 0.8))
+    ours_kept = np.zeros_like(hf_kept)
+    np.put_along_axis(ours_kept, order, keep_sorted, axis=-1)
+    np.testing.assert_array_equal(ours_kept, hf_kept)
+
+
+def test_sample_from_channel_respects_topk_topp():
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((4, 100)).astype(np.float32) * 3)
+    p = ChannelParams(do_sample=True, temperature=0.8, top_k=5, top_p=0.9,
+                      repetition_penalty=1.0)
+    top5 = np.argsort(-np.asarray(logits), axis=-1)[:, :5]
+    for seed in range(20):
+        toks = np.asarray(sample_from_channel(jax.random.PRNGKey(seed), logits, p))
+        for b in range(4):
+            assert toks[b] in top5[b]
+
+
+def test_greedy_equals_argmax():
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.standard_normal((3, 64)).astype(np.float32))
+    p = ChannelParams(do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
+                      repetition_penalty=1.0)
+    toks = np.asarray(sample_from_channel(jax.random.PRNGKey(0), logits, p))
+    np.testing.assert_array_equal(toks, np.asarray(jnp.argmax(logits, -1)))
