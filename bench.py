@@ -1,0 +1,100 @@
+"""Benchmark: end-to-end dialogue-synthesis real-time factor on one TPU chip.
+
+Measures the full MOSS-TTSD-geometry pipeline with random weights (no public
+checkpoint ships in this environment; compute cost is weight-independent):
+  * AsteroidLM 1.7B-geometry bf16 jitted AR decode at batch 8 (prefill 64 +
+    256 decode steps through the lax.while_loop engine), then
+  * full-size fp32 XY-codec vocode of the generated frames.
+RTF = generated audio seconds / wall seconds (decode + vocode).
+
+Prints ONE JSON line. vs_baseline is RTF relative to the BASELINE.json north
+star (5x real time per chip at batch 8); the reference publishes no RTF of its
+own (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, CodecConfig,
+                                           LMConfig, SamplingConfig)
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+
+    B = 8
+    PROMPT_LEN = 64
+    DECODE_STEPS = 256
+    FRAME_RATE = 12.5
+    NORTH_STAR_RTF = 5.0
+
+    # full 1.7B geometry; the whole vocab counts as "speech" so random weights
+    # never trigger the EOS flush and the decode runs full length
+    cfg = LMConfig()
+    cfg = type(cfg)(**{**cfg.to_dict(),
+                       "speech_token_range": (0, cfg.vocab_size)})
+    model = AsteroidLM(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    print("init LM params...", file=sys.stderr)
+    abstract = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)), rng)
+    leaves, treedef = jax.tree.flatten(abstract)
+    keys = list(jax.random.split(rng, len(leaves)))
+    params = jax.tree.unflatten(treedef, [
+        (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(s.dtype)
+        for k, s in zip(keys, leaves)])
+
+    nprng = np.random.default_rng(0)
+    ids = np.full((B, PROMPT_LEN, cfg.channels), cfg.speech_pad_token, np.int64)
+    ids[..., 0] = nprng.integers(1, 10000, (B, PROMPT_LEN))
+    mask = np.ones((B, PROMPT_LEN), np.int64)
+
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=50, top_p=0.95)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=DECODE_STEPS)
+    engine = GenerationEngine(cfg, params, sampling, bucket=PROMPT_LEN)
+
+    print("compile + run generate...", file=sys.stderr)
+    t0 = time.perf_counter()
+    engine.generate(ids, mask, max_new_tokens=DECODE_STEPS, seed=0)
+    print(f"first call (compile + run): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    res = engine.generate(ids, mask, max_new_tokens=DECODE_STEPS, seed=1)
+    decode_s = time.perf_counter() - t0
+    steps = res.steps
+    print(f"decode: {steps} steps @ batch {B} in {decode_s:.2f}s "
+          f"({steps / decode_s:.1f} steps/s)", file=sys.stderr)
+
+    print("init codec + vocode...", file=sys.stderr)
+    spt = XYTokenizer.init_random(CodecConfig(), seed=0)
+    codes = [nprng.integers(0, 1024, (8, steps)).astype(np.int32)
+             for _ in range(B)]
+    spt.decode(codes, overlap_seconds=10)         # compile
+    t0 = time.perf_counter()
+    out = spt.decode(codes, overlap_seconds=10)
+    vocode_s = time.perf_counter() - t0
+    audio_sec = sum(len(w) for w in out["syn_wav_list"]) / spt.output_sample_rate
+    print(f"vocode: {audio_sec:.1f}s audio in {vocode_s:.2f}s", file=sys.stderr)
+
+    rtf = audio_sec / (decode_s + vocode_s)
+    print(json.dumps({
+        "metric": "e2e_synthesis_rtf_batch8_per_chip",
+        "value": round(rtf, 2),
+        "unit": "audio_sec_per_wall_sec",
+        "vs_baseline": round(rtf / NORTH_STAR_RTF, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

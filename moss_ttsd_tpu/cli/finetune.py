@@ -1,0 +1,143 @@
+"""Finetuning CLI: full or LoRA, DP/TP-sharded over the available mesh.
+
+Mirrors reference finetune/finetune.py's surface (--model_path --data_dir
+--output_dir --training_config --lora_config --lora) with a pjit train loop
+instead of HF Trainer + torchrun DDP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Finetune AsteroidLM (TPU)")
+    parser.add_argument("--model_path", default=None,
+                        help="HF checkpoint dir; omit with --tiny")
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--training_config", default=None)
+    parser.add_argument("--lora_config", default=None)
+    parser.add_argument("--lora", action="store_true")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny random model (smoke test)")
+    parser.add_argument("--platform", choices=["default", "cpu"], default="default")
+    parser.add_argument("--max_steps", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    if args.platform == "cpu":
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   " --xla_force_host_platform_device_count=8").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from ..core.checkpoint import save_pytree
+    from ..core.config import LMConfig
+    from ..models.lm import AsteroidLM
+    from ..train.data import TrainingDataset, collate
+    from ..train.lora import (DEFAULT_TARGETS, init_lora, make_lora_train_step,
+                              merge_lora)
+    from ..train.step import (TrainState, init_train_state, make_optimizer,
+                              make_train_step)
+
+    tc = {}
+    if args.training_config and os.path.exists(args.training_config):
+        with open(args.training_config) as f:
+            tc = yaml.safe_load(f) or {}
+    lc = {"r": 16, "lora_alpha": 32, "use_rslora": True,
+          "target_modules": list(DEFAULT_TARGETS)}
+    if args.lora_config and os.path.exists(args.lora_config):
+        with open(args.lora_config) as f:
+            lc.update(yaml.safe_load(f) or {})
+
+    if args.tiny:
+        from ..utils.mock_tokenizer import MockTokenizer
+        tokenizer = MockTokenizer()
+        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny(
+            pad_token_id=tokenizer.pad_token_id)
+        model = AsteroidLM(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4, cfg.channels), jnp.int64))
+    else:
+        from transformers import AutoTokenizer
+        from ..utils.convert_lm import load_asteroid_checkpoint
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+        cfg = LMConfig.from_hf_config_json(
+            os.path.join(args.model_path, "config.json"))
+        params = load_asteroid_checkpoint(args.model_path, cfg)
+
+    dataset = TrainingDataset(args.data_dir, cfg.channels,
+                              tokenizer.pad_token_id, cfg.speech_pad_token)
+    if len(dataset) == 0:
+        print("no training data found", file=sys.stderr)
+        return 1
+
+    batch_size = int(tc.get("per_device_train_batch_size", 1)) * jax.device_count()
+    epochs = int(tc.get("num_train_epochs", 1))
+    steps_per_epoch = max(1, len(dataset) // batch_size)
+    total_steps = args.max_steps or steps_per_epoch * epochs
+    optimizer = make_optimizer(
+        learning_rate=float(tc.get("learning_rate", 1e-4)),
+        warmup_ratio=float(tc.get("warmup_ratio", 0.1)),
+        total_steps=total_steps)
+
+    if args.lora:
+        lora = init_lora(params, jax.random.PRNGKey(1), rank=int(lc["r"]))
+        state = TrainState(jnp.zeros((), jnp.int32), lora, optimizer.init(lora))
+        step_fn = jax.jit(make_lora_train_step(
+            cfg, optimizer, params, rank=int(lc["r"]),
+            alpha=float(lc["lora_alpha"]), use_rslora=bool(lc["use_rslora"])))
+    else:
+        state = init_train_state(cfg, optimizer, params=params)
+        step_fn = jax.jit(make_train_step(cfg, optimizer))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    log_every = int(tc.get("logging_steps", 10))
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(dataset))
+    step = 0
+    t0 = time.perf_counter()
+    for epoch in range(epochs):
+        for bi in range(steps_per_epoch):
+            if step >= total_steps:
+                break
+            idx = order[(bi * batch_size) % len(dataset):][:batch_size]
+            if len(idx) < batch_size:
+                idx = np.concatenate([idx, order[:batch_size - len(idx)]])
+            batch = collate([dataset[i] for i in idx], tokenizer.pad_token_id,
+                            max_length=int(tc.get("max_length", 16000)),
+                            pad_to_multiple=64)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, batch)
+            step += 1
+            if step % log_every == 0 or step == total_steps:
+                print(f"step {step}/{total_steps} loss={float(metrics['loss']):.4f} "
+                      f"grad_norm={float(metrics['grad_norm']):.3f} "
+                      f"({(time.perf_counter() - t0) / step:.2f}s/step)")
+
+    if args.lora:
+        merged = merge_lora(params, state.params, rank=int(lc["r"]),
+                            alpha=float(lc["lora_alpha"]),
+                            use_rslora=bool(lc["use_rslora"]))
+        save_pytree(os.path.join(args.output_dir, "model_merged.npz"), merged)
+        save_pytree(os.path.join(args.output_dir, "lora_factors.npz"), state.params)
+        print(f"LoRA merged model saved to {args.output_dir}")
+    else:
+        save_pytree(os.path.join(args.output_dir, "model.npz"), state.params)
+        print(f"Model saved to {args.output_dir}")
+    with open(os.path.join(args.output_dir, "train_config.json"), "w") as f:
+        json.dump({"steps": step, "lora": args.lora, "config": tc}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -131,9 +131,10 @@ class AsteroidLM(nn.Module):
         """input_ids (B, T, C) -> summed embeddings (B, T, hidden)."""
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
-        x = jnp.take(self.embed_text, input_ids[..., 0], axis=0)
+        x = jnp.take(self.embed_text, input_ids[..., 0], axis=0, mode="clip")
         for i in range(1, c.channels):
-            x = x + jnp.take(self.embed_speech[i - 1], input_ids[..., i], axis=0)
+            x = x + jnp.take(self.embed_speech[i - 1], input_ids[..., i],
+                             axis=0, mode="clip")
         return x.astype(dtype)
 
     # -- backbone ------------------------------------------------------------

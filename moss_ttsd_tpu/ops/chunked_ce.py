@@ -1,0 +1,89 @@
+"""Memory-efficient multi-channel cross-entropy — the Liger-kernel equivalent.
+
+The reference avoids materializing (B, T, 152k) logits with Triton
+LigerForCausalLMLoss (reference modeling_asteroid.py:390-396). Here the same
+memory behavior comes from chunking the flattened (B*T) rows through
+jax.lax.map with jax.checkpoint: peak live logits are (chunk, V) in both the
+forward and backward pass; XLA keeps the matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = -100
+
+
+def _chunk_ce(h_chunk, labels_chunk, weight_t):
+    """h (chunk, D), labels (chunk,), weight (V, D) -> per-row nll (chunk,)."""
+    logits = (h_chunk.astype(jnp.float32)
+              @ weight_t.astype(jnp.float32))          # (chunk, V)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    safe = jnp.maximum(labels_chunk, 0)
+    tgt = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+    nll = lse - tgt
+    return jnp.where(labels_chunk == IGNORE_INDEX, 0.0, nll)
+
+
+def chunked_cross_entropy(hidden: jnp.ndarray, labels: jnp.ndarray,
+                          head_weight: jnp.ndarray,
+                          num_chunks: int = 8) -> jnp.ndarray:
+    """Causal-LM CE over one channel without materializing full logits.
+
+    hidden: (B, T, D); labels: (B, T) with -100 = ignore (already shifted by
+    the caller); head_weight: (V, D) (tied embedding). Returns mean NLL over
+    valid positions (HF ForCausalLMLoss semantics).
+    """
+    B, T, D = hidden.shape
+    h = hidden.reshape(B * T, D)
+    y = labels.reshape(B * T)
+    N = B * T
+    # pad rows to a multiple of num_chunks
+    pad = (-N) % num_chunks
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        y = jnp.pad(y, (0, pad), constant_values=IGNORE_INDEX)
+    chunk = (N + pad) // num_chunks
+    h = h.reshape(num_chunks, chunk, D)
+    y = y.reshape(num_chunks, chunk)
+
+    wt = head_weight.T                                  # (D, V)
+    f = jax.checkpoint(functools.partial(_chunk_ce, weight_t=wt))
+    nll = jax.lax.map(lambda args: f(*args), (h, y))    # (num_chunks, chunk)
+    valid = (y != IGNORE_INDEX).sum()
+    return nll.sum() / jnp.maximum(valid, 1)
+
+
+def shift_for_causal(labels: jnp.ndarray) -> jnp.ndarray:
+    """HF ForCausalLMLoss shift: position t predicts label t+1.
+
+    labels (B, T) -> (B, T) where row t holds original label t+1 and the last
+    position is ignored."""
+    return jnp.concatenate(
+        [labels[:, 1:], jnp.full_like(labels[:, :1], IGNORE_INDEX)], axis=1)
+
+
+def asteroid_loss(hidden: jnp.ndarray, labels: jnp.ndarray,
+                  embed_text: jnp.ndarray, embed_speech: jnp.ndarray,
+                  weights, num_chunks: int = 8):
+    """Weighted multi-channel loss (reference modeling_asteroid.py:382-410).
+
+    labels: (B, T, C) with -100 masking; weights: per-channel list (the
+    finetune default is [8,2,1,1,1,1,1,1], reference finetune.py:132).
+    Returns (total_loss, per_channel_losses (C,)).
+    """
+    C = labels.shape[-1]
+    losses = []
+    losses.append(chunked_cross_entropy(
+        hidden, shift_for_causal(labels[..., 0]), embed_text, num_chunks))
+    for i in range(1, C):
+        losses.append(chunked_cross_entropy(
+            hidden, shift_for_causal(labels[..., i]), embed_speech[i - 1],
+            num_chunks=1))
+    losses = jnp.stack(losses)
+    w = jnp.asarray(weights, jnp.float32)
+    w = w / w.sum()
+    return jnp.sum(w * losses), losses

@@ -1,0 +1,71 @@
+"""Mesh + GSPMD sharding rules.
+
+The reference's parallelism surface (SURVEY.md §2.3) maps to a 2-axis
+jax.sharding.Mesh:
+  * DP (torchrun DDP, reference finetune README.md:361-370)     -> "data" axis
+  * TP (latent `_tp_plan = {"lm_head": "colwise_rep"}` hints,
+    reference modeling_asteroid.py:290-291)                     -> "model" axis
+
+Within a slice the collectives ride ICI; multi-host goes over DCN via standard
+jax.distributed initialization — all inserted by XLA from these shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Create a ("data", "model") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def lm_param_specs(params: dict) -> dict:
+    """PartitionSpecs for AsteroidLM params (tensor parallel over "model").
+
+    Layout (stacked-layer scan params have a leading layer axis L):
+      * q/k/v kernels (L, hidden, heads*dim) -> shard output dim (colwise)
+      * o_proj (L, heads*dim, hidden)        -> shard input dim (rowwise)
+      * gate/up (L, hidden, ffn)             -> colwise; down (L, ffn, hidden) rowwise
+      * embed_text (vocab, hidden)           -> shard vocab (the tied lm_head
+        becomes colwise on vocab, matching the reference's colwise_rep hint)
+      * norms replicated
+    """
+    def spec_for(path: tuple, x) -> P:
+        name = "/".join(str(p) for p in path)
+        if "q_proj" in name or "k_proj" in name or "v_proj" in name:
+            return P(None, None, "model")
+        if "o_proj" in name or "down_proj" in name:
+            return P(None, "model", None)
+        if "gate_proj" in name or "up_proj" in name:
+            return P(None, None, "model")
+        if "embed_text" in name:
+            return P("model", None)
+        if "embed_speech" in name:
+            return P(None, "model", None)
+        return P()   # norms, biases
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: spec_for(tuple(k.key for k in path), x), params)
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    specs = lm_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def batch_spec() -> P:
+    """Data-parallel batch sharding."""
+    return P("data")

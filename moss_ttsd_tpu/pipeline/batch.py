@@ -1,0 +1,155 @@
+"""End-to-end batch synthesis pipeline.
+
+Equivalent of reference generation_utils.py:341-477 process_batch +
+load_model (:15-24): JSONL items -> normalized text + prompt audio -> codec
+encode -> prompt assembly -> delay shift -> left-pad -> jitted AR generate ->
+un-shift -> codec decode -> per-item audio.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.config import CodecConfig, LMConfig, SamplingConfig
+from ..decode.engine import GenerationEngine
+from ..models.codec.model import XYTokenizer
+from . import prompt as pp
+from .jsonl import load_audio_data, process_jsonl_item
+from .text import normalize_text, rewrite_speaker_tags
+
+SYSTEM_PROMPT = ("You are a speech synthesizer that generates natural, "
+                 "realistic, and human-like conversational audio from dialogue "
+                 "text.")   # reference inference.py:11
+
+
+@dataclasses.dataclass
+class PhaseTimings:
+    """Per-phase wall times — first-class observability the reference lacks
+    (SURVEY.md §5: it only prints ad-hoc shapes/timings)."""
+
+    tokenize_s: float = 0.0
+    prefill_decode_s: float = 0.0
+    vocode_s: float = 0.0
+    generated_steps: int = 0
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+class TTSPipeline:
+    """Bundles tokenizer + LM engine + codec (reference load_model)."""
+
+    def __init__(self, tokenizer, lm_cfg: LMConfig, lm_params,
+                 spt: XYTokenizer, sampling: Optional[SamplingConfig] = None,
+                 bucket: int = 128):
+        self.tokenizer = tokenizer
+        self.lm_cfg = lm_cfg
+        self.engine = GenerationEngine(lm_cfg, lm_params, sampling, bucket=bucket)
+        self.spt = spt
+        self.timings = PhaseTimings()
+
+    @classmethod
+    def load(cls, model_path: str, spt_config_path: str, spt_ckpt_path: str,
+             sampling: Optional[SamplingConfig] = None):
+        """Load from an HF-format LM dir + codec checkpoint
+        (reference load_model, generation_utils.py:15-24)."""
+        import os
+        from transformers import AutoTokenizer
+        from ..utils.convert_lm import load_asteroid_checkpoint
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+        cfg_path = os.path.join(model_path, "config.json")
+        lm_cfg = LMConfig.from_hf_config_json(cfg_path)
+        lm_params = load_asteroid_checkpoint(model_path, lm_cfg)
+        spt = XYTokenizer.load_from_checkpoint(spt_config_path, spt_ckpt_path)
+        if sampling is None:
+            gen_cfg = os.path.join(model_path, "generation_config.json")
+            if os.path.exists(gen_cfg):
+                sampling = SamplingConfig.from_generation_config_json(
+                    gen_cfg, lm_cfg.channels)
+        return cls(tokenizer, lm_cfg, lm_params, spt, sampling)
+
+    # ------------------------------------------------------------------
+
+    def prepare_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
+                     use_normalize: bool = False):
+        """One JSONL item -> (shifted prompt ids, text metadata)."""
+        processed = process_jsonl_item(item)
+        text = processed["text"]
+        prompt_text = processed["prompt_text"]
+        full_text = prompt_text + text if prompt_text else text
+        original = full_text
+        if use_normalize:
+            full_text = normalize_text(full_text)
+        final_text = rewrite_speaker_tags(full_text)
+
+        audio_codes = None
+        if processed["prompt_audio"] is not None:
+            t0 = time.perf_counter()
+            wav = load_audio_data(processed["prompt_audio"])
+            codes = self.spt.encode([wav])["codes_list"][0]     # (nq, T)
+            audio_codes = np.asarray(codes).T                   # (T, nq)
+            self.timings.tokenize_s += time.perf_counter() - t0
+
+        ids = pp.build_prompt_ids(self.tokenizer, system_prompt, final_text,
+                                  audio_codes, channels=self.lm_cfg.channels,
+                                  pad_token=self.lm_cfg.speech_pad_token,
+                                  speech_offset=self.lm_cfg.speech_token_range[0])
+        shifted = pp.shift_delay_pattern(ids, self.tokenizer.pad_token_id,
+                                         self.lm_cfg.speech_pad_token)
+        meta = {"original_text": original,
+                "normalized_text": normalize_text(original) if use_normalize else None,
+                "final_text": final_text, "use_normalize": use_normalize}
+        return shifted, meta
+
+    def process_batch(self, batch_items: List[dict],
+                      system_prompt: str = SYSTEM_PROMPT,
+                      start_idx: int = 0, use_normalize: bool = False,
+                      max_new_tokens: Optional[int] = None, seed: int = 0):
+        """Reference process_batch parity (generation_utils.py:341-477).
+
+        Returns (actual_texts_data, audio_results); audio_results entries are
+        dicts {audio_data (1, T) float32, sample_rate, index} or None.
+        """
+        shifted_list, texts_data = [], []
+        for i, item in enumerate(batch_items):
+            shifted, meta = self.prepare_item(item, system_prompt, use_normalize)
+            meta["index"] = start_idx + i
+            shifted_list.append(shifted)
+            texts_data.append(meta)
+
+        batch, mask = pp.left_pad_batch(shifted_list, self.tokenizer.pad_token_id,
+                                        self.lm_cfg.speech_pad_token)
+        t0 = time.perf_counter()
+        result = self.engine.generate(batch, mask, max_new_tokens, seed=seed)
+        self.timings.prefill_decode_s += time.perf_counter() - t0
+        self.timings.generated_steps += result.steps
+
+        speech_ids = pp.unshift_outputs(result.tokens, result.base,
+                                        self.lm_cfg.channels,
+                                        self.lm_cfg.speech_token_range[0])
+        li = pp.find_max_valid_positions(speech_ids,
+                                         self.lm_cfg.speech_pad_token)
+
+        audio_results = []
+        for i in range(len(batch_items)):
+            end = int(li[i]) + 1
+            if end <= 0:
+                audio_results.append(None)
+                continue
+            codes = speech_ids[i, :end].T.astype(np.int32)      # (nq, T)
+            # clip safety: a malformed ch0 row outside the speech range would
+            # otherwise index out of the codebook
+            codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
+            t0 = time.perf_counter()
+            wav = self.spt.decode([codes], overlap_seconds=10)["syn_wav_list"][0]
+            self.timings.vocode_s += time.perf_counter() - t0
+            audio_results.append({
+                "audio_data": np.asarray(wav, np.float32)[None, :],
+                "sample_rate": self.spt.output_sample_rate,
+                "index": start_idx + i,
+            })
+        return texts_data, audio_results

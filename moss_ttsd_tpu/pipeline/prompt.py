@@ -24,7 +24,8 @@ PROMPT_TEMPLATE = ("<|begin_of_style|>{prompt}<|end_of_style|>\n"
 def build_prompt_ids(tokenizer, system_prompt: str, text: str,
                      audio_codes: Optional[np.ndarray] = None,
                      channels: int = MAX_CHANNELS,
-                     pad_token: int = 1024) -> np.ndarray:
+                     pad_token: int = 1024,
+                     speech_offset: int = SPEECH_OFFSET) -> np.ndarray:
     """Text template + optional codec codes -> (T, channels) int64.
 
     audio_codes: (T_audio, nq) raw codec codes (unoffset), as produced by
@@ -42,7 +43,7 @@ def build_prompt_ids(tokenizer, system_prompt: str, text: str,
             padc = np.full((codes.shape[0], channels), pad_token, np.int64)
             padc[:, :codes.shape[1]] = codes
             codes = padc
-        codes[:, 0] += SPEECH_OFFSET
+        codes[:, 0] += speech_offset
         ids = np.concatenate([ids, codes], axis=0)
     return ids
 
@@ -79,7 +80,8 @@ def left_pad_batch(ids_list: List[np.ndarray], text_pad_id: int,
 
 
 def unshift_outputs(tokens: np.ndarray, base: int,
-                    channels: int = MAX_CHANNELS) -> np.ndarray:
+                    channels: int = MAX_CHANNELS,
+                    speech_offset: int = SPEECH_OFFSET) -> np.ndarray:
     """Undo the delay pattern on generated tokens.
 
     tokens: (B, total, C) engine output; base: index of first generated row.
@@ -94,7 +96,7 @@ def unshift_outputs(tokens: np.ndarray, base: int,
     out = np.zeros((tokens.shape[0], seq_len, channels), np.int64)
     for j in range(channels):
         out[..., j] = gen[:, j:seq_len + j, j]
-    out[..., 0] -= SPEECH_OFFSET
+    out[..., 0] -= speech_offset
     return out
 
 

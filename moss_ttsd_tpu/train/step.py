@@ -1,0 +1,98 @@
+"""pjit training step for AsteroidLM finetuning.
+
+Replaces the reference's HF Trainer + DDP + Liger loss stack
+(reference finetune/finetune.py:118-230): one jitted train_step sharded over a
+("data", "model") mesh via GSPMD — gradient all-reduce, TP collectives, and
+remat all come from XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import LMConfig
+from ..models.lm import AsteroidLM
+from ..ops.chunked_ce import asteroid_loss
+
+DEFAULT_LOSS_WEIGHTS = (8, 2, 1, 1, 1, 1, 1, 1)   # reference finetune.py:132
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(learning_rate: float = 1e-4, warmup_ratio: float = 0.1,
+                   total_steps: int = 10_000, weight_decay: float = 0.0,
+                   grad_clip: float = 1.0):
+    """AdamW + cosine schedule with linear warmup (reference
+    training_config.yaml semantics via HF TrainingArguments)."""
+    warmup = max(1, int(total_steps * warmup_ratio))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup, max(total_steps, warmup + 1))
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=weight_decay))
+
+
+def make_train_step(cfg: LMConfig, optimizer,
+                    loss_weights: Sequence[float] = DEFAULT_LOSS_WEIGHTS,
+                    remat: bool = True, ce_chunks: int = 8):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: {"input_ids": (B, T, C), "labels": (B, T, C), "attention_mask": (B, T)}.
+    """
+    model = AsteroidLM(cfg)
+
+    def loss_fn(params, batch):
+        def forward(p):
+            ids = batch["input_ids"]
+            mask = batch["attention_mask"]
+            positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            hidden, _ = model.apply(p, ids, positions, mask.astype(bool),
+                                    None, 0, method=AsteroidLM.backbone)
+            return hidden
+        fwd = jax.checkpoint(forward) if remat else forward
+        hidden = fwd(params)
+        embed_text = params["params"]["embed_text"]
+        embed_speech = params["params"]["embed_speech"]
+        total, per_channel = asteroid_loss(
+            hidden, batch["labels"], embed_text, embed_speech, loss_weights,
+            num_chunks=ce_chunks)
+        return total, per_channel
+
+    def train_step(state: TrainState, batch):
+        (loss, per_channel), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "loss_per_channel": per_channel,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
+
+
+def shard_train_step(train_step, mesh: Mesh, state_specs, batch_spec_tree):
+    """pjit the step with explicit shardings (in/out constraint form)."""
+    return jax.jit(
+        train_step,
+        in_shardings=(state_specs, batch_spec_tree),
+        out_shardings=(state_specs, None))
+
+
+def init_train_state(cfg: LMConfig, optimizer, rng=None, params=None) -> TrainState:
+    model = AsteroidLM(cfg)
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, 8, cfg.channels), jnp.int32)
+        params = model.init(rng, dummy)
+    opt_state = optimizer.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state)

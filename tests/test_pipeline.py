@@ -1,0 +1,132 @@
+"""Pipeline tests: text normalization rules, JSONL parsing, prompt assembly."""
+import json
+import numpy as np
+import pytest
+
+from moss_ttsd_tpu.pipeline.text import normalize_text, rewrite_speaker_tags
+from moss_ttsd_tpu.pipeline.jsonl import process_jsonl_item, load_audio_data
+from moss_ttsd_tpu.pipeline.prompt import build_prompt_ids, PROMPT_TEMPLATE
+from moss_ttsd_tpu.utils.mock_tokenizer import MockTokenizer
+
+
+class TestNormalizeText:
+    def test_numeric_tags_become_speaker_tags(self):
+        out = normalize_text("[1]hello there[2]hi")
+        assert out.startswith("[S1]")
+        assert "[S2]" in out
+
+    def test_non_speaker_brackets_removed_content_kept(self):
+        out = normalize_text("[S1]hello [music] world")
+        assert "music" in out
+        assert "[music]" not in out
+
+    def test_decorative_symbols_removed(self):
+        out = normalize_text("[S1]《hello》【x】（y）")
+        for ch in "《》【】（）":
+            assert ch not in out
+
+    def test_internal_punct_to_comma(self):
+        out = normalize_text("[S1]hello! are you; here: yes done.")
+        assert "!" not in out and ";" not in out and ":" not in out
+        assert out.endswith(".")
+
+    def test_chinese_laughter(self):
+        assert "(笑)" in normalize_text("[S1]哈哈哈真好。")
+        assert "哈哈" not in normalize_text("[S1]哈哈哈真好。")
+
+    def test_english_laughter(self):
+        out = normalize_text("[S1]that's funny haha so good.")
+        assert "(laughs)" in out
+
+    def test_merge_adjacent_same_speaker(self):
+        out = normalize_text("[S1]first. [S1]second. [S2]other.")
+        assert out.count("[S1]") == 1
+        assert out.count("[S2]") == 1
+
+    def test_no_tags_passthrough(self):
+        out = normalize_text("just some text without tags.")
+        assert "just some text" in out
+
+    def test_empty(self):
+        assert normalize_text("") == ""
+
+    def test_newlines_removed(self):
+        assert "\n" not in normalize_text("[S1]line one\nline two.")
+
+    def test_multiple_periods_only_last_kept(self):
+        out = normalize_text("[S1]一句。两句。三句。")
+        assert out.count("。") == 1
+        assert out.endswith("。")
+
+
+def test_rewrite_speaker_tags():
+    assert rewrite_speaker_tags("[S1]a[S2]b") == "<speaker1>a<speaker2>b"
+
+
+class TestProcessJsonlItem:
+    def test_two_speaker_format(self):
+        item = {"base_path": "examples", "text": "[S1]hi",
+                "prompt_audio_speaker1": "a.wav", "prompt_text_speaker1": "t1",
+                "prompt_audio_speaker2": "b.wav", "prompt_text_speaker2": "t2"}
+        out = process_jsonl_item(item)
+        assert out["prompt_audio"] == {"speaker1": "examples/a.wav",
+                                       "speaker2": "examples/b.wav"}
+        assert out["prompt_text"] == "[S1]t1[S2]t2"
+
+    def test_single_reference_format(self):
+        item = {"base_path": "ex", "text": "x", "prompt_audio": "ref.wav",
+                "prompt_text": "[S1]a[S2]b"}
+        out = process_jsonl_item(item)
+        assert out["prompt_audio"] == "ex/ref.wav"
+        assert out["prompt_text"] == "[S1]a[S2]b"
+
+    def test_text_only_format(self):
+        out = process_jsonl_item({"text": "[S1]hello"})
+        assert out["prompt_audio"] is None
+        assert out["prompt_text"] == ""
+
+    def test_empty_prompt_audio_ignored(self):
+        out = process_jsonl_item({"text": "t", "prompt_audio": "",
+                                  "prompt_text": "p"})
+        assert out["prompt_audio"] is None
+
+    def test_real_example_files_parse(self):
+        for name in ["examples.jsonl", "examples_only_text.jsonl",
+                     "examples_single_reference.jsonl"]:
+            with open(f"/root/reference/examples/{name}") as f:
+                for line in f:
+                    out = process_jsonl_item(json.loads(line))
+                    assert out["text"]
+
+
+def test_load_audio_merges_speakers(tmp_path):
+    from moss_ttsd_tpu.utils.audio_io import write_wav
+    sr = 16000
+    a = np.zeros(sr, np.float32)
+    b = np.ones(sr // 2, np.float32) * 0.5
+    write_wav(str(tmp_path / "a.wav"), a, sr)
+    write_wav(str(tmp_path / "b.wav"), b, sr)
+    merged = load_audio_data({"speaker1": str(tmp_path / "a.wav"),
+                              "speaker2": str(tmp_path / "b.wav")})
+    assert merged.shape == (sr + sr // 2,)
+    assert abs(merged[:sr]).max() < 1e-3
+    assert merged[sr:].mean() > 0.4
+
+
+def test_build_prompt_ids_template():
+    tok = MockTokenizer()
+    ids = build_prompt_ids(tok, "sys", "hello", channels=8, pad_token=1024)
+    assert ids.shape[1] == 8
+    assert (ids[:, 1:] == 1024).all()
+    decoded = tok.decode(ids[:, 0])
+    assert "<|begin_of_style|>" in decoded
+    assert "<|begin_of_speech|>" in decoded
+
+
+def test_build_prompt_ids_audio_offset():
+    tok = MockTokenizer()
+    codes = np.arange(16).reshape(2, 8)
+    ids = build_prompt_ids(tok, "s", "t", audio_codes=codes, speech_offset=1000)
+    assert ids[-2, 0] == 1000 + 0
+    assert ids[-1, 0] == 1000 + 8
+    assert ids[-1, 1] == 9

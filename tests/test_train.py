@@ -1,0 +1,139 @@
+"""Training stack tests: chunked CE parity, weighted loss, train step, sharding."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moss_ttsd_tpu.core.config import LMConfig
+from moss_ttsd_tpu.ops.chunked_ce import (asteroid_loss, chunked_cross_entropy,
+                                          shift_for_causal, IGNORE_INDEX)
+from moss_ttsd_tpu.train.step import (init_train_state, make_optimizer,
+                                      make_train_step, TrainState)
+
+
+def tiny_cfg():
+    return LMConfig(dtype="float32", param_dtype="float32").tiny()
+
+
+def full_ce(hidden, labels, weight):
+    """Unchunked oracle with the same shift/ignore semantics."""
+    logits = hidden.astype(np.float32) @ np.asarray(weight, np.float32).T
+    B, T, V = logits.shape
+    sh = np.concatenate([labels[:, 1:],
+                         np.full_like(labels[:, :1], IGNORE_INDEX)], axis=1)
+    total, n = 0.0, 0
+    for b in range(B):
+        for t in range(T):
+            y = sh[b, t]
+            if y == IGNORE_INDEX:
+                continue
+            row = logits[b, t]
+            total += np.log(np.exp(row - row.max()).sum()) + row.max() - row[y]
+            n += 1
+    return total / max(n, 1)
+
+
+def test_chunked_ce_matches_full():
+    rng = np.random.default_rng(0)
+    B, T, D, V = 2, 10, 16, 37
+    hidden = rng.standard_normal((B, T, D)).astype(np.float32)
+    weight = rng.standard_normal((V, D)).astype(np.float32)
+    labels = rng.integers(0, V, (B, T))
+    labels[0, :3] = IGNORE_INDEX
+    ours = chunked_cross_entropy(jnp.asarray(hidden),
+                                 shift_for_causal(jnp.asarray(labels)),
+                                 jnp.asarray(weight), num_chunks=4)
+    oracle = full_ce(hidden, labels, weight)
+    np.testing.assert_allclose(float(ours), oracle, rtol=1e-5)
+
+
+def test_chunked_ce_matches_torch_cross_entropy():
+    """Same semantics as HF ForCausalLMLoss (shift + ignore -100 + mean)."""
+    import torch
+    rng = np.random.default_rng(1)
+    B, T, D, V = 2, 8, 12, 29
+    hidden = rng.standard_normal((B, T, D)).astype(np.float32)
+    weight = rng.standard_normal((V, D)).astype(np.float32)
+    labels = rng.integers(0, V, (B, T))
+    labels[1, -2:] = IGNORE_INDEX
+
+    ours = chunked_cross_entropy(jnp.asarray(hidden),
+                                 shift_for_causal(jnp.asarray(labels)),
+                                 jnp.asarray(weight), num_chunks=3)
+
+    logits = torch.from_numpy(hidden) @ torch.from_numpy(weight).T
+    shift_logits = logits[:, :-1].reshape(-1, V)
+    shift_labels = torch.from_numpy(labels[:, 1:]).reshape(-1)
+    theirs = torch.nn.functional.cross_entropy(shift_logits, shift_labels,
+                                               ignore_index=IGNORE_INDEX)
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def test_asteroid_loss_weighting():
+    rng = np.random.default_rng(2)
+    cfg = tiny_cfg()
+    B, T = 2, 6
+    hidden = jnp.asarray(rng.standard_normal((B, T, cfg.hidden_size)).astype(np.float32))
+    et = jnp.asarray(rng.standard_normal((cfg.vocab_size, cfg.hidden_size)).astype(np.float32))
+    es = jnp.asarray(rng.standard_normal(
+        (cfg.channels - 1, cfg.speech_vocab_size, cfg.hidden_size)).astype(np.float32))
+    labels = rng.integers(0, cfg.speech_vocab_size, (B, T, cfg.channels))
+    weights = [8, 2, 1, 1, 1, 1, 1, 1]
+    total, per = asteroid_loss(hidden, jnp.asarray(labels), et, es, weights)
+    w = np.asarray(weights, np.float32)
+    np.testing.assert_allclose(float(total),
+                               float((w / w.sum() * np.asarray(per)).sum()),
+                               rtol=1e-6)
+    assert per.shape == (cfg.channels,)
+
+
+def test_train_step_reduces_loss():
+    cfg = tiny_cfg()
+    opt = make_optimizer(learning_rate=5e-3, total_steps=30, warmup_ratio=0.0)
+    state = init_train_state(cfg, opt, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, opt, remat=False, ce_chunks=2))
+
+    rng = np.random.default_rng(3)
+    B, T = 4, 16
+    ids = rng.integers(0, 30, (B, T, cfg.channels)).astype(np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (B, T))
+    batch = {"input_ids": jnp.asarray(ids),
+             "labels": jnp.asarray(rng.integers(0, 30, (B, T, cfg.channels),
+                                                dtype=np.int32)),
+             "attention_mask": jnp.ones((B, T), jnp.int32)}
+    first = None
+    for i in range(20):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first * 0.9
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_train_step_dp_sharding_equivalence():
+    """DP-sharded step == single-device step on the same batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from moss_ttsd_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg()
+    opt = make_optimizer(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0)
+    state = init_train_state(cfg, opt, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, opt, remat=False, ce_chunks=2)
+
+    rng = np.random.default_rng(4)
+    B, T = 8, 12
+    ids = rng.integers(0, 30, (B, T, cfg.channels)).astype(np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (B, T))
+    batch = {"input_ids": jnp.asarray(ids),
+             "labels": jnp.asarray(rng.integers(0, 30, (B, T, cfg.channels),
+                                                dtype=np.int32)),
+             "attention_mask": jnp.ones((B, T), jnp.int32)}
+
+    _, m_single = jax.jit(step)(state, batch)
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    shard = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
+    batch_sharded = jax.tree.map(shard, batch)
+    _, m_dp = jax.jit(step)(state, batch_sharded)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
+                               rtol=1e-5)
