@@ -1,0 +1,174 @@
+"""Gradio web UI for two-speaker dialogue synthesis.
+
+Equivalent of reference gradio_demo.py: bilingual (zh/en) interface, two input
+modes (Single = one combined prompt audio with [S1][S2] text; Role = separate
+per-speaker prompt audios), example loading from JSONL, lazy model singleton,
+and a status panel. Gradio is an optional dependency — building the demo
+raises a clear error if it is not installed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from typing import Optional
+
+import numpy as np
+
+_PIPELINE = None
+_PIPELINE_LOCK = threading.Lock()
+
+
+def get_pipeline(loader=None):
+    """Lazy global pipeline (reference initialize_model, gradio_demo.py:154-166)."""
+    global _PIPELINE
+    with _PIPELINE_LOCK:
+        if _PIPELINE is None:
+            if loader is None:
+                from ..cli.inference import build_tiny_pipeline
+                loader = build_tiny_pipeline
+            _PIPELINE = loader()
+    return _PIPELINE
+
+
+def load_examples_from_jsonl(path: str, limit: int = 5):
+    """Reference load_examples_from_jsonl (gradio_demo.py:11-68)."""
+    examples = []
+    if not os.path.exists(path):
+        return examples
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            item = json.loads(line)
+            examples.append(item)
+            if len(examples) >= limit:
+                break
+    return examples
+
+
+def synthesize_single(text: str, prompt_text: str, prompt_audio_path: Optional[str],
+                      use_normalize: bool = True, seed: int = 0, loader=None):
+    """Single mode: one combined prompt audio + [S1]/[S2] script.
+
+    Returns (sample_rate, wav int16 np array), status string — the gradio
+    Audio-component contract (reference process_single_audio_generation,
+    gradio_demo.py:168-275)."""
+    pipe = get_pipeline(loader)
+    item = {"text": text}
+    if prompt_audio_path:
+        item["prompt_audio"] = prompt_audio_path
+        item["prompt_text"] = prompt_text or ""
+    texts_data, audio_results = pipe.process_batch(
+        [item], use_normalize=use_normalize, seed=seed)
+    if not audio_results or audio_results[0] is None:
+        return None, "Generation produced no valid speech tokens."
+    res = audio_results[0]
+    wav = np.clip(res["audio_data"][0], -1, 1)
+    status = (f"Generated {len(wav) / res['sample_rate']:.1f}s of audio | "
+              f"final text: {texts_data[0]['final_text'][:120]}")
+    return (res["sample_rate"], (wav * 32767).astype(np.int16)), status
+
+
+def synthesize_role(text: str,
+                    s1_text: str, s1_audio_path: Optional[str],
+                    s2_text: str, s2_audio_path: Optional[str],
+                    use_normalize: bool = True, seed: int = 0, loader=None):
+    """Role mode: separate speaker-1/2 prompt audios."""
+    pipe = get_pipeline(loader)
+    item = {"text": text}
+    if s1_audio_path:
+        item["prompt_audio_speaker1"] = s1_audio_path
+        item["prompt_text_speaker1"] = s1_text or ""
+    if s2_audio_path:
+        item["prompt_audio_speaker2"] = s2_audio_path
+        item["prompt_text_speaker2"] = s2_text or ""
+    texts_data, audio_results = pipe.process_batch(
+        [item], use_normalize=use_normalize, seed=seed)
+    if not audio_results or audio_results[0] is None:
+        return None, "Generation produced no valid speech tokens."
+    res = audio_results[0]
+    wav = np.clip(res["audio_data"][0], -1, 1)
+    status = f"Generated {len(wav) / res['sample_rate']:.1f}s of audio"
+    return (res["sample_rate"], (wav * 32767).astype(np.int16)), status
+
+
+def create_gradio_interface(loader=None, examples_jsonl: Optional[str] = None):
+    """Build the Blocks app (reference create_gradio_interface,
+    gradio_demo.py:278-528). Requires gradio."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise ImportError(
+            "gradio is not installed in this environment; install it to use "
+            "the web UI, or use the CLI (moss_ttsd_tpu.cli.inference)") from e
+
+    with gr.Blocks(title="MOSS-TTSD TPU — Spoken Dialogue Synthesis") as demo:
+        gr.Markdown("# MOSS-TTSD (TPU-native)\n"
+                    "Two-speaker dialogue synthesis — tag turns with "
+                    "`[S1]`/`[S2]` · 用 `[S1]`/`[S2]` 标注说话人")
+        with gr.Tabs():
+            with gr.Tab("Single (combined prompt) / 单音频模式"):
+                text1 = gr.Textbox(label="Dialogue script / 对话文本", lines=6,
+                                   placeholder="[S1]Hello! [S2]Hi there...")
+                ptext1 = gr.Textbox(label="Prompt transcript / 参考文本", lines=2)
+                paudio1 = gr.Audio(label="Prompt audio / 参考音频", type="filepath")
+                norm1 = gr.Checkbox(label="Normalize text / 文本规整", value=True)
+                seed1 = gr.Number(label="Seed", value=0, precision=0)
+                btn1 = gr.Button("Generate / 生成", variant="primary")
+                out1 = gr.Audio(label="Output / 合成结果")
+                status1 = gr.Textbox(label="Status / 状态", interactive=False)
+                btn1.click(
+                    lambda t, pt, pa, n, s: synthesize_single(
+                        t, pt, pa, n, int(s), loader),
+                    [text1, ptext1, paudio1, norm1, seed1], [out1, status1])
+            with gr.Tab("Role (per-speaker prompts) / 角色模式"):
+                text2 = gr.Textbox(label="Dialogue script / 对话文本", lines=6)
+                with gr.Row():
+                    with gr.Column():
+                        s1t = gr.Textbox(label="Speaker 1 transcript")
+                        s1a = gr.Audio(label="Speaker 1 audio", type="filepath")
+                    with gr.Column():
+                        s2t = gr.Textbox(label="Speaker 2 transcript")
+                        s2a = gr.Audio(label="Speaker 2 audio", type="filepath")
+                norm2 = gr.Checkbox(label="Normalize text / 文本规整", value=True)
+                seed2 = gr.Number(label="Seed", value=0, precision=0)
+                btn2 = gr.Button("Generate / 生成", variant="primary")
+                out2 = gr.Audio(label="Output / 合成结果")
+                status2 = gr.Textbox(label="Status / 状态", interactive=False)
+                btn2.click(
+                    lambda t, a, b, c, d, n, s: synthesize_role(
+                        t, a, b, c, d, n, int(s), loader),
+                    [text2, s1t, s1a, s2t, s2a, norm2, seed2], [out2, status2])
+        if examples_jsonl:
+            ex = load_examples_from_jsonl(examples_jsonl)
+            if ex:
+                gr.Examples(examples=[[e.get("text", "")] for e in ex],
+                            inputs=[text1])
+    return demo
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(description="MOSS-TTSD TPU gradio demo")
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--spt_config", default=None)
+    p.add_argument("--spt_ckpt", default=None)
+    p.add_argument("--examples", default=None)
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    loader = None
+    if not args.tiny and args.model_path:
+        from ..pipeline.batch import TTSPipeline
+        loader = lambda: TTSPipeline.load(args.model_path, args.spt_config,
+                                          args.spt_ckpt)
+    demo = create_gradio_interface(loader, args.examples)
+    demo.launch(server_port=args.port, server_name="0.0.0.0")
+
+
+if __name__ == "__main__":
+    main()

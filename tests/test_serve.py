@@ -1,0 +1,128 @@
+"""Serve-layer tests: API client utils, podcast parsing/fallback, gradio gate,
+codec round-trip CLI, helpers."""
+import json
+import os
+import numpy as np
+import pytest
+
+
+def test_wav_bytes_roundtrip(tmp_path):
+    from moss_ttsd_tpu.serve.api_client import wav_bytes_to_array
+    from moss_ttsd_tpu.utils.audio_io import write_wav
+    sr = 16000
+    wav = (np.sin(np.linspace(0, 100, sr)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, wav, sr)
+    with open(p, "rb") as f:
+        arr, sr2 = wav_bytes_to_array(f.read())
+    assert sr2 == sr
+    np.testing.assert_allclose(arr, wav, atol=1e-3)
+
+
+def test_audio_to_base64(tmp_path):
+    import base64
+    from moss_ttsd_tpu.serve.api_client import audio_file_to_base64
+    p = str(tmp_path / "x.bin")
+    with open(p, "wb") as f:
+        f.write(b"hello")
+    assert base64.b64decode(audio_file_to_base64(p)) == b"hello"
+
+
+def test_build_references_formats(tmp_path):
+    from moss_ttsd_tpu.serve.api_client import build_references
+    p1 = str(tmp_path / "a.wav")
+    p2 = str(tmp_path / "b.wav")
+    for p in (p1, p2):
+        with open(p, "wb") as f:
+            f.write(b"xx")
+    refs = build_references({"prompt_audio": p1, "prompt_text": "t"})
+    assert len(refs) == 1 and refs[0]["text"] == "t"
+    refs = build_references({"prompt_audio_speaker1": p1,
+                             "prompt_text_speaker1": "a",
+                             "prompt_audio_speaker2": p2,
+                             "prompt_text_speaker2": "b"})
+    assert len(refs) == 2
+    assert build_references({"text": "x"}) == []
+
+
+def test_podcast_parse_txt(tmp_path):
+    from moss_ttsd_tpu.serve.podcast import parse_input_content
+    p = str(tmp_path / "doc.txt")
+    with open(p, "w") as f:
+        f.write("some source material")
+    assert parse_input_content(p) == "some source material"
+    assert parse_input_content("raw text input") == "raw text input"
+
+
+def test_podcast_script_fallback():
+    """No LLM endpoint configured -> deterministic fallback script with tags."""
+    from moss_ttsd_tpu.serve.podcast import generate_podcast_script
+    os.environ.pop("PODCAST_LLM_BASE", None)
+    script = generate_podcast_script("material", language="en", base_url=None)
+    assert "[S1]" in script and "[S2]" in script
+    script_zh = generate_podcast_script("材料", language="zh", base_url=None)
+    assert "[S1]" in script_zh
+
+
+def test_podcast_language_detection():
+    from moss_ttsd_tpu.serve.podcast import detect_language
+    assert detect_language("这是一段中文材料，讲人工智能。") == "zh"
+    assert detect_language("This is English material about AI.") == "en"
+
+
+def test_gradio_interface_gated():
+    from moss_ttsd_tpu.serve.gradio_app import create_gradio_interface
+    try:
+        import gradio  # noqa
+        has_gradio = True
+    except ImportError:
+        has_gradio = False
+    if not has_gradio:
+        with pytest.raises(ImportError, match="gradio"):
+            create_gradio_interface()
+
+
+def test_gradio_examples_loader(tmp_path):
+    from moss_ttsd_tpu.serve.gradio_app import load_examples_from_jsonl
+    p = str(tmp_path / "ex.jsonl")
+    with open(p, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"text": f"[S1]hello {i}"}) + "\n")
+    ex = load_examples_from_jsonl(p, limit=3)
+    assert len(ex) == 3
+
+
+def test_helpers_param_count():
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.utils.helpers import count_params_by_module
+    params = {"params": {"enc": {"w": jnp.zeros((10, 4))},
+                         "dec": {"w": jnp.zeros((5,)), "b": jnp.zeros((5,))}}}
+    c = count_params_by_module(params)
+    assert c["enc"] == 40 and c["dec"] == 10 and c["__total__"] == 50
+
+
+def test_helpers_find_audio_files(tmp_path):
+    from moss_ttsd_tpu.utils.helpers import find_audio_files
+    (tmp_path / "sub").mkdir()
+    for name in ["a.wav", "sub/b.flac", "c.txt"]:
+        (tmp_path / name).write_bytes(b"")
+    files = find_audio_files(str(tmp_path))
+    assert len(files) == 2
+
+
+def test_asr_normalize():
+    from moss_ttsd_tpu.utils.helpers import asr_normalize_text
+    assert asr_normalize_text("Hello, World!  你好。") == "hello world 你好"
+
+
+def test_codec_roundtrip_cli(tmp_path):
+    from moss_ttsd_tpu.cli.codec_roundtrip import main
+    from moss_ttsd_tpu.utils.audio_io import write_wav
+    indir = tmp_path / "in"
+    indir.mkdir()
+    wav = (np.random.default_rng(0).standard_normal(16000) * 0.1).astype(np.float32)
+    write_wav(str(indir / "x.wav"), wav, 16000)
+    rc = main(["--input_dir", str(indir), "--output_dir", str(tmp_path / "out"),
+               "--tiny"])
+    assert rc == 0
+    assert (tmp_path / "out" / "x_recon.wav").exists()
