@@ -60,7 +60,8 @@ def main():
         channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
                                         top_k=50, top_p=0.95)
                   for _ in range(cfg.channels)],
-        max_new_tokens=DECODE_STEPS)
+        max_new_tokens=DECODE_STEPS,
+        approx_topk=True)
     engine = GenerationEngine(cfg, params, sampling, bucket=PROMPT_LEN)
 
     print("compile + run generate...", file=sys.stderr)

@@ -65,6 +65,11 @@ class LMConfig:
     dtype: str = "bfloat16"           # activation/compute dtype
     param_dtype: str = "float32"      # parameter storage dtype
 
+    # attention implementation: "xla" (einsum, fused by XLA) or "pallas"
+    # (blockwise flash kernels, ops/pallas_attention.py)
+    attn_impl: str = "xla"
+    pallas_interpret: bool = False    # interpreter mode (CPU testing)
+
     @property
     def num_kv_groups(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
@@ -121,6 +126,8 @@ class SamplingConfig:
     # Static pre-filter size used before top-p on the large text-channel vocab;
     # when a channel sets top_k it is used directly.
     topk_prefilter: int = 128
+    # TPU-optimized approximate top-k on the big text vocab (recall ~0.95).
+    approx_topk: bool = False
 
     @classmethod
     def default(cls, num_channels: int = 8) -> "SamplingConfig":

@@ -67,6 +67,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
     ch_params: List[ChannelParams] = [ChannelParams.from_config(c)
                                       for c in sampling.channels]
     prefilter = sampling.topk_prefilter
+    approx_topk = sampling.approx_topk
     speech_lo, speech_hi = cfg.speech_token_range
     eos = cfg.eos_token_id
     pad_speech = cfg.speech_pad_token
@@ -89,7 +90,8 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
         t_logits = apply_repetition_penalty(t_logits, state.presence_text,
                                             ch_params[0].repetition_penalty)
         rngs = jax.random.split(rng, C)
-        tok0 = sample_from_channel(rngs[0], t_logits, ch_params[0], prefilter)
+        tok0 = sample_from_channel(rngs[0], t_logits, ch_params[0], prefilter,
+                                   approx_topk)
 
         # -- channels 1..C-1 (speech vocab) ----------------------------
         toks = [tok0]
@@ -100,6 +102,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             sl = apply_repetition_penalty(sl, state.presence_speech[:, i - 1],
                                           ch_params[i].repetition_penalty)
             toks.append(sample_from_channel(rngs[i], sl, ch_params[i], prefilter))
+
         return jnp.stack(toks, axis=-1)      # (B, C)
 
     def body(params, state: DecodeState) -> DecodeState:
@@ -207,6 +210,13 @@ class GenerationEngine:
     def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
                  bucket: int = 128, cache_dtype=jnp.bfloat16):
         self.cfg = cfg
+        # store weights in the compute dtype once — the decode step is
+        # weight-bandwidth-bound, so fp32 storage would halve throughput
+        target = jnp.dtype(cfg.dtype)
+        if target != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(target)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
         self.params = params
         self.sampling = sampling or SamplingConfig.default(cfg.channels)
         self.model = AsteroidLM(cfg)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..core.config import LMConfig
 from ..ops.attention import causal_mask, gqa_attention
+from ..ops.pallas_attention import flash_decode, flash_prefill
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -69,17 +70,27 @@ class Qwen3Block(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        use_pallas = c.attn_impl == "pallas"
+        scale = D ** -0.5
         if cache_k.shape[1] > 0:       # decode/prefill path: write into cache
             cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
                                                    (0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
                                                    (0, cache_pos, 0, 0))
-            k_all, v_all = cache_k, cache_v
+            if use_pallas and T == 1:
+                # mask (B, 1, S): causal+validity collapses to a key mask
+                attn = flash_decode(q, cache_k.astype(dtype),
+                                    cache_v.astype(dtype), mask[:, 0],
+                                    scale, interpret=c.pallas_interpret)
+            elif use_pallas:
+                # prefill: queries only see keys < T, i.e. the current k/v
+                attn = flash_prefill(q, k, v, mask[:, T - 1, :T], scale,
+                                     interpret=c.pallas_interpret)
+            else:
+                attn = gqa_attention(q, cache_k.astype(dtype),
+                                     cache_v.astype(dtype), mask, scale)
         else:                          # training path: attend over current tokens
-            k_all, v_all = k, v
-
-        attn = gqa_attention(q, k_all.astype(dtype), v_all.astype(dtype),
-                             mask, scale=D ** -0.5)
+            attn = gqa_attention(q, k, v, mask, scale)
         attn = attn.reshape(B, T, H * D)
         x = x + nn.Dense(c.hidden_size, use_bias=False, dtype=dtype, name="o_proj")(attn)
 
@@ -176,10 +187,16 @@ class AsteroidLM(nn.Module):
 
     def logits_all(self, hidden: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """hidden (..., hidden) -> (text_logits (..., vocab),
-        speech_logits (..., C-1, speech_vocab)). fp32 outputs."""
-        h = hidden.astype(jnp.float32)
-        t = h @ self.embed_text.T.astype(jnp.float32)
-        s = jnp.einsum("...d,cvd->...cv", h, self.embed_speech.astype(jnp.float32))
+        speech_logits (..., C-1, speech_vocab)). fp32 outputs.
+
+        Matmuls run in the params' native dtype (bf16 on the inference path)
+        with fp32 MXU accumulation — no fp32 weight materialization per step.
+        """
+        h = hidden.astype(self.embed_text.dtype)
+        t = jnp.einsum("...d,vd->...v", h, self.embed_text,
+                       preferred_element_type=jnp.float32)
+        s = jnp.einsum("...d,cvd->...cv", h, self.embed_speech,
+                       preferred_element_type=jnp.float32)
         return t, s
 
     def __call__(self, input_ids: jnp.ndarray,

@@ -1,0 +1,208 @@
+"""Pallas TPU flash-attention kernels for the LLM path.
+
+Replaces the reference's flash-attn-2 CUDA kernels (reference inference.py:29,
+generation_utils.py:18) with TPU-native blockwise attention:
+
+  * ``flash_prefill`` — causal GQA attention over the full prompt: online
+    softmax over key blocks, causal blocks skipped, key-validity mask for
+    left-padded batches.
+  * ``flash_decode``  — single-query attention against the static KV cache:
+    grid iterates key blocks sequentially per (batch, kv-head), accumulating
+    (max, denom, numerator) in VMEM scratch; all G grouped q-heads share one
+    k/v block read.
+
+Both kernels compute softmax in fp32 and return q.dtype. ``interpret=True``
+paths make them testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Decode: q_len == 1 against a (B, S, Hkv, D) cache
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref,
+                   *, scale: float, seq_len: int, block_k: int):
+    s = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)                # (G, D)
+    k = k_ref[0, 0].astype(jnp.float32)                # (Bk, D)
+    v = v_ref[0, 0].astype(jnp.float32)                # (Bk, D)
+    valid = valid_ref[0]                               # (Bk,) bool/int32
+
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    in_bounds = kpos[0] < seq_len                       # ragged final block
+    scores = jnp.where((valid[None, :] != 0) & in_bounds[None, :], scores,
+                       NEG_INF)                          # (G, Bk)
+
+    m_prev = m_ref[:]                                  # (G, 1)
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)    # (G, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                    # (G, 1)
+    p = jnp.exp(scores - m_new)                        # (G, Bk)
+    l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc_ref[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+    acc_ref[:] = acc_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 key_valid: jnp.ndarray, scale: float,
+                 block_k: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """q (B, 1, H, D); k/v cache (B, S, Hkv, D); key_valid (B, S) bool.
+
+    Returns (B, 1, H, D)."""
+    B, _, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    bk = min(block_k, S)
+    n_s = -(-S // bk)                                   # ceil; ragged tail masked
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)                 # (B, Hkv, G, D)
+    kt = jnp.moveaxis(k, 2, 1)                         # (B, Hkv, S, D)
+    vt = jnp.moveaxis(v, 2, 1)
+    validi = key_valid.astype(jnp.int32)
+
+    grid = (B, Hkv, n_s)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale, seq_len=S, block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
+            pl.BlockSpec((1, bk), lambda b, h, s: (b, s)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qg, kt, vt, validi)
+    return out.reshape(B, 1, H, D)
+
+
+# ---------------------------------------------------------------------------
+# Prefill: causal blockwise attention
+# ---------------------------------------------------------------------------
+
+def _prefill_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref,
+                    *, scale: float, block_q: int, block_k: int):
+    i = pl.program_id(2)       # q block
+    s = pl.program_id(3)       # k block
+    n_s = pl.num_programs(3)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # causal block skip: key block strictly after the q block contributes nothing
+    @pl.when(s * block_k <= i * block_q + block_q - 1)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)            # (Bq, D)
+        k = k_ref[0, 0].astype(jnp.float32)            # (Bk, D)
+        v = v_ref[0, 0].astype(jnp.float32)
+        valid = valid_ref[0]                           # (Bk,)
+
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (block_q, block_k), 0)
+        kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (block_q, block_k), 1)
+        mask = (kpos <= qpos) & (valid[None, :] != 0)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(p, v,
+                                                  preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  key_valid: jnp.ndarray, scale: float,
+                  block_q: int = 256, block_k: int = 256,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Causal GQA prefill attention.
+
+    q (B, T, H, D); k/v (B, T, Hkv, D) (same T — prefill writes cache slots
+    [0, T)); key_valid (B, T). Returns (B, T, H, D)."""
+    B, T, H, D = q.shape
+    Hkv = k.shape[2]
+    G = H // Hkv
+    bq = min(block_q, T)
+    bk = min(block_k, T)
+    if T % bq or T % bk:
+        pad_to = max(bq, bk)
+        Tp = -(-T // pad_to) * pad_to
+        q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+        key_valid = jnp.pad(key_valid, ((0, 0), (0, Tp - T)))
+        out = flash_prefill(q, k, v, key_valid, scale, bq, bk, interpret)
+        return out[:, :T]
+
+    qh = jnp.moveaxis(q, 2, 1)                          # (B, H, T, D)
+    kt = jnp.moveaxis(k, 2, 1)                          # (B, Hkv, T, D)
+    vt = jnp.moveaxis(v, 2, 1)
+    validi = key_valid.astype(jnp.int32)
+    n_q = q.shape[1] // bq
+    n_s = k.shape[1] // bk
+
+    grid = (B, H, n_q, n_s)
+    out = pl.pallas_call(
+        functools.partial(_prefill_kernel, scale=scale, block_q=bq, block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, s: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, s: (b, h // G, s, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, s: (b, h // G, s, 0)),
+            pl.BlockSpec((1, bk), lambda b, h, i, s: (b, s)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, s: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kt, vt, validi)
+    return jnp.moveaxis(out, 1, 2)                      # (B, T, H, D)

@@ -65,15 +65,22 @@ def top_p_mask_sorted(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
 
 
 def sample_from_channel(rng: jax.Array, logits: jnp.ndarray, p: ChannelParams,
-                        prefilter_k: int = 128) -> jnp.ndarray:
+                        prefilter_k: int = 128,
+                        approx_topk: bool = False) -> jnp.ndarray:
     """One channel's sampling step. logits (B, V) fp32 -> token ids (B,).
 
     Pipeline: top-K prefilter (sorted) -> temperature -> top-p -> categorical
     or argmax. The caller applies repetition penalty and any hard masks first.
+    approx_topk uses the TPU-optimized approx_max_k (recall ~0.95+ on the big
+    text vocab) instead of an exact full-vocab selection.
     """
     V = logits.shape[-1]
     K = min(p.top_k if p.top_k > 0 else prefilter_k, V)
-    vals, idx = jax.lax.top_k(logits, K)                # descending (B, K)
+    if approx_topk and V > 4096:
+        vals, idx = jax.lax.approx_max_k(logits, K, recall_target=0.95,
+                                         aggregate_to_topk=True)
+    else:
+        vals, idx = jax.lax.top_k(logits, K)            # descending (B, K)
     if p.temperature != 1.0:
         vals = vals / p.temperature
     if p.top_p < 1.0:
