@@ -20,7 +20,17 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the full-size codec takes minutes to compile
+    # cold; warm runs (e.g. the driver's bench pass) skip straight to execution
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, CodecConfig,
                                            LMConfig, SamplingConfig)

@@ -65,9 +65,13 @@ class LMConfig:
     dtype: str = "bfloat16"           # activation/compute dtype
     param_dtype: str = "float32"      # parameter storage dtype
 
-    # attention implementation: "xla" (einsum, fused by XLA) or "pallas"
-    # (blockwise flash kernels, ops/pallas_attention.py)
-    attn_impl: str = "xla"
+    # attention implementation: "xla" (einsum, fused by XLA), "pallas"
+    # (blockwise flash kernels for both prefill and decode,
+    # ops/pallas_attention.py), or "mixed" (pallas flash prefill + XLA
+    # decode — fastest measured combination on v5e: the flash kernel's
+    # causal block skipping wins on prefill, while XLA's fusion wins on
+    # the tiny single-query decode step)
+    attn_impl: str = "mixed"
     pallas_interpret: bool = False    # interpreter mode (CPU testing)
 
     @property

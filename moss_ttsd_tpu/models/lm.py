@@ -70,19 +70,23 @@ class Qwen3Block(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        use_pallas = c.attn_impl == "pallas"
+        # pallas kernels only lower on TPU; elsewhere fall back to the XLA
+        # path unless interpret mode is explicitly requested (CPU tests)
+        pallas_ok = jax.default_backend() == "tpu" or c.pallas_interpret
+        pallas_decode = c.attn_impl == "pallas" and pallas_ok
+        pallas_prefill = c.attn_impl in ("pallas", "mixed") and pallas_ok
         scale = D ** -0.5
         if cache_k.shape[1] > 0:       # decode/prefill path: write into cache
             cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
                                                    (0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
                                                    (0, cache_pos, 0, 0))
-            if use_pallas and T == 1:
+            if pallas_decode and T == 1:
                 # mask (B, 1, S): causal+validity collapses to a key mask
                 attn = flash_decode(q, cache_k.astype(dtype),
                                     cache_v.astype(dtype), mask[:, 0],
                                     scale, interpret=c.pallas_interpret)
-            elif use_pallas:
+            elif pallas_prefill and T > 1:
                 # prefill: queries only see keys < T, i.e. the current k/v
                 attn = flash_prefill(q, k, v, mask[:, T - 1, :T], scale,
                                      interpret=c.pallas_interpret)

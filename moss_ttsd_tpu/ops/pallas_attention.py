@@ -45,7 +45,7 @@ def _decode_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref,
     q = q_ref[0, 0].astype(jnp.float32)                # (G, D)
     k = k_ref[0, 0].astype(jnp.float32)                # (Bk, D)
     v = v_ref[0, 0].astype(jnp.float32)                # (Bk, D)
-    valid = valid_ref[0]                               # (Bk,) bool/int32
+    valid = valid_ref[0, 0]                            # (Bk,) int32
 
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
@@ -85,7 +85,8 @@ def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qg = q[:, 0].reshape(B, Hkv, G, D)                 # (B, Hkv, G, D)
     kt = jnp.moveaxis(k, 2, 1)                         # (B, Hkv, S, D)
     vt = jnp.moveaxis(v, 2, 1)
-    validi = key_valid.astype(jnp.int32)
+    # (B, 1, S): TPU block shapes need the 2nd-to-last dim to equal the array's
+    validi = key_valid.astype(jnp.int32)[:, None, :]
 
     grid = (B, Hkv, n_s)
     out = pl.pallas_call(
@@ -95,7 +96,7 @@ def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
-            pl.BlockSpec((1, bk), lambda b, h, s: (b, s)),
+            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b, 0, s)),
         ],
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
@@ -131,7 +132,7 @@ def _prefill_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref
         q = q_ref[0, 0].astype(jnp.float32)            # (Bq, D)
         k = k_ref[0, 0].astype(jnp.float32)            # (Bk, D)
         v = v_ref[0, 0].astype(jnp.float32)
-        valid = valid_ref[0]                           # (Bk,)
+        valid = valid_ref[0, 0]                        # (Bk,)
 
         scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
@@ -182,7 +183,7 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qh = jnp.moveaxis(q, 2, 1)                          # (B, H, T, D)
     kt = jnp.moveaxis(k, 2, 1)                          # (B, Hkv, T, D)
     vt = jnp.moveaxis(v, 2, 1)
-    validi = key_valid.astype(jnp.int32)
+    validi = key_valid.astype(jnp.int32)[:, None, :]    # (B, 1, T)
     n_q = q.shape[1] // bq
     n_s = k.shape[1] // bk
 
@@ -194,7 +195,7 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, s: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, i, s: (b, h // G, s, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, i, s: (b, h // G, s, 0)),
-            pl.BlockSpec((1, bk), lambda b, h, i, s: (b, s)),
+            pl.BlockSpec((1, 1, bk), lambda b, h, i, s: (b, 0, s)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, s: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
