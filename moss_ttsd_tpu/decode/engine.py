@@ -166,9 +166,10 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             presence_text=presence_text, presence_speech=presence_speech,
             rng=rng)
 
-    def generate(params, tokens_full, attn_mask, rng):
+    def prefill(params, tokens_full, attn_mask, rng) -> DecodeState:
         """tokens_full: (B, L, C) shifted prompt (bucketed, left-padded);
-        attn_mask: (B, L) 1=real. Returns (tokens (B, S, C), steps)."""
+        attn_mask: (B, L) 1=real. Runs the prompt forward and returns the
+        ready-to-decode state."""
         B = tokens_full.shape[0]
         buf = jnp.zeros((B, S, C), tokens_full.dtype)
         buf = buf.at[:, :L].set(tokens_full)
@@ -183,7 +184,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             params, buf[:, :base], positions, key_valid, cache, 0,
             method=AsteroidLM.backbone)
 
-        state = DecodeState(
+        return DecodeState(
             step=jnp.int32(0), tokens=buf, cache_k=cache["k"],
             cache_v=cache["v"], key_valid=key_valid,
             hidden_last=hidden[:, -1:], last_pos=positions[:, -1],
@@ -195,13 +196,21 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
                     buf[:, :base, 1:], cfg.speech_vocab_size), 0, 1),
             rng=rng)
 
-        state = jax.lax.while_loop(
-            lambda st: (st.step < max_steps) & jnp.any(st.unfinished),
+    def run(params, state: DecodeState, upto) -> DecodeState:
+        """Decode until step == upto or every row finished (jit-friendly:
+        upto is a traced scalar so one compiled program serves all segment
+        boundaries)."""
+        return jax.lax.while_loop(
+            lambda st: (st.step < upto) & jnp.any(st.unfinished),
             lambda st: body(params, st),
             state)
+
+    def generate(params, tokens_full, attn_mask, rng):
+        state = run(params, prefill(params, tokens_full, attn_mask, rng),
+                    jnp.int32(max_steps))
         return state.tokens, state.step
 
-    return generate
+    return generate, prefill, run
 
 
 class GenerationEngine:
@@ -224,25 +233,22 @@ class GenerationEngine:
         self.cache_dtype = cache_dtype
         self._compiled = {}
 
-    def _get_fn(self, base: int, max_steps: int):
+    def _get_fns(self, base: int, max_steps: int):
         key = (base, max_steps)
         if key not in self._compiled:
-            fn = _build_generate_fn(self.model, self.cfg, self.sampling,
-                                    base, max_steps, self.cache_dtype)
-            self._compiled[key] = jax.jit(fn)
+            gen, prefill, run = _build_generate_fn(
+                self.model, self.cfg, self.sampling, base, max_steps,
+                self.cache_dtype)
+            self._compiled[key] = (jax.jit(gen), jax.jit(prefill), jax.jit(run))
         return self._compiled[key]
 
-    def generate(self, input_ids: np.ndarray, attention_mask: np.ndarray,
-                 max_new_tokens: Optional[int] = None, seed: int = 0) -> GenerateResult:
-        """input_ids: (B, L, C) delay-shifted prompt, left-padded;
-        attention_mask: (B, L). Mirrors reference model.generate()
-        (generation_utils.py:406-409) with jitted execution.
-        """
+    def _get_fn(self, base: int, max_steps: int):
+        return self._get_fns(base, max_steps)[0]
+
+    def _bucket_prompt(self, input_ids: np.ndarray, attention_mask: np.ndarray):
+        """Left-pad the prompt to a bucket multiple; returns (ids, mask, base)."""
         C = self.cfg.channels
         B, L, _ = input_ids.shape
-        max_steps = max_new_tokens or self.sampling.max_new_tokens
-
-        # bucket prompt length: extra left-padding is masked out
         L_b = max(self.bucket, -(-L // self.bucket) * self.bucket)
         pad = L_b - L
         if pad:
@@ -251,9 +257,19 @@ class GenerationEngine:
             pad_ids[..., 1:] = self.cfg.speech_pad_token
             input_ids = np.concatenate([pad_ids, input_ids], axis=1)
             attention_mask = np.concatenate(
-                [np.zeros((B, pad), attention_mask.dtype), attention_mask], axis=1)
+                [np.zeros((B, pad), attention_mask.dtype), attention_mask],
+                axis=1)
+        return input_ids, attention_mask, L_b - C + 1
 
-        base = L_b - C + 1
+    def generate(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+                 max_new_tokens: Optional[int] = None, seed: int = 0) -> GenerateResult:
+        """input_ids: (B, L, C) delay-shifted prompt, left-padded;
+        attention_mask: (B, L). Mirrors reference model.generate()
+        (generation_utils.py:406-409) with jitted execution.
+        """
+        max_steps = max_new_tokens or self.sampling.max_new_tokens
+        input_ids, attention_mask, base = self._bucket_prompt(input_ids,
+                                                              attention_mask)
         fn = self._get_fn(base, max_steps)
         tokens, steps = fn(self.params, jnp.asarray(input_ids),
                            jnp.asarray(attention_mask),
@@ -261,3 +277,34 @@ class GenerationEngine:
         steps = int(steps)
         return GenerateResult(tokens=np.asarray(tokens[:, :base + steps]),
                               steps=steps, base=base)
+
+    def generate_stream(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+                        max_new_tokens: Optional[int] = None, seed: int = 0,
+                        chunk_steps: int = 25):
+        """Incremental generation: yields GenerateResult after every
+        ``chunk_steps`` decode steps (25 steps = 2 s of audio @12.5 Hz).
+
+        Each yielded result contains ALL rows generated so far, so callers can
+        un-shift and vocode any suffix they haven't consumed yet. The loop
+        runs as compiled segments over a carried DecodeState — same program,
+        no recompilation per segment. The reference exposes (but never wires
+        up) an HF streamer for this path (reference modeling_asteroid.py:
+        161-162; SURVEY §3.4).
+        """
+        max_steps = max_new_tokens or self.sampling.max_new_tokens
+        input_ids, attention_mask, base = self._bucket_prompt(input_ids,
+                                                              attention_mask)
+        _, prefill, run = self._get_fns(base, max_steps)
+        state = prefill(self.params, jnp.asarray(input_ids),
+                        jnp.asarray(attention_mask), jax.random.PRNGKey(seed))
+        done = 0
+        while done < max_steps:
+            upto = min(done + chunk_steps, max_steps)
+            state = run(self.params, state, jnp.int32(upto))
+            steps = int(state.step)
+            yield GenerateResult(
+                tokens=np.asarray(state.tokens[:, :base + steps]),
+                steps=steps, base=base)
+            if steps < upto or not bool(np.any(np.asarray(state.unfinished))):
+                break
+            done = steps

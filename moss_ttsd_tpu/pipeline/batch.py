@@ -153,3 +153,42 @@ class TTSPipeline:
                 "index": start_idx + i,
             })
         return texts_data, audio_results
+
+    def stream_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
+                    use_normalize: bool = False,
+                    max_new_tokens: Optional[int] = None, seed: int = 0,
+                    chunk_steps: int = 25, context_frames: int = 25):
+        """Streaming synthesis of ONE item: yields (audio_chunk (T,) float32,
+        sample_rate) as generation progresses (~``chunk_steps``/12.5 s of new
+        audio per yield, first chunk after prefill + one segment).
+
+        The vocoder is re-run over a sliding window with ``context_frames`` of
+        left context so chunk boundaries see real receptive field; only the
+        new samples are emitted. Capability the reference lacks end-to-end
+        (its Gradio path returns whole files — SURVEY §3.4).
+        """
+        shifted, _ = self.prepare_item(item, system_prompt, use_normalize)
+        batch, mask = pp.left_pad_batch([shifted], self.tokenizer.pad_token_id,
+                                        self.lm_cfg.speech_pad_token)
+        up = self.spt.cfg.decoder_upsample_rate      # samples per frame @24k
+        emitted_frames = 0
+        for result in self.engine.generate_stream(batch, mask, max_new_tokens,
+                                                  seed=seed,
+                                                  chunk_steps=chunk_steps):
+            speech_ids = pp.unshift_outputs(result.tokens, result.base,
+                                            self.lm_cfg.channels,
+                                            self.lm_cfg.speech_token_range[0])
+            end = int(pp.find_max_valid_positions(
+                speech_ids, self.lm_cfg.speech_pad_token)[0]) + 1
+            if end <= emitted_frames:
+                continue
+            start = max(0, emitted_frames - context_frames)
+            codes = speech_ids[0, start:end].T.astype(np.int32)
+            codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
+            t0 = time.perf_counter()
+            wav = self.spt.decode([codes], overlap_seconds=10)["syn_wav_list"][0]
+            self.timings.vocode_s += time.perf_counter() - t0
+            new = np.asarray(wav, np.float32)[(emitted_frames - start) * up:]
+            emitted_frames = end
+            if new.size:
+                yield new, self.spt.output_sample_rate

@@ -95,6 +95,32 @@ def synthesize_role(text: str,
     return (res["sample_rate"], (wav * 32767).astype(np.int16)), status
 
 
+def synthesize_single_stream(text: str, prompt_text: str,
+                             prompt_audio_path: Optional[str],
+                             use_normalize: bool = True, seed: int = 0,
+                             loader=None):
+    """Streaming variant of synthesize_single: yields ((sr, int16 chunk),
+    status) as generation progresses — a generator the gradio Audio component
+    consumes with streaming=True. Goes beyond the reference, whose streamer
+    hook exists but is never wired to a caller (reference
+    modeling_asteroid.py:161-162; SURVEY §3.4)."""
+    pipe = get_pipeline(loader)
+    item = {"text": text}
+    if prompt_audio_path:
+        item["prompt_audio"] = prompt_audio_path
+        item["prompt_text"] = prompt_text or ""
+    total = 0.0
+    got = False
+    for chunk, sr in pipe.stream_item(item, use_normalize=use_normalize,
+                                      seed=seed):
+        got = True
+        total += len(chunk) / sr
+        wav = np.clip(chunk, -1, 1)
+        yield (sr, (wav * 32767).astype(np.int16)), f"Streaming… {total:.1f}s"
+    if not got:
+        yield None, "Generation produced no valid speech tokens."
+
+
 def create_gradio_interface(loader=None, examples_jsonl: Optional[str] = None):
     """Build the Blocks app (reference create_gradio_interface,
     gradio_demo.py:278-528). Requires gradio."""
@@ -117,13 +143,22 @@ def create_gradio_interface(loader=None, examples_jsonl: Optional[str] = None):
                 paudio1 = gr.Audio(label="Prompt audio / 参考音频", type="filepath")
                 norm1 = gr.Checkbox(label="Normalize text / 文本规整", value=True)
                 seed1 = gr.Number(label="Seed", value=0, precision=0)
+                stream1 = gr.Checkbox(label="Stream audio / 流式输出", value=False)
                 btn1 = gr.Button("Generate / 生成", variant="primary")
-                out1 = gr.Audio(label="Output / 合成结果")
+                out1 = gr.Audio(label="Output / 合成结果", streaming=True,
+                                autoplay=True)
                 status1 = gr.Textbox(label="Status / 状态", interactive=False)
-                btn1.click(
-                    lambda t, pt, pa, n, s: synthesize_single(
-                        t, pt, pa, n, int(s), loader),
-                    [text1, ptext1, paudio1, norm1, seed1], [out1, status1])
+
+                def _single(t, pt, pa, n, s, stream):
+                    if stream:
+                        yield from synthesize_single_stream(t, pt, pa, n,
+                                                            int(s), loader)
+                    else:
+                        yield synthesize_single(t, pt, pa, n, int(s), loader)
+
+                btn1.click(_single,
+                           [text1, ptext1, paudio1, norm1, seed1, stream1],
+                           [out1, status1])
             with gr.Tab("Role (per-speaker prompts) / 角色模式"):
                 text2 = gr.Textbox(label="Dialogue script / 对话文本", lines=6)
                 with gr.Row():
