@@ -214,10 +214,17 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
 
 
 class GenerationEngine:
-    """Holds compiled generate programs per (batch, prompt-bucket, max_steps)."""
+    """Holds compiled generate programs per (batch, prompt-bucket, max_steps).
+
+    Pass a ("data", "model") ``mesh`` (parallel.mesh.make_mesh) for multi-chip
+    serving: weights are tensor-parallel-sharded over the "model" axis (the
+    reference's latent `_tp_plan` hints, modeling_asteroid.py:290-291), the
+    batch is data-parallel over "data", and XLA inserts the ICI collectives.
+    Batch size must be divisible by the data-axis size.
+    """
 
     def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
-                 bucket: int = 128, cache_dtype=jnp.bfloat16):
+                 bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None):
         self.cfg = cfg
         # store weights in the compute dtype once — the decode step is
         # weight-bandwidth-bound, so fp32 storage would halve throughput
@@ -226,6 +233,19 @@ class GenerationEngine:
             params = jax.tree.map(
                 lambda x: x.astype(target)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+        self.mesh = mesh
+        self._param_shardings = None
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import lm_param_specs
+            specs = lm_param_specs(params, model_size=mesh.shape["model"])
+            self._param_shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P))
+            params = jax.tree.map(jax.device_put, params, self._param_shardings)
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            self._repl_sharding = NamedSharding(mesh, P())
         self.params = params
         self.sampling = sampling or SamplingConfig.default(cfg.channels)
         self.model = AsteroidLM(cfg)
@@ -239,7 +259,16 @@ class GenerationEngine:
             gen, prefill, run = _build_generate_fn(
                 self.model, self.cfg, self.sampling, base, max_steps,
                 self.cache_dtype)
-            self._compiled[key] = (jax.jit(gen), jax.jit(prefill), jax.jit(run))
+            if self.mesh is not None:
+                io_sh = (self._param_shardings, self._data_sharding,
+                         self._data_sharding, self._repl_sharding)
+                gen = jax.jit(gen, in_shardings=io_sh)
+                prefill = jax.jit(prefill, in_shardings=io_sh)
+                run = jax.jit(run, in_shardings=(self._param_shardings,
+                                                 None, None))
+            else:
+                gen, prefill, run = jax.jit(gen), jax.jit(prefill), jax.jit(run)
+            self._compiled[key] = (gen, prefill, run)
         return self._compiled[key]
 
     def _get_fn(self, base: int, max_steps: int):

@@ -31,7 +31,7 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
-def lm_param_specs(params: dict) -> dict:
+def lm_param_specs(params: dict, model_size: Optional[int] = None) -> dict:
     """PartitionSpecs for AsteroidLM params (tensor parallel over "model").
 
     Layout (stacked-layer scan params have a leading layer axis L):
@@ -41,20 +41,29 @@ def lm_param_specs(params: dict) -> dict:
       * embed_text (vocab, hidden)           -> shard vocab (the tied lm_head
         becomes colwise on vocab, matching the reference's colwise_rep hint)
       * norms replicated
+
+    When ``model_size`` (the "model" mesh-axis size) is given, any spec whose
+    sharded dimension isn't divisible by it degrades to replicated — e.g. the
+    odd 1025-entry speech vocab stays replicated (it's ~30 MB, negligible).
     """
     def spec_for(path: tuple, x) -> P:
         name = "/".join(str(p) for p in path)
+        spec = P()
         if "q_proj" in name or "k_proj" in name or "v_proj" in name:
-            return P(None, None, "model")
-        if "o_proj" in name or "down_proj" in name:
-            return P(None, "model", None)
-        if "gate_proj" in name or "up_proj" in name:
-            return P(None, None, "model")
-        if "embed_text" in name:
-            return P("model", None)
-        if "embed_speech" in name:
-            return P(None, "model", None)
-        return P()   # norms, biases
+            spec = P(None, None, "model")
+        elif "o_proj" in name or "down_proj" in name:
+            spec = P(None, "model", None)
+        elif "gate_proj" in name or "up_proj" in name:
+            spec = P(None, None, "model")
+        elif "embed_text" in name:
+            spec = P("model", None)
+        elif "embed_speech" in name:
+            spec = P(None, "model", None)
+        if model_size is not None:
+            for dim, ax in enumerate(spec):
+                if ax == "model" and x.shape[dim] % model_size != 0:
+                    return P()
+        return spec
 
     return jax.tree_util.tree_map_with_path(
         lambda path, x: spec_for(tuple(k.key for k in path), x), params)
