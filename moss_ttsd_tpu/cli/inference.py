@@ -66,6 +66,10 @@ def main(argv=None):
                         help="run with tiny random models (smoke test)")
     parser.add_argument("--platform", choices=["default", "cpu"], default="default",
                         help="force a JAX platform (cpu = 8 virtual devices)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of the batch into this dir")
+    parser.add_argument("--profiler_port", type=int, default=None,
+                        help="start a live jax.profiler server on this port")
     args = parser.parse_args(argv)
 
     if args.platform == "cpu":
@@ -87,9 +91,19 @@ def main(argv=None):
         items = [json.loads(line) for line in f if line.strip()]
     print(f"Loaded {len(items)} items from {args.jsonl}")
 
-    texts_data, audio_results = pipe.process_batch(
-        items, use_normalize=args.use_normalize,
-        max_new_tokens=args.max_new_tokens, seed=args.seed or 0)
+    from ..utils import profiling
+    if args.profiler_port:
+        profiling.start_profiler_server(args.profiler_port)
+        print(f"jax.profiler server on :{args.profiler_port}")
+    import contextlib
+    prof = (profiling.trace(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
+    with prof:
+        texts_data, audio_results = pipe.process_batch(
+            items, use_normalize=args.use_normalize,
+            max_new_tokens=args.max_new_tokens, seed=args.seed or 0)
+    if args.profile_dir:
+        print(f"Saved profiler trace to {args.profile_dir}")
 
     if args.summary_file:
         with open(args.summary_file, "w", encoding="utf-8") as f:

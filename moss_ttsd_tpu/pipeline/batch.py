@@ -20,6 +20,7 @@ from ..models.codec.model import XYTokenizer
 from . import prompt as pp
 from .jsonl import load_audio_data, process_jsonl_item
 from .text import normalize_text, rewrite_speaker_tags
+from ..utils.profiling import metrics
 
 SYSTEM_PROMPT = ("You are a speech synthesizer that generates natural, "
                  "realistic, and human-like conversational audio from dialogue "
@@ -92,7 +93,9 @@ class TTSPipeline:
             wav = load_audio_data(processed["prompt_audio"])
             codes = self.spt.encode([wav])["codes_list"][0]     # (nq, T)
             audio_codes = np.asarray(codes).T                   # (T, nq)
-            self.timings.tokenize_s += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.timings.tokenize_s += dt
+            metrics.add("tokenize_s", dt)
 
         ids = pp.build_prompt_ids(self.tokenizer, system_prompt, final_text,
                                   audio_codes, channels=self.lm_cfg.channels,
@@ -125,8 +128,11 @@ class TTSPipeline:
                                         self.lm_cfg.speech_pad_token)
         t0 = time.perf_counter()
         result = self.engine.generate(batch, mask, max_new_tokens, seed=seed)
-        self.timings.prefill_decode_s += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.timings.prefill_decode_s += dt
         self.timings.generated_steps += result.steps
+        metrics.add("prefill_decode_s", dt)
+        metrics.add("generated_steps", result.steps)
 
         speech_ids = pp.unshift_outputs(result.tokens, result.base,
                                         self.lm_cfg.channels,
@@ -146,7 +152,9 @@ class TTSPipeline:
             codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
             t0 = time.perf_counter()
             wav = self.spt.decode([codes], overlap_seconds=10)["syn_wav_list"][0]
-            self.timings.vocode_s += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.timings.vocode_s += dt
+            metrics.add("vocode_s", dt)
             audio_results.append({
                 "audio_data": np.asarray(wav, np.float32)[None, :],
                 "sample_rate": self.spt.output_sample_rate,
@@ -187,7 +195,9 @@ class TTSPipeline:
             codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
             t0 = time.perf_counter()
             wav = self.spt.decode([codes], overlap_seconds=10)["syn_wav_list"][0]
-            self.timings.vocode_s += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.timings.vocode_s += dt
+            metrics.add("vocode_s", dt)
             new = np.asarray(wav, np.float32)[(emitted_frames - start) * up:]
             emitted_frames = end
             if new.size:

@@ -1,0 +1,55 @@
+"""Profiling/metrics/sanitizer utilities."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moss_ttsd_tpu.utils.profiling import Metrics, assert_finite, metrics, sanitize, trace
+
+
+def test_metrics_counters_and_timers():
+    m = Metrics()
+    m.add("x", 2)
+    m.add("x", 3)
+    with m.timer("phase"):
+        pass
+    snap = m.snapshot()
+    assert snap["x"] == 5
+    assert snap["phase_calls"] == 1
+    assert snap["phase_s"] >= 0
+    m.reset()
+    assert m.snapshot() == {}
+
+
+def test_global_metrics_updated_by_pipeline_helpers():
+    metrics.reset()
+    metrics.add("generated_steps", 7)
+    assert metrics.get("generated_steps") == 7
+
+
+def test_sanitize_removes_nan_inf():
+    x = jnp.asarray([1.0, np.nan, np.inf, -np.inf])
+    y = np.asarray(sanitize(x))
+    assert np.isfinite(y).all()
+    assert y[0] == 1.0
+
+
+def test_assert_finite_raises_under_jit():
+    @jax.jit
+    def f(x):
+        return assert_finite(x, "x") * 2
+
+    np.testing.assert_allclose(np.asarray(f(jnp.ones(4))), 2.0)
+    # the runtime wraps the callback's FloatingPointError
+    with pytest.raises(Exception, match="non-finite values in x"):
+        f(jnp.asarray([1.0, np.nan]))
+        jax.effects_barrier()
+
+
+def test_trace_writes_files(tmp_path):
+    d = str(tmp_path / "trace")
+    with trace(d):
+        jnp.dot(jnp.ones((64, 64)), jnp.ones((64, 64))).block_until_ready()
+    import os
+    found = [f for _, _, fs in os.walk(d) for f in fs]
+    assert found, "profiler trace produced no files"
