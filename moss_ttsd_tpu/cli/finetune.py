@@ -29,6 +29,12 @@ def main(argv=None):
                         help="tiny random model (smoke test)")
     parser.add_argument("--platform", choices=["default", "cpu"], default="default")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--save_steps", type=int, default=None,
+                        help="Orbax-checkpoint the train state every N steps "
+                             "(default: training_config save_steps, else off)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in "
+                             "<output_dir>/checkpoints (preemption recovery)")
     args = parser.parse_args(argv)
 
     if args.platform == "cpu":
@@ -40,7 +46,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import yaml
-    from ..core.checkpoint import save_pytree
+    from ..core.checkpoint import (latest_step, restore_train_state,
+                                   save_pytree, save_train_state)
     from ..core.config import LMConfig
     from ..models.lm import AsteroidLM
     from ..train.data import TrainingDataset, collate
@@ -101,28 +108,46 @@ def main(argv=None):
         step_fn = jax.jit(make_train_step(cfg, optimizer))
 
     os.makedirs(args.output_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    save_every = args.save_steps if args.save_steps is not None else int(
+        tc.get("save_steps", 0))
     log_every = int(tc.get("logging_steps", 10))
-    rng = np.random.default_rng(0)
-    order = rng.permutation(len(dataset))
-    step = 0
+
+    start_step = 0
+    if args.resume:
+        last = latest_step(ckpt_dir)
+        if last is not None:
+            state = restore_train_state(ckpt_dir, last, state)
+            start_step = last
+            print(f"resumed from {ckpt_dir}/step_{last}")
+
+    def batch_indices(step: int) -> np.ndarray:
+        """Deterministic per-epoch shuffles so resume replays the same data
+        order the interrupted run would have seen."""
+        epoch_i, bi = divmod(step, steps_per_epoch)
+        order = np.random.default_rng(epoch_i).permutation(len(dataset))
+        idx = order[(bi * batch_size) % len(dataset):][:batch_size]
+        if len(idx) < batch_size:
+            idx = np.concatenate([idx, order[:batch_size - len(idx)]])
+        return idx
+
     t0 = time.perf_counter()
-    for epoch in range(epochs):
-        for bi in range(steps_per_epoch):
-            if step >= total_steps:
-                break
-            idx = order[(bi * batch_size) % len(dataset):][:batch_size]
-            if len(idx) < batch_size:
-                idx = np.concatenate([idx, order[:batch_size - len(idx)]])
-            batch = collate([dataset[i] for i in idx], tokenizer.pad_token_id,
-                            max_length=int(tc.get("max_length", 16000)),
-                            pad_to_multiple=64)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, metrics = step_fn(state, batch)
-            step += 1
-            if step % log_every == 0 or step == total_steps:
-                print(f"step {step}/{total_steps} loss={float(metrics['loss']):.4f} "
-                      f"grad_norm={float(metrics['grad_norm']):.3f} "
-                      f"({(time.perf_counter() - t0) / step:.2f}s/step)")
+    step = start_step
+    for step in range(start_step + 1, total_steps + 1):
+        idx = batch_indices(step - 1)
+        batch = collate([dataset[i] for i in idx], tokenizer.pad_token_id,
+                        max_length=int(tc.get("max_length", 16000)),
+                        pad_to_multiple=64)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+        if step % log_every == 0 or step == total_steps:
+            done = step - start_step
+            print(f"step {step}/{total_steps} loss={float(metrics['loss']):.4f} "
+                  f"grad_norm={float(metrics['grad_norm']):.3f} "
+                  f"({(time.perf_counter() - t0) / max(done, 1):.2f}s/step)")
+        if save_every and (step % save_every == 0 or step == total_steps):
+            save_train_state(ckpt_dir, state, step)
+            print(f"checkpointed step {step} -> {ckpt_dir}")
 
     if args.lora:
         merged = merge_lora(params, state.params, rank=int(lc["r"]),
