@@ -1,0 +1,273 @@
+"""OpenAI-compatible local TTS server with request micro-batching.
+
+The reference ships only a *client* for a hosted endpoint (reference
+use_api.py); this module provides the server side so the same client (and any
+OpenAI SDK) can run against a local TPU:
+
+  POST /v1/audio/speech   {"input": "...", "references": [{"audio": b64 wav,
+                           "text": "..."}], "seed"?, "max_tokens"?}
+                          -> audio/wav bytes
+  GET  /v1/metrics        -> pipeline metrics snapshot (utils.profiling)
+  GET  /health            -> ok
+
+Concurrent requests are micro-batched: a collector thread gathers requests
+for ``batch_window_s`` (or until ``max_batch``) and runs ONE batched
+``process_batch`` call — the jitted engine decodes the whole batch in
+lockstep, so serving throughput scales with batch exactly like bench.py
+measures. Stdlib-only (http.server + threading); no framework dependency.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..utils.profiling import metrics
+from .api_client import wav_bytes_to_array
+
+
+def wav_array_to_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
+    """float32 (T,) -> 16-bit PCM wav bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class _Request:
+    __slots__ = ("item", "max_new_tokens", "seed", "use_normalize", "event",
+                 "wav_bytes", "error")
+
+    def __init__(self, item, max_new_tokens, seed, use_normalize):
+        self.item = item
+        self.max_new_tokens = max_new_tokens
+        self.seed = seed
+        self.use_normalize = use_normalize
+        self.event = threading.Event()
+        self.wav_bytes: Optional[bytes] = None
+        self.error: Optional[str] = None
+
+
+class BatchingWorker:
+    """Collects concurrent requests into one batched generate call."""
+
+    def __init__(self, pipeline, max_batch: int = 8,
+                 batch_window_s: float = 0.05):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self._queue: List[_Request] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: _Request) -> None:
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify()
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    def _take_batch(self) -> List[_Request]:
+        with self._cv:
+            while not self._queue and not self._stop:
+                self._cv.wait()
+            if self._stop and not self._queue:
+                return []
+            # batching window: let more requests arrive
+            self._cv.wait(self.batch_window_s)
+            batch = self._queue[:self.max_batch]
+            del self._queue[:len(batch)]
+            return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                if self._stop:
+                    return
+                continue
+            metrics.add("server_batches", 1)
+            metrics.add("server_batched_requests", len(batch))
+            try:
+                # one jitted batched call for the whole group; seed/normalize
+                # are per-request -> group by (seed, max_tokens, normalize)
+                groups: Dict[tuple, List[_Request]] = {}
+                for r in batch:
+                    groups.setdefault(
+                        (r.seed, r.max_new_tokens, r.use_normalize),
+                        []).append(r)
+                for (seed, mnt, norm), reqs in groups.items():
+                    _, audio = self.pipeline.process_batch(
+                        [r.item for r in reqs], use_normalize=norm,
+                        max_new_tokens=mnt, seed=seed)
+                    for r, res in zip(reqs, audio):
+                        if res is None:
+                            r.error = "generation produced no speech tokens"
+                        else:
+                            r.wav_bytes = wav_array_to_bytes(
+                                res["audio_data"][0], res["sample_rate"])
+                        r.event.set()
+            except Exception as e:                  # noqa: BLE001
+                for r in batch:
+                    if not r.event.is_set():
+                        r.error = f"server error: {e}"
+                        r.event.set()
+
+
+def _references_to_item(text: str, references: List[Dict]) -> dict:
+    """API references -> internal JSONL-item schema (in-memory tuples)."""
+    item: dict = {"text": text}
+    if not references:
+        return item
+    decoded = []
+    for ref in references:
+        wav, sr = wav_bytes_to_array(base64.b64decode(ref["audio"]))
+        decoded.append(((wav[None, :], sr), ref.get("text", "")))
+    if len(decoded) == 1:
+        item["prompt_audio"], item["prompt_text"] = decoded[0]
+    else:
+        item["prompt_audio_speaker1"], item["prompt_text_speaker1"] = decoded[0]
+        item["prompt_audio_speaker2"], item["prompt_text_speaker2"] = decoded[1]
+    return item
+
+
+def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):    # quiet by default
+            pass
+
+        def _json_error(self, code: int, msg: str) -> None:
+            body = json.dumps({"error": {"message": msg}}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+            elif self.path in ("/v1/metrics", "/metrics"):
+                body = metrics.dump_json().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+            else:
+                return self._json_error(404, "not found")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path not in ("/v1/audio/speech", "/audio/speech"):
+                return self._json_error(404, "not found")
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                text = payload["input"]
+            except (KeyError, json.JSONDecodeError) as e:
+                return self._json_error(400, f"bad request: {e}")
+            if payload.get("response_format", "wav") != "wav":
+                return self._json_error(400, "only response_format=wav supported")
+            try:
+                item = _references_to_item(text, payload.get("references", []))
+            except Exception as e:                  # noqa: BLE001
+                return self._json_error(400, f"bad reference audio: {e}")
+
+            max_tokens = payload.get("max_tokens")
+            req = _Request(item, max_tokens, int(payload.get("seed", 0)),
+                           bool(payload.get("normalize", False)))
+            worker.submit(req)
+            if not req.event.wait(request_timeout_s):
+                return self._json_error(504, "generation timed out")
+            if req.error:
+                return self._json_error(500, req.error)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(req.wav_bytes)))
+            self.end_headers()
+            self.wfile.write(req.wav_bytes)
+
+    return Handler
+
+
+class SpeechServer:
+    """Owns the HTTP server + batching worker; start()/stop() for tests."""
+
+    def __init__(self, pipeline, host: str = "0.0.0.0", port: int = 8000,
+                 max_batch: int = 8, batch_window_s: float = 0.05):
+        self.worker = BatchingWorker(pipeline, max_batch, batch_window_s)
+        self.httpd = ThreadingHTTPServer((host, port),
+                                         make_handler(self.worker))
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.worker.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(description="Local OpenAI-compatible TTS server")
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--spt_config", default=None)
+    p.add_argument("--spt_ckpt", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--batch_window_ms", type=float, default=50.0)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random models (smoke test)")
+    args = p.parse_args(argv)
+
+    if args.tiny or not args.model_path:
+        from ..cli.inference import build_tiny_pipeline
+        pipeline = build_tiny_pipeline()
+    else:
+        from ..pipeline.batch import TTSPipeline
+        pipeline = TTSPipeline.load(args.model_path, args.spt_config,
+                                    args.spt_ckpt)
+    server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
+                          args.batch_window_ms / 1000.0)
+    print(f"serving on {args.host}:{server.port} "
+          f"(max_batch={args.max_batch})")
+    server.start()
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -1,0 +1,97 @@
+"""OpenAI-compatible speech server: end-to-end over real HTTP against the
+tiny pipeline, including micro-batching of concurrent requests and the
+reference client (serve.api_client) pointed at the local server."""
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from moss_ttsd_tpu.serve.api_client import SpeechAPIClient, wav_bytes_to_array
+from moss_ttsd_tpu.serve.server import SpeechServer, wav_array_to_bytes
+
+
+@pytest.fixture(scope="module")
+def server():
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    pipe = build_tiny_pipeline()
+    srv = SpeechServer(pipe, host="127.0.0.1", port=0, max_batch=4,
+                       batch_window_s=0.2)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, json.dumps(payload).encode(),
+                                 {"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_health_and_metrics(server):
+    base = f"http://127.0.0.1:{server.port}"
+    assert urllib.request.urlopen(f"{base}/health").read() == b"ok"
+    m = json.loads(urllib.request.urlopen(f"{base}/v1/metrics").read())
+    assert isinstance(m, dict)
+
+
+def test_speech_endpoint_returns_wav(server):
+    base = f"http://127.0.0.1:{server.port}"
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]hi[S2]hello", "max_tokens": 8, "seed": 1})
+    assert r.headers["Content-Type"] == "audio/wav"
+    wav, sr = wav_bytes_to_array(r.read())
+    assert sr == 24000 or sr > 0
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_speech_endpoint_with_reference(server):
+    base = f"http://127.0.0.1:{server.port}"
+    ref = np.sin(np.linspace(0, 440 * 2 * np.pi, 16000)).astype(np.float32) * 0.4
+    ref_b64 = base64.b64encode(wav_array_to_bytes(ref, 16000)).decode()
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]one[S2]two", "max_tokens": 8,
+               "references": [{"audio": ref_b64, "text": "[S1]ref"}]})
+    wav, _ = wav_bytes_to_array(r.read())
+    assert len(wav) > 0
+
+
+def test_concurrent_requests_are_microbatched(server):
+    from moss_ttsd_tpu.utils.profiling import metrics
+    base = f"http://127.0.0.1:{server.port}"
+    metrics.reset()
+    results = [None] * 4
+
+    def work(i):
+        r = _post(f"{base}/v1/audio/speech",
+                  {"input": f"[S1]item {i}[S2]ok", "max_tokens": 8, "seed": 0})
+        results[i] = r.read()
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r and len(r) > 44 for r in results)
+    snap = metrics.snapshot()
+    # 4 concurrent requests must have shared batches (fewer batches than reqs)
+    assert snap.get("server_batched_requests", 0) >= 4
+    assert snap.get("server_batches", 0) < 4
+
+
+def test_reference_client_against_local_server(server):
+    base = f"http://127.0.0.1:{server.port}/v1"
+    client = SpeechAPIClient(base, model="tiny", max_retries=1)
+    wav_bytes = client.generate_speech("[S1]hello[S2]world",
+                                       extra={"max_tokens": 8})
+    wav, _ = wav_bytes_to_array(wav_bytes)
+    assert len(wav) > 0
+
+
+def test_bad_request_is_4xx(server):
+    base = f"http://127.0.0.1:{server.port}"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/v1/audio/speech", {"not_input": 1})
+    assert e.value.code == 400
