@@ -47,16 +47,24 @@ class RMSNorm(nn.Module):
 
 
 class Qwen3Block(nn.Module):
-    """One decoder layer; scanned over the stacked layer axis."""
+    """One decoder layer; scanned over the stacked layer axis.
+
+    The FULL stacked KV cache (L, B, S, Hkv, D) rides through the layer scan
+    as a *carry* and each layer writes only its new (B, T, ...) slice at
+    (layer_idx, 0, cache_pos, ...). Passing the cache as scan xs/ys instead
+    would stack a fresh cache every step — a full-cache copy per decode step
+    that measured ~3.5x the attention-read traffic on v5e.
+    """
 
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, x, cache_k, cache_v, cos, sin, mask, cache_pos):
+    def __call__(self, x, ck_all, cv_all, layer_idx, cos, sin, mask, cache_pos):
         c = self.cfg
         dtype = x.dtype
         H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
         B, T, _ = x.shape
+        L, S = ck_all.shape[0], ck_all.shape[2]
 
         h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln")(x)
         q = nn.Dense(H * D, use_bias=c.attention_bias, dtype=dtype, name="q_proj")(h)
@@ -76,23 +84,30 @@ class Qwen3Block(nn.Module):
         pallas_decode = c.attn_impl == "pallas" and pallas_ok
         pallas_prefill = c.attn_impl in ("pallas", "mixed") and pallas_ok
         scale = D ** -0.5
-        if cache_k.shape[1] > 0:       # decode/prefill path: write into cache
-            cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
-                                                   (0, cache_pos, 0, 0))
-            cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
-                                                   (0, cache_pos, 0, 0))
-            if pallas_decode and T == 1:
-                # mask (B, 1, S): causal+validity collapses to a key mask
-                attn = flash_decode(q, cache_k.astype(dtype),
-                                    cache_v.astype(dtype), mask[:, 0],
-                                    scale, interpret=c.pallas_interpret)
-            elif pallas_prefill and T > 1:
+        if S > 0:                      # decode/prefill path: write into cache
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k[None].astype(ck_all.dtype),
+                (layer_idx, 0, cache_pos, 0, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v[None].astype(cv_all.dtype),
+                (layer_idx, 0, cache_pos, 0, 0))
+            if pallas_prefill and T > 1:
                 # prefill: queries only see keys < T, i.e. the current k/v
                 attn = flash_prefill(q, k, v, mask[:, T - 1, :T], scale,
                                      interpret=c.pallas_interpret)
             else:
-                attn = gqa_attention(q, cache_k.astype(dtype),
-                                     cache_v.astype(dtype), mask, scale)
+                k_all = jax.lax.dynamic_slice(
+                    ck_all, (layer_idx, 0, 0, 0, 0), (1, B, S, Hkv, D))[0]
+                v_all = jax.lax.dynamic_slice(
+                    cv_all, (layer_idx, 0, 0, 0, 0), (1, B, S, Hkv, D))[0]
+                if pallas_decode and T == 1:
+                    # mask (B, 1, S): causal+validity collapses to a key mask
+                    attn = flash_decode(q, k_all.astype(dtype),
+                                        v_all.astype(dtype), mask[:, 0],
+                                        scale, interpret=c.pallas_interpret)
+                else:
+                    attn = gqa_attention(q, k_all.astype(dtype),
+                                         v_all.astype(dtype), mask, scale)
         else:                          # training path: attend over current tokens
             attn = gqa_attention(q, k, v, mask, scale)
         attn = attn.reshape(B, T, H * D)
@@ -103,18 +118,18 @@ class Qwen3Block(nn.Module):
         up = nn.Dense(c.intermediate_size, use_bias=False, dtype=dtype, name="up_proj")(h)
         down = nn.Dense(c.hidden_size, use_bias=False, dtype=dtype,
                         name="down_proj")(jax.nn.silu(gate) * up)
-        return x + down, cache_k, cache_v
+        return x + down, ck_all, cv_all
 
 
 class _ScanBlock(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, x, cache_lv, cos, sin, mask, cache_pos):
-        cache_k, cache_v = cache_lv
-        x, new_k, new_v = Qwen3Block(self.cfg, name="block")(
-            x, cache_k, cache_v, cos, sin, mask, cache_pos)
-        return x, (new_k, new_v)
+    def __call__(self, carry, cos, sin, mask):
+        x, ck_all, cv_all, layer_idx, cache_pos = carry
+        x, ck_all, cv_all = Qwen3Block(self.cfg, name="block")(
+            x, ck_all, cv_all, layer_idx, cos, sin, mask, cache_pos)
+        return (x, ck_all, cv_all, layer_idx + 1, cache_pos), None
 
 
 class AsteroidLM(nn.Module):
@@ -134,7 +149,7 @@ class AsteroidLM(nn.Module):
             _ScanBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=c.num_hidden_layers,
         )(c, name="layers")
@@ -175,14 +190,16 @@ class AsteroidLM(nn.Module):
             S = T
             empty = jnp.zeros((c.num_hidden_layers, B, 0, c.num_key_value_heads,
                                c.head_dim), x.dtype)
-            cache_lv = (empty, empty)
+            ck_all, cv_all = empty, empty
             mask = causal_mask(0, T, S, key_valid)
         else:
             S = cache["k"].shape[2]
-            cache_lv = (cache["k"], cache["v"])
+            ck_all, cv_all = cache["k"], cache["v"]
             mask = causal_mask(cache_pos, T, S, key_valid)
 
-        x, (new_k, new_v) = self.blocks(x, cache_lv, cos, sin, mask, cache_pos)
+        carry = (x, ck_all, cv_all, jnp.int32(0),
+                 jnp.asarray(cache_pos, jnp.int32))
+        (x, new_k, new_v, _, _), _ = self.blocks(carry, cos, sin, mask)
         x = self.final_norm(x)
         new_cache = None if cache is None else {"k": new_k, "v": new_v}
         return x, new_cache
