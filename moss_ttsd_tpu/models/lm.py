@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import LMConfig
-from ..ops.attention import causal_mask, gqa_attention
-from ..ops.pallas_attention import flash_decode, flash_prefill
+from ..ops.attention import causal_mask, gqa_attention, gqa_attention_hs
+from ..ops.pallas_attention import flash_decode_hs, flash_prefill
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -49,7 +49,7 @@ class RMSNorm(nn.Module):
 class Qwen3Block(nn.Module):
     """One decoder layer; scanned over the stacked layer axis.
 
-    The FULL stacked KV cache (L, B, S, Hkv, D) rides through the layer scan
+    The FULL stacked KV cache (L, B, Hkv, S, D) rides through the layer scan
     as a *carry* and each layer writes only its new (B, T, ...) slice at
     (layer_idx, 0, cache_pos, ...). Passing the cache as scan xs/ys instead
     would stack a fresh cache every step — a full-cache copy per decode step
@@ -64,7 +64,7 @@ class Qwen3Block(nn.Module):
         dtype = x.dtype
         H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
         B, T, _ = x.shape
-        L, S = ck_all.shape[0], ck_all.shape[2]
+        L, S = ck_all.shape[0], ck_all.shape[3]       # cache (L, B, Hkv, S, D)
 
         h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln")(x)
         q = nn.Dense(H * D, use_bias=c.attention_bias, dtype=dtype, name="q_proj")(h)
@@ -79,35 +79,45 @@ class Qwen3Block(nn.Module):
         k = apply_rope(k, cos, sin)
 
         # pallas kernels only lower on TPU; elsewhere fall back to the XLA
-        # path unless interpret mode is explicitly requested (CPU tests)
+        # path unless interpret mode is explicitly requested (CPU tests).
+        # "mixed" picks by measured v5e crossover: pallas flash prefill
+        # always; pallas decode only at long cache (>=512 slots) where its
+        # ~1.8us/slot beats XLA's ~2.7us/slot, while XLA's fusion wins the
+        # fixed overhead race on short caches.
         pallas_ok = jax.default_backend() == "tpu" or c.pallas_interpret
-        pallas_decode = c.attn_impl == "pallas" and pallas_ok
+        pallas_decode = pallas_ok and (
+            c.attn_impl == "pallas" or (c.attn_impl == "mixed" and S >= 512))
         pallas_prefill = c.attn_impl in ("pallas", "mixed") and pallas_ok
         scale = D ** -0.5
         if S > 0:                      # decode/prefill path: write into cache
+            # cache is head-major (L, B, Hkv, S, D): attention reads it with
+            # zero transposes; the per-step write transposes only the new
+            # (B, T, Hkv, D) token slice (tiny)
+            k_hs = jnp.moveaxis(k, 2, 1)               # (B, Hkv, T, D)
+            v_hs = jnp.moveaxis(v, 2, 1)
             ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k[None].astype(ck_all.dtype),
-                (layer_idx, 0, cache_pos, 0, 0))
+                ck_all, k_hs[None].astype(ck_all.dtype),
+                (layer_idx, 0, 0, cache_pos, 0))
             cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v[None].astype(cv_all.dtype),
-                (layer_idx, 0, cache_pos, 0, 0))
+                cv_all, v_hs[None].astype(cv_all.dtype),
+                (layer_idx, 0, 0, cache_pos, 0))
             if pallas_prefill and T > 1:
                 # prefill: queries only see keys < T, i.e. the current k/v
                 attn = flash_prefill(q, k, v, mask[:, T - 1, :T], scale,
                                      interpret=c.pallas_interpret)
             else:
                 k_all = jax.lax.dynamic_slice(
-                    ck_all, (layer_idx, 0, 0, 0, 0), (1, B, S, Hkv, D))[0]
+                    ck_all, (layer_idx, 0, 0, 0, 0), (1, B, Hkv, S, D))[0]
                 v_all = jax.lax.dynamic_slice(
-                    cv_all, (layer_idx, 0, 0, 0, 0), (1, B, S, Hkv, D))[0]
+                    cv_all, (layer_idx, 0, 0, 0, 0), (1, B, Hkv, S, D))[0]
                 if pallas_decode and T == 1:
                     # mask (B, 1, S): causal+validity collapses to a key mask
-                    attn = flash_decode(q, k_all.astype(dtype),
-                                        v_all.astype(dtype), mask[:, 0],
-                                        scale, interpret=c.pallas_interpret)
+                    attn = flash_decode_hs(q, k_all.astype(dtype),
+                                           v_all.astype(dtype), mask[:, 0],
+                                           scale, interpret=c.pallas_interpret)
                 else:
-                    attn = gqa_attention(q, k_all.astype(dtype),
-                                         v_all.astype(dtype), mask, scale)
+                    attn = gqa_attention_hs(q, k_all.astype(dtype),
+                                            v_all.astype(dtype), mask, scale)
         else:                          # training path: attend over current tokens
             attn = gqa_attention(q, k, v, mask, scale)
         attn = attn.reshape(B, T, H * D)
@@ -177,7 +187,7 @@ class AsteroidLM(nn.Module):
         input_ids: (B, T, C); positions: (B, T) absolute positions (RoPE);
         key_valid: (B, S) cache-slot validity (left-padding + unwritten slots)
                    or (B, T) for the cache-free path;
-        cache: {"k","v": (L, B, S, Hkv, D)} or None (training);
+        cache: {"k","v": (L, B, Hkv, S, D)} or None (training);
         cache_pos: scalar — write offset of this segment in the cache.
         Returns (hidden (B, T, hidden), new_cache).
         """
@@ -188,12 +198,12 @@ class AsteroidLM(nn.Module):
 
         if cache is None:
             S = T
-            empty = jnp.zeros((c.num_hidden_layers, B, 0, c.num_key_value_heads,
-                               c.head_dim), x.dtype)
+            empty = jnp.zeros((c.num_hidden_layers, B, c.num_key_value_heads,
+                               0, c.head_dim), x.dtype)
             ck_all, cv_all = empty, empty
             mask = causal_mask(0, T, S, key_valid)
         else:
-            S = cache["k"].shape[2]
+            S = cache["k"].shape[3]
             ck_all, cv_all = cache["k"], cache["v"]
             mask = causal_mask(cache_pos, T, S, key_valid)
 
@@ -237,6 +247,8 @@ class AsteroidLM(nn.Module):
 
 
 def init_cache(cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+    """Static KV cache, head-major (L, B, Hkv, S, D) so decode attention and
+    the Pallas kernels read it directly with no per-step transpose."""
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
              cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

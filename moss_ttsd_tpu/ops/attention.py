@@ -44,6 +44,25 @@ def gqa_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, T, H, D)
 
 
+def gqa_attention_hs(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     mask: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Grouped-query attention over head-major caches.
+
+    q: (B, T, H, D); k/v: (B, Hkv, S, D) — the KV-cache storage layout (heads
+    before sequence), read directly with no transpose; mask: (B, T, S) bool.
+    Returns (B, T, H, D) in q.dtype. Softmax in fp32.
+    """
+    B, T, H, D = q.shape
+    Hkv = k.shape[1]
+    g = H // Hkv
+    qg = q.reshape(B, T, Hkv, g, D)
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qg, k).astype(jnp.float32) * scale
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgts,bhsd->bthgd", probs, v)
+    return out.reshape(B, T, H, D)
+
+
 def causal_mask(cache_pos, q_len: int, kv_len: int,
                 key_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Causal + validity mask (B, q_len, kv_len).

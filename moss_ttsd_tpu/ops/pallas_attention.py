@@ -75,16 +75,28 @@ def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  block_k: int = 512, interpret: bool = False) -> jnp.ndarray:
     """q (B, 1, H, D); k/v cache (B, S, Hkv, D); key_valid (B, S) bool.
 
+    Returns (B, 1, H, D). Convenience wrapper that transposes to the
+    head-major layout; prefer ``flash_decode_hs`` with caches already stored
+    head-major (no copy)."""
+    kt = jnp.moveaxis(k, 2, 1)                         # (B, Hkv, S, D)
+    vt = jnp.moveaxis(v, 2, 1)
+    return flash_decode_hs(q, kt, vt, key_valid, scale, block_k, interpret)
+
+
+def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
+                    key_valid: jnp.ndarray, scale: float,
+                    block_k: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """q (B, 1, H, D); kt/vt cache (B, Hkv, S, D) — head-major storage read
+    directly from HBM, no transpose; key_valid (B, S) bool.
+
     Returns (B, 1, H, D)."""
     B, _, H, D = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
+    Hkv, S = kt.shape[1], kt.shape[2]
     G = H // Hkv
     bk = min(block_k, S)
     n_s = -(-S // bk)                                   # ceil; ragged tail masked
 
     qg = q[:, 0].reshape(B, Hkv, G, D)                 # (B, Hkv, G, D)
-    kt = jnp.moveaxis(k, 2, 1)                         # (B, Hkv, S, D)
-    vt = jnp.moveaxis(v, 2, 1)
     # (B, 1, S): TPU block shapes need the 2nd-to-last dim to equal the array's
     validi = key_valid.astype(jnp.int32)[:, None, :]
 
