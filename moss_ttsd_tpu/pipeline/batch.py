@@ -140,26 +140,37 @@ class TTSPipeline:
         li = pp.find_max_valid_positions(speech_ids,
                                          self.lm_cfg.speech_pad_token)
 
-        audio_results = []
+        # ONE batched vocode call for all valid items (variable lengths are
+        # masked inside the codec's 30 s chunking) — per-item calls would
+        # leave the batch dimension of the compiled codec idle
+        valid_idx, valid_codes = [], []
         for i in range(len(batch_items)):
             end = int(li[i]) + 1
             if end <= 0:
-                audio_results.append(None)
                 continue
             codes = speech_ids[i, :end].T.astype(np.int32)      # (nq, T)
             # clip safety: a malformed ch0 row outside the speech range would
             # otherwise index out of the codebook
             codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
+            valid_idx.append(i)
+            valid_codes.append(codes)
+
+        wavs = []
+        if valid_codes:
             t0 = time.perf_counter()
-            wav = self.spt.decode([codes], overlap_seconds=10)["syn_wav_list"][0]
+            wavs = self.spt.decode(valid_codes,
+                                   overlap_seconds=10)["syn_wav_list"]
             dt = time.perf_counter() - t0
             self.timings.vocode_s += dt
             metrics.add("vocode_s", dt)
-            audio_results.append({
+
+        audio_results = [None] * len(batch_items)
+        for i, wav in zip(valid_idx, wavs):
+            audio_results[i] = {
                 "audio_data": np.asarray(wav, np.float32)[None, :],
                 "sample_rate": self.spt.output_sample_rate,
                 "index": start_idx + i,
-            })
+            }
         return texts_data, audio_results
 
     def stream_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,

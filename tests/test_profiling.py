@@ -53,3 +53,11 @@ def test_trace_writes_files(tmp_path):
     import os
     found = [f for _, _, fs in os.walk(d) for f in fs]
     assert found, "profiler trace produced no files"
+
+
+def test_initialize_multihost_noop_without_env(monkeypatch):
+    from moss_ttsd_tpu.parallel.distributed import initialize_multihost
+    for k in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    assert initialize_multihost() is False
