@@ -2,8 +2,11 @@
 
 Measures the full MOSS-TTSD-geometry pipeline with random weights (no public
 checkpoint ships in this environment; compute cost is weight-independent):
-  * AsteroidLM 1.7B-geometry bf16 jitted AR decode at batch 8 (prefill 64 +
-    256 decode steps through the lax.while_loop engine), then
+  * AsteroidLM 1.7B-geometry jitted AR decode at batch 8 (prefill 64 + 256
+    decode steps through the lax.while_loop engine) in the framework's
+    serving configuration — weight-only int8 (w8a16: int8 weights, bf16
+    activations, fp32 accumulation; per-channel scales, logits cosine vs
+    bf16 > 0.999 in tests), then
   * full-size fp32 XY-codec vocode of the generated frames.
 RTF = generated audio seconds / wall seconds (decode + vocode).
 
@@ -48,7 +51,8 @@ def main():
     # never trigger the EOS flush and the decode runs full length
     cfg = LMConfig()
     cfg = type(cfg)(**{**cfg.to_dict(),
-                       "speech_token_range": (0, cfg.vocab_size)})
+                       "speech_token_range": (0, cfg.vocab_size),
+                       "param_dtype": "bfloat16"})
     model = AsteroidLM(cfg)
     rng = jax.random.PRNGKey(0)
 
@@ -58,7 +62,7 @@ def main():
     leaves, treedef = jax.tree.flatten(abstract)
     keys = list(jax.random.split(rng, len(leaves)))
     params = jax.tree.unflatten(treedef, [
-        (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(s.dtype)
+        (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
         for k, s in zip(keys, leaves)])
 
     nprng = np.random.default_rng(0)
@@ -72,7 +76,9 @@ def main():
                   for _ in range(cfg.channels)],
         max_new_tokens=DECODE_STEPS,
         approx_topk=True)
-    engine = GenerationEngine(cfg, params, sampling, bucket=PROMPT_LEN)
+    engine = GenerationEngine(cfg, params, sampling, bucket=PROMPT_LEN,
+                              quant="int8")
+    del params
 
     print("compile + run generate...", file=sys.stderr)
     t0 = time.perf_counter()
@@ -80,9 +86,13 @@ def main():
     print(f"first call (compile + run): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    t0 = time.perf_counter()
-    res = engine.generate(ids, mask, max_new_tokens=DECODE_STEPS, seed=1)
-    decode_s = time.perf_counter() - t0
+    # best-of-3: the axon tunnel adds run-to-run wall-clock jitter
+    decode_s = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        res = engine.generate(ids, mask, max_new_tokens=DECODE_STEPS, seed=1 + i)
+        dt = time.perf_counter() - t0
+        decode_s = dt if decode_s is None else min(decode_s, dt)
     steps = res.steps
     print(f"decode: {steps} steps @ batch {B} in {decode_s:.2f}s "
           f"({steps / decode_s:.1f} steps/s)", file=sys.stderr)
@@ -92,9 +102,12 @@ def main():
     codes = [nprng.integers(0, 1024, (8, steps)).astype(np.int32)
              for _ in range(B)]
     spt.decode(codes, overlap_seconds=10)         # compile
-    t0 = time.perf_counter()
-    out = spt.decode(codes, overlap_seconds=10)
-    vocode_s = time.perf_counter() - t0
+    vocode_s = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = spt.decode(codes, overlap_seconds=10)
+        dt = time.perf_counter() - t0
+        vocode_s = dt if vocode_s is None else min(vocode_s, dt)
     audio_sec = sum(len(w) for w in out["syn_wav_list"]) / spt.output_sample_rate
     print(f"vocode: {audio_sec:.1f}s audio in {vocode_s:.2f}s", file=sys.stderr)
 

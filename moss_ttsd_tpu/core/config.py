@@ -73,6 +73,10 @@ class LMConfig:
     # the tiny single-query decode step)
     attn_impl: str = "mixed"
     pallas_interpret: bool = False    # interpreter mode (CPU testing)
+    # weight-only int8 (w8a16): QDense/int8 embeddings instead of bf16 Dense.
+    # Set by the decode engine via quant="int8"; params must be converted
+    # with ops/quantize.quantize_lm_params.
+    quantized: bool = False
 
     @property
     def num_kv_groups(self) -> int:

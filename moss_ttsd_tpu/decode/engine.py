@@ -224,7 +224,12 @@ class GenerationEngine:
     """
 
     def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
-                 bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None):
+                 bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None,
+                 quant: Optional[str] = None):
+        """quant="int8" stores projection/embedding weights int8 with
+        per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
+        step, dequant fused into each matmul (ops/quantize.py). Not combined
+        with mesh sharding yet."""
         self.cfg = cfg
         # store weights in the compute dtype once — the decode step is
         # weight-bandwidth-bound, so fp32 storage would halve throughput
@@ -233,6 +238,17 @@ class GenerationEngine:
             params = jax.tree.map(
                 lambda x: x.astype(target)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+        self.quant = quant
+        if quant == "int8":
+            if mesh is not None:
+                raise NotImplementedError("int8 + mesh sharding not supported yet")
+            import dataclasses
+            from ..ops.quantize import quantize_lm_params
+            params = quantize_lm_params(params)
+            cfg = dataclasses.replace(cfg, quantized=True)
+            self.cfg = cfg
+        elif quant is not None:
+            raise ValueError(f"unknown quant mode {quant!r}")
         self.mesh = mesh
         self._param_shardings = None
         self._data_sharding = None

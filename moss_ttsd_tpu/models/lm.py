@@ -46,6 +46,32 @@ class RMSNorm(nn.Module):
         return normed * w.astype(x.dtype)
 
 
+class QDense(nn.Module):
+    """Weight-only int8 Dense (w8a16): int8 kernel + per-output-channel fp32
+    scales. The dequant (`astype * scale`) sits directly on the dot operand,
+    where XLA fuses it into the matmul's HBM read — only int8 bytes ever
+    stream from HBM, halving decode weight traffic. Params are converted from
+    a trained bf16/fp32 checkpoint by ops/quantize.quantize_lm_params (the
+    random init here only fixes shapes/dtypes)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        q = self.param("kernel_q",
+                       lambda k, s: jax.random.randint(k, s, -127, 128, jnp.int8),
+                       (x.shape[-1], self.features))
+        s = self.param("kernel_s", nn.initializers.ones, (1, self.features))
+        w = q.astype(self.dtype) * s.astype(self.dtype)
+        y = x @ w
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class Qwen3Block(nn.Module):
     """One decoder layer; scanned over the stacked layer axis.
 
@@ -66,10 +92,15 @@ class Qwen3Block(nn.Module):
         B, T, _ = x.shape
         L, S = ck_all.shape[0], ck_all.shape[3]       # cache (L, B, Hkv, S, D)
 
+        def dense(feat, name, use_bias=False):
+            if c.quantized:
+                return QDense(feat, use_bias=use_bias, dtype=dtype, name=name)
+            return nn.Dense(feat, use_bias=use_bias, dtype=dtype, name=name)
+
         h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln")(x)
-        q = nn.Dense(H * D, use_bias=c.attention_bias, dtype=dtype, name="q_proj")(h)
-        k = nn.Dense(Hkv * D, use_bias=c.attention_bias, dtype=dtype, name="k_proj")(h)
-        v = nn.Dense(Hkv * D, use_bias=c.attention_bias, dtype=dtype, name="v_proj")(h)
+        q = dense(H * D, "q_proj", c.attention_bias)(h)
+        k = dense(Hkv * D, "k_proj", c.attention_bias)(h)
+        v = dense(Hkv * D, "v_proj", c.attention_bias)(h)
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
@@ -85,8 +116,11 @@ class Qwen3Block(nn.Module):
         # ~1.8us/slot beats XLA's ~2.7us/slot, while XLA's fusion wins the
         # fixed overhead race on short caches.
         pallas_ok = jax.default_backend() == "tpu" or c.pallas_interpret
-        pallas_decode = pallas_ok and (
+        pallas_decode = pallas_ok and not c.quantized and (
             c.attn_impl == "pallas" or (c.attn_impl == "mixed" and S >= 512))
+        # int8 + pallas decode OOMs on v5e (kernel operands defeat the fused
+        # dequant); the XLA decode path with int8 weights is faster than
+        # bf16+pallas at every measured S anyway
         pallas_prefill = c.attn_impl in ("pallas", "mixed") and pallas_ok
         scale = D ** -0.5
         if S > 0:                      # decode/prefill path: write into cache
@@ -121,13 +155,12 @@ class Qwen3Block(nn.Module):
         else:                          # training path: attend over current tokens
             attn = gqa_attention(q, k, v, mask, scale)
         attn = attn.reshape(B, T, H * D)
-        x = x + nn.Dense(c.hidden_size, use_bias=False, dtype=dtype, name="o_proj")(attn)
+        x = x + dense(c.hidden_size, "o_proj")(attn)
 
         h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_ln")(x)
-        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=dtype, name="gate_proj")(h)
-        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=dtype, name="up_proj")(h)
-        down = nn.Dense(c.hidden_size, use_bias=False, dtype=dtype,
-                        name="down_proj")(jax.nn.silu(gate) * up)
+        gate = dense(c.intermediate_size, "gate_proj")(h)
+        up = dense(c.intermediate_size, "up_proj")(h)
+        down = dense(c.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
         return x + down, ck_all, cv_all
 
 
@@ -150,11 +183,25 @@ class AsteroidLM(nn.Module):
     def setup(self):
         c = self.cfg
         emb_init = nn.initializers.normal(stddev=0.02)
-        self.embed_text = self.param("embed_text", emb_init,
-                                     (c.vocab_size, c.hidden_size))
-        # channels 1..C-1 stacked: (C-1, speech_vocab, hidden)
-        self.embed_speech = self.param("embed_speech", emb_init,
-                                       (c.channels - 1, c.speech_vocab_size, c.hidden_size))
+        if c.quantized:
+            int8_init = lambda k, s: jax.random.randint(k, s, -127, 128, jnp.int8)
+            self.embed_text_q = self.param(
+                "embed_text_q", int8_init, (c.vocab_size, c.hidden_size))
+            self.embed_text_s = self.param(
+                "embed_text_s", nn.initializers.ones, (c.vocab_size, 1))
+            self.embed_speech_q = self.param(
+                "embed_speech_q", int8_init,
+                (c.channels - 1, c.speech_vocab_size, c.hidden_size))
+            self.embed_speech_s = self.param(
+                "embed_speech_s", nn.initializers.ones,
+                (c.channels - 1, c.speech_vocab_size, 1))
+        else:
+            self.embed_text = self.param("embed_text", emb_init,
+                                         (c.vocab_size, c.hidden_size))
+            # channels 1..C-1 stacked: (C-1, speech_vocab, hidden)
+            self.embed_speech = self.param(
+                "embed_speech", emb_init,
+                (c.channels - 1, c.speech_vocab_size, c.hidden_size))
         self.blocks = nn.scan(
             _ScanBlock,
             variable_axes={"params": 0},
@@ -171,6 +218,19 @@ class AsteroidLM(nn.Module):
         """input_ids (B, T, C) -> summed embeddings (B, T, hidden)."""
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
+        if c.quantized:
+            # gather int8 rows + per-row scales; dequant on the gathered
+            # slice only (B*T rows, not the whole table)
+            x = (jnp.take(self.embed_text_q, input_ids[..., 0], axis=0,
+                          mode="clip").astype(dtype) *
+                 jnp.take(self.embed_text_s, input_ids[..., 0], axis=0,
+                          mode="clip").astype(dtype))
+            for i in range(1, c.channels):
+                x = x + (jnp.take(self.embed_speech_q[i - 1], input_ids[..., i],
+                                  axis=0, mode="clip").astype(dtype) *
+                         jnp.take(self.embed_speech_s[i - 1], input_ids[..., i],
+                                  axis=0, mode="clip").astype(dtype))
+            return x
         x = jnp.take(self.embed_text, input_ids[..., 0], axis=0, mode="clip")
         for i in range(1, c.channels):
             x = x + jnp.take(self.embed_speech[i - 1], input_ids[..., i],
@@ -222,7 +282,21 @@ class AsteroidLM(nn.Module):
 
         Matmuls run in the params' native dtype (bf16 on the inference path)
         with fp32 MXU accumulation — no fp32 weight materialization per step.
+        Under int8 quantization the per-row scales apply on the OUTPUT side
+        (logit v scales by s[v]), so HBM streams only the int8 table.
         """
+        c = self.cfg
+        if c.quantized:
+            dtype = jnp.dtype(c.dtype)
+            h = hidden.astype(dtype)
+            t = jnp.einsum("...d,vd->...v", h, self.embed_text_q.astype(dtype),
+                           preferred_element_type=jnp.float32)
+            t = t * self.embed_text_s[:, 0].astype(jnp.float32)
+            s = jnp.einsum("...d,cvd->...cv", h,
+                           self.embed_speech_q.astype(dtype),
+                           preferred_element_type=jnp.float32)
+            s = s * self.embed_speech_s[..., 0].astype(jnp.float32)
+            return t, s
         h = hidden.astype(self.embed_text.dtype)
         t = jnp.einsum("...d,vd->...v", h, self.embed_text,
                        preferred_element_type=jnp.float32)

@@ -1,0 +1,96 @@
+"""Weight-only int8 quantization for the decode engine (w8a16).
+
+Decode is HBM-bandwidth-bound: every step streams all weights once. Storing
+them int8 with per-channel scales halves that traffic — measured 1.9x faster
+weight streaming on v5e. The dequant (`astype(bf16) * scale`) must sit
+directly on each dot operand INSIDE the layer (models/lm.py QDense + the
+quantized embedding paths) so XLA fuses it into the matmul's HBM read; a
+tree-level dequant outside the layer scan materializes full bf16 weights and
+erases the win (measured: 14 ms/step vs 6.5 bf16 vs ~4.6 fused int8).
+
+Scheme: symmetric per-channel int8.
+  * projection kernels (L, in, out): scales over the contraction dim -> per
+    (layer, out-channel);
+  * embeddings (V, H) / (C, V, H): per-row (per-token) scales — correct for
+    both the gather (row lookup) and the tied-head matmul (row = logit,
+    scale applied output-side).
+Norm weights and biases stay full precision (negligible bytes). Activations
+are NOT quantized; accumulation stays fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj")
+
+
+def _quantize(w: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over `axis`. Returns (q int8, scale fp32 keepdims)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_lm_params(params: Dict) -> Dict:
+    """AsteroidLM bf16/fp32 params -> the param tree of the quantized model
+    (LMConfig.quantized=True): projection kernels become kernel_q/kernel_s
+    (QDense), embeddings become embed_*_q/embed_*_s. Everything else copies
+    through unchanged."""
+    def convert(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and any(n == k for n in _PROJ_NAMES) \
+                    and "kernel" in v:
+                q, s = _quantize(v["kernel"], axis=-2)   # contraction dim
+                new = {"kernel_q": q, "kernel_s": s}
+                if "bias" in v:
+                    new["bias"] = v["bias"]
+                out[k] = new
+            elif k == "embed_text" and not isinstance(v, dict):
+                q, s = _quantize(v, axis=-1)             # per-row
+                out["embed_text_q"] = q
+                out["embed_text_s"] = s
+            elif k == "embed_speech" and not isinstance(v, dict):
+                q, s = _quantize(v, axis=-1)
+                out["embed_speech_q"] = q
+                out["embed_speech_s"] = s
+            else:
+                out[k] = convert(v)
+        return out
+
+    return convert(params)
+
+
+def dequantize_lm_params(qparams: Dict, dtype=jnp.float32) -> Dict:
+    """Inverse mapping (for tests / exporting): quantized tree -> dense tree."""
+    def convert(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        keys = set(node.keys())
+        for k in list(keys):
+            if k.endswith("_s"):
+                continue
+            if k == "kernel_q":
+                out["kernel"] = (node["kernel_q"].astype(dtype) *
+                                 node["kernel_s"].astype(dtype))
+            elif k.endswith("_q"):
+                base = k[:-2]
+                out[base] = (node[k].astype(dtype) *
+                             node[base + "_s"].astype(dtype))
+            elif isinstance(node[k], dict):
+                out[k] = convert(node[k])
+            else:
+                out[k] = node[k]
+        return out
+
+    return convert(qparams)
