@@ -101,11 +101,11 @@ def main():
     spt = XYTokenizer.init_random(CodecConfig(), seed=0)
     codes = [nprng.integers(0, 1024, (8, steps)).astype(np.int32)
              for _ in range(B)]
-    spt.decode(codes, overlap_seconds=10)         # compile
+    spt.decode(codes, overlap_seconds=10, pcm16=True)   # compile
     vocode_s = None
     for _ in range(3):
         t0 = time.perf_counter()
-        out = spt.decode(codes, overlap_seconds=10)
+        out = spt.decode(codes, overlap_seconds=10, pcm16=True)
         dt = time.perf_counter() - t0
         vocode_s = dt if vocode_s is None else min(vocode_s, dt)
     audio_sec = sum(len(w) for w in out["syn_wav_list"]) / spt.output_sample_rate

@@ -117,6 +117,18 @@ class XYTokenizer:
             lambda p, codes, lens: self.module.apply(p, codes, lens,
                                                      method=XYTokenizerModule.detokenize))
 
+        def _detok16(p, codes, lens):
+            out = self.module.apply(p, codes, lens,
+                                    method=XYTokenizerModule.detokenize)
+            pcm = jnp.clip(out["wav"], -1.0, 1.0) * 32767.0
+            return {"wav": pcm.astype(jnp.int16),
+                    "wav_lengths": out["wav_lengths"]}
+
+        # int16-PCM variant: quantizes to the wav-file bit depth ON DEVICE,
+        # halving device->host readback bytes (the dominant vocode cost off-
+        # chip; audio is written as 16-bit PCM anyway)
+        self._detokenize16 = jax.jit(_detok16)
+
     # -- construction ------------------------------------------------------
 
     @classmethod
@@ -190,10 +202,16 @@ class XYTokenizer:
             codes_list = [np.zeros((self.nq, 0), np.int32) for _ in range(B)]
         return {"codes_list": codes_list}
 
-    def decode(self, codes_list: List[np.ndarray], overlap_seconds: int = 10):
+    def decode(self, codes_list: List[np.ndarray], overlap_seconds: int = 10,
+               pcm16: bool = False):
         """codes_list: B * (nq, T) -> {"syn_wav_list": B * (T*1920,) 24 kHz}.
 
         Chunking contract mirrors reference model.py:194-256.
+
+        pcm16=True quantizes to int16 PCM on device before readback — half
+        the device->host bytes; the host converts back to float32/32768 so
+        the return contract is unchanged (serving writes 16-bit wavs, so the
+        extra quantization is exactly the file bit depth).
         """
         duration_codes = self.chunk_codes - overlap_seconds * self.input_sample_rate \
             // self.encoder_downsample_rate
@@ -216,9 +234,12 @@ class XYTokenizer:
             chunk_lens = np.clip(code_lengths - start, 0, self.chunk_codes)
             if chunk_lens.max() == 0:
                 continue
-            out = self._detokenize(self.params, jnp.asarray(chunk),
-                                   jnp.asarray(chunk_lens))
+            detok = self._detokenize16 if pcm16 else self._detokenize
+            out = detok(self.params, jnp.asarray(chunk),
+                        jnp.asarray(chunk_lens))
             wav = np.asarray(out["wav"])
+            if pcm16:
+                wav = wav.astype(np.float32) / 32768.0
             wav_lens = np.clip(np.asarray(out["wav_lengths"]), 0, duration_wav)
             valid = np.zeros((B, duration_wav), np.float32)
             for b in range(B):

@@ -158,8 +158,8 @@ class TTSPipeline:
         wavs = []
         if valid_codes:
             t0 = time.perf_counter()
-            wavs = self.spt.decode(valid_codes,
-                                   overlap_seconds=10)["syn_wav_list"]
+            wavs = self.spt.decode(valid_codes, overlap_seconds=10,
+                                   pcm16=True)["syn_wav_list"]
             dt = time.perf_counter() - t0
             self.timings.vocode_s += dt
             metrics.add("vocode_s", dt)
@@ -205,7 +205,8 @@ class TTSPipeline:
             codes = speech_ids[0, start:end].T.astype(np.int32)
             codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
             t0 = time.perf_counter()
-            wav = self.spt.decode([codes], overlap_seconds=10)["syn_wav_list"][0]
+            wav = self.spt.decode([codes], overlap_seconds=10,
+                                  pcm16=True)["syn_wav_list"][0]
             dt = time.perf_counter() - t0
             self.timings.vocode_s += dt
             metrics.add("vocode_s", dt)

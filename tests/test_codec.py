@@ -160,3 +160,18 @@ def test_checkpoint_roundtrip(tiny_codec, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_pcm16_matches_fp32():
+    """pcm16 readback differs from fp32 only by 16-bit quantization."""
+    import numpy as np
+    from moss_ttsd_tpu.core.config import CodecConfig
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+    spt = XYTokenizer.init_random(CodecConfig().tiny(), seed=0)
+    rng = np.random.default_rng(0)
+    codes = [rng.integers(0, spt.cfg.quantizer.codebook_size,
+                          (spt.nq, 9)).astype(np.int32)]
+    a = spt.decode(codes, overlap_seconds=10)["syn_wav_list"][0]
+    b = spt.decode(codes, overlap_seconds=10, pcm16=True)["syn_wav_list"][0]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.clip(a, -1, 1), b, atol=1.5 / 32768.0)
