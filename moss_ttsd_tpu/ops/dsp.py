@@ -215,6 +215,36 @@ def _window_envelope(n_fft: int, hop: int, win_length: int, T: int) -> np.ndarra
     return env.astype(np.float32)
 
 
+def istft_same_masked(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
+                      num_frames: jnp.ndarray) -> jnp.ndarray:
+    """ISTFT with "same" padding over a RAGGED batch: only the first
+    ``num_frames[b]`` spectrogram frames of row b exist. Both the overlap-add
+    and the squared-window normalization envelope are masked per row, so the
+    output's tail matches what the reference computes on an unpadded tensor
+    of exactly num_frames frames (reference chunks are ragged —
+    model.py:225-227 — while we compute on fixed-shape padded chunks).
+
+    re, im: (B, n_bins, T); num_frames: (B,). Returns (B, T * hop); samples
+    beyond num_frames*hop are zero.
+    """
+    win_length = n_fft
+    pad = (win_length - hop) // 2
+    B = re.shape[0]
+    T = re.shape[-1]
+    spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+    frames = jnp.fft.irfft(jnp.moveaxis(spec, -2, -1), n=n_fft, axis=-1)   # (B, T, n_fft)
+    window = jnp.asarray(hann_window(win_length, periodic=True))
+    fmask = (jnp.arange(T)[None, :] < num_frames[:, None])                 # (B, T)
+    frames = frames * window * fmask[..., None]
+    frames = jnp.moveaxis(frames, -1, -2)                                  # (B, n_fft, T)
+    y = overlap_add(frames, hop)
+    env_frames = jnp.broadcast_to((window ** 2)[None, :, None],
+                                  (B, n_fft, T)) * fmask[:, None, :]
+    env = overlap_add(env_frames, hop)
+    y = jnp.where(env > 1e-11, y / jnp.maximum(env, 1e-11), 0.0)
+    return y[..., pad:-pad]
+
+
 def istft_same(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """ISTFT with "same" padding (reference ISTFT module, modules.py:709-792).
 
