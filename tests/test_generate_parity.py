@@ -131,3 +131,43 @@ def test_greedy_generation_token_exact(models, steps):
     n = min(ref_gen.shape[1], our_gen.shape[1])
     assert n >= 8, "generation stopped before the EOS flush completed"
     np.testing.assert_array_equal(our_gen[:, :n], ref_gen[:, :n])
+
+
+def test_training_loss_parity(models):
+    """Full training objective vs the reference forward-with-labels
+    (per-channel shifted CE, -100 masking, [8,2,1,...] weighting)."""
+    import torch
+    ref_model, our_cfg, params = models
+
+    rng = np.random.default_rng(5)
+    B, T = 2, 12
+    ids = np.full((B, T, 8), PAD_SPEECH, np.int64)
+    ids[..., 0] = rng.integers(10, 5000, (B, T))
+    ids[:, 6:, 0] = rng.integers(*SPEECH_RANGE, size=(B, T - 6))
+    for c in range(1, 8):
+        ids[:, 6:, c] = rng.integers(0, PAD_SPEECH, (B, T - 6))
+    labels = ids.copy()
+    labels[:, :6] = -100
+
+    weights = [8, 2, 1, 1, 1, 1, 1, 1]          # reference finetune.py:132
+    ref_model.set_weights(weights)
+    with torch.no_grad():
+        out = ref_model(input_ids=torch.from_numpy(ids),
+                        attention_mask=torch.ones(B, T, dtype=torch.long),
+                        labels=torch.from_numpy(labels), skip_logits=False)
+    ref_total = float(out.loss)
+    ref_per = out.loss_all.numpy()
+
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.ops.chunked_ce import asteroid_loss
+    model = AsteroidLM(our_cfg)
+    hidden, _ = model.apply(params, jnp.asarray(ids),
+                            jnp.cumsum(jnp.ones((B, T), jnp.int32), 1) - 1,
+                            jnp.ones((B, T), bool), None, 0,
+                            method=AsteroidLM.backbone)
+    emb_t = params["params"]["embed_text"]
+    emb_s = params["params"]["embed_speech"]
+    total, per = asteroid_loss(hidden, jnp.asarray(labels), emb_t, emb_s,
+                               weights, num_chunks=4)
+    np.testing.assert_allclose(np.asarray(per), ref_per, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
