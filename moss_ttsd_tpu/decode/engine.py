@@ -240,8 +240,6 @@ class GenerationEngine:
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
         self.quant = quant
         if quant == "int8":
-            if mesh is not None:
-                raise NotImplementedError("int8 + mesh sharding not supported yet")
             import dataclasses
             from ..ops.quantize import quantize_lm_params
             params = quantize_lm_params(params)

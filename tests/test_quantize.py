@@ -109,9 +109,22 @@ def test_int8_engine_generates(setup):
                                   res.tokens[:, :res.base + last.steps])
 
 
-def test_int8_mesh_combination_rejected(setup):
+@pytest.mark.parametrize("data,model_par", [(8, 1), (4, 2)])
+def test_int8_mesh_engine_matches_unsharded(setup, data, model_par):
+    """int8 weights shard over the same TP/DP specs (scales follow their
+    kernels; non-divisible dims fall back to replicated)."""
     cfg, _, params = setup
     from moss_ttsd_tpu.parallel.mesh import make_mesh
-    with pytest.raises(NotImplementedError):
-        GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
-                         mesh=make_mesh(data=8, model=1), quant="int8")
+    rng = np.random.default_rng(17)
+    prompts = [make_prompt(cfg, rng, 4 + i % 2, 3) for i in range(8)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id, cfg.speech_pad_token)
+
+    ref = GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
+                           cache_dtype=jnp.float32, quant="int8").generate(
+                               batch, mask, max_new_tokens=10, seed=0)
+    eng = GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
+                           cache_dtype=jnp.float32, quant="int8",
+                           mesh=make_mesh(data=data, model=model_par))
+    res = eng.generate(batch, mask, max_new_tokens=10, seed=0)
+    assert res.steps == ref.steps
+    np.testing.assert_array_equal(res.tokens, ref.tokens)
