@@ -70,6 +70,8 @@ def main(argv=None):
                         help="capture a jax.profiler trace of the batch into this dir")
     parser.add_argument("--profiler_port", type=int, default=None,
                         help="start a live jax.profiler server on this port")
+    parser.add_argument("--quant", choices=["int8"], default=None,
+                        help="weight-only int8 serving (w8a16): ~1.5x faster decode")
     args = parser.parse_args(argv)
 
     if args.platform == "cpu":
@@ -85,7 +87,8 @@ def main(argv=None):
         pipe = build_tiny_pipeline(seed=args.seed or 0)
     else:
         from ..pipeline.batch import TTSPipeline
-        pipe = TTSPipeline.load(args.model_path, args.spt_config, args.spt_ckpt)
+        pipe = TTSPipeline.load(args.model_path, args.spt_config, args.spt_ckpt,
+                                quant=args.quant)
 
     with open(args.jsonl) as f:
         items = [json.loads(line) for line in f if line.strip()]

@@ -46,16 +46,18 @@ class TTSPipeline:
 
     def __init__(self, tokenizer, lm_cfg: LMConfig, lm_params,
                  spt: XYTokenizer, sampling: Optional[SamplingConfig] = None,
-                 bucket: int = 128):
+                 bucket: int = 128, mesh=None, quant: Optional[str] = None):
         self.tokenizer = tokenizer
         self.lm_cfg = lm_cfg
-        self.engine = GenerationEngine(lm_cfg, lm_params, sampling, bucket=bucket)
+        self.engine = GenerationEngine(lm_cfg, lm_params, sampling,
+                                       bucket=bucket, mesh=mesh, quant=quant)
         self.spt = spt
         self.timings = PhaseTimings()
 
     @classmethod
     def load(cls, model_path: str, spt_config_path: str, spt_ckpt_path: str,
-             sampling: Optional[SamplingConfig] = None):
+             sampling: Optional[SamplingConfig] = None, mesh=None,
+             quant: Optional[str] = None):
         """Load from an HF-format LM dir + codec checkpoint
         (reference load_model, generation_utils.py:15-24)."""
         import os
@@ -71,7 +73,8 @@ class TTSPipeline:
             if os.path.exists(gen_cfg):
                 sampling = SamplingConfig.from_generation_config_json(
                     gen_cfg, lm_cfg.channels)
-        return cls(tokenizer, lm_cfg, lm_params, spt, sampling)
+        return cls(tokenizer, lm_cfg, lm_params, spt, sampling, mesh=mesh,
+                   quant=quant)
 
     # ------------------------------------------------------------------
 

@@ -247,6 +247,8 @@ def main(argv=None):
     p.add_argument("--batch_window_ms", type=float, default=50.0)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models (smoke test)")
+    p.add_argument("--quant", choices=["int8"], default=None,
+                   help="weight-only int8 serving (w8a16)")
     args = p.parse_args(argv)
 
     if args.tiny or not args.model_path:
@@ -255,7 +257,7 @@ def main(argv=None):
     else:
         from ..pipeline.batch import TTSPipeline
         pipeline = TTSPipeline.load(args.model_path, args.spt_config,
-                                    args.spt_ckpt)
+                                    args.spt_ckpt, quant=args.quant)
     server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
                           args.batch_window_ms / 1000.0)
     print(f"serving on {args.host}:{server.port} "
