@@ -23,7 +23,6 @@ number of distinct compiled programs stays bounded.
 
 from __future__ import annotations
 
-import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
