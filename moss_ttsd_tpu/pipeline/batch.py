@@ -119,13 +119,29 @@ class TTSPipeline:
 
         Returns (actual_texts_data, audio_results); audio_results entries are
         dicts {audio_data (1, T) float32, sample_rate, index} or None.
+
+        Per-item isolation (the reference's contract, generation_utils.py:
+        434-467): an item that fails preparation (bad audio path, malformed
+        record) is reported as None + an "error" entry in its text metadata;
+        the rest of the batch still generates.
         """
-        shifted_list, texts_data = [], []
+        shifted_list, texts_data, ok_idx = [], [], []
         for i, item in enumerate(batch_items):
-            shifted, meta = self.prepare_item(item, system_prompt, use_normalize)
+            try:
+                shifted, meta = self.prepare_item(item, system_prompt,
+                                                  use_normalize)
+            except Exception as e:            # noqa: BLE001 — isolate items
+                import traceback
+                traceback.print_exc()
+                texts_data.append({"index": start_idx + i, "error": str(e)})
+                continue
             meta["index"] = start_idx + i
             shifted_list.append(shifted)
             texts_data.append(meta)
+            ok_idx.append(i)
+
+        if not shifted_list:
+            return texts_data, [None] * len(batch_items)
 
         batch, mask = pp.left_pad_batch(shifted_list, self.tokenizer.pad_token_id,
                                         self.lm_cfg.speech_pad_token)
@@ -147,11 +163,11 @@ class TTSPipeline:
         # masked inside the codec's 30 s chunking) — per-item calls would
         # leave the batch dimension of the compiled codec idle
         valid_idx, valid_codes = [], []
-        for i in range(len(batch_items)):
-            end = int(li[i]) + 1
+        for row, i in enumerate(ok_idx):
+            end = int(li[row]) + 1
             if end <= 0:
                 continue
-            codes = speech_ids[i, :end].T.astype(np.int32)      # (nq, T)
+            codes = speech_ids[row, :end].T.astype(np.int32)    # (nq, T)
             # clip safety: a malformed ch0 row outside the speech range would
             # otherwise index out of the codebook
             codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)

@@ -130,3 +130,39 @@ def test_build_prompt_ids_audio_offset():
     assert ids[-2, 0] == 1000 + 0
     assert ids[-1, 0] == 1000 + 8
     assert ids[-1, 1] == 9
+
+
+def test_process_batch_per_item_isolation():
+    """A bad item (missing audio file) must not sink the batch
+    (reference generation_utils.py:434-467 contract)."""
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.core.config import CodecConfig, LMConfig
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.pipeline.batch import TTSPipeline
+    from tests.test_decode import greedy_sampling
+
+    tok = MockTokenizer()
+    lm_cfg = LMConfig(dtype="float32", param_dtype="float32").tiny(
+        vocab_size=300, speech_vocab_size=65, speech_pad_token=64,
+        speech_token_range=(0, 290), eos_token_id=290,
+        pad_token_id=tok.pad_token_id)
+    model = AsteroidLM(lm_cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, lm_cfg.channels), jnp.int32))
+    spt = XYTokenizer.init_random(CodecConfig().tiny(), seed=0)
+    pipe = TTSPipeline(tok, lm_cfg, params, spt, greedy_sampling(), bucket=32)
+    pipe.engine.cache_dtype = jnp.float32
+
+    items = [
+        {"text": "[S1]good item[S2]fine"},
+        {"text": "[S1]bad", "prompt_audio": "/does/not/exist.wav",
+         "prompt_text": "x"},
+        {"text": "[S1]also good[S2]yes"},
+    ]
+    texts, audio = pipe.process_batch(items, max_new_tokens=8)
+    assert len(texts) == 3 and len(audio) == 3
+    assert "error" in texts[1] and audio[1] is None
+    assert audio[0] is not None and audio[2] is not None
+    assert texts[0]["index"] == 0 and texts[2]["index"] == 2
