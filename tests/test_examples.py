@@ -47,3 +47,17 @@ def test_text_only_format():
         parsed = process_jsonl_item(it)
         assert parsed["prompt_audio"] is None
         assert parsed["text"]
+
+
+def test_codec_roundtrip_cli(tmp_path):
+    """Codec CLI end-to-end over the bundled example voices (C15 parity)."""
+    from moss_ttsd_tpu.cli.codec_roundtrip import main as rt_main
+    out = str(tmp_path / "recon")
+    rc = rt_main(["--input_dir", EXAMPLES, "--output_dir", out, "--tiny",
+                  "--platform", "cpu", "--batch_size", "2"])
+    assert rc == 0
+    recons = [f for f in os.listdir(out) if f.endswith("_recon.wav")]
+    assert len(recons) == 3          # voice_s1, voice_s2, voice_both
+    from moss_ttsd_tpu.utils.audio_io import read_wav
+    wav, sr = read_wav(os.path.join(out, recons[0]))
+    assert sr == 24000 and wav.shape[-1] > 0

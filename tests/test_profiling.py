@@ -61,3 +61,38 @@ def test_initialize_multihost_noop_without_env(monkeypatch):
               "MEGASCALE_COORDINATOR_ADDRESS"):
         monkeypatch.delenv(k, raising=False)
     assert initialize_multihost() is False
+
+
+def test_serving_memory_estimate():
+    from moss_ttsd_tpu.core.config import LMConfig
+    from moss_ttsd_tpu.utils.memory import lm_param_count, serving_memory
+
+    cfg = LMConfig()                      # full MOSS-TTSD-v0.5 geometry
+    n = lm_param_count(cfg)
+    assert 1.5e9 < n < 2.5e9              # ~1.7B-class
+
+    bf16 = serving_memory(cfg, batch=1, max_audio_seconds=600)
+    int8 = serving_memory(cfg, batch=1, max_audio_seconds=600, quant="int8")
+    # reference README.md:156-161 reports 6.91 GB at 600 s batch-1 bf16;
+    # the static-cache engine must be in the same class and int8 well below
+    assert bf16.total_gb < 7.0
+    assert int8.total_gb < bf16.total_gb - 1.0
+    # cache grows linearly with audio length
+    short = serving_memory(cfg, batch=1, max_audio_seconds=120)
+    assert bf16.kv_cache_gb > short.kv_cache_gb * 4
+
+
+def test_lm_param_count_matches_init():
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.core.config import LMConfig
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.utils.memory import lm_param_count
+
+    cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+    params = jax.eval_shape(
+        lambda k: AsteroidLM(cfg).init(k, jnp.zeros((1, 4, cfg.channels),
+                                                    jnp.int32)),
+        jax.random.PRNGKey(0))
+    actual = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    assert lm_param_count(cfg) == actual
