@@ -227,8 +227,8 @@ class GenerationEngine:
                  quant: Optional[str] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
-        step, dequant fused into each matmul (ops/quantize.py). Not combined
-        with mesh sharding yet."""
+        step, dequant fused into each matmul (ops/quantize.py). Composes with
+        mesh sharding (tests/test_quantize.py::test_int8_mesh_engine_matches_unsharded)."""
         self.cfg = cfg
         # store weights in the compute dtype once — the decode step is
         # weight-bandwidth-bound, so fp32 storage would halve throughput

@@ -80,6 +80,28 @@ def make_train_step(cfg: LMConfig, optimizer,
     return train_step
 
 
+def opt_state_specs(optimizer, opt_state, param_specs):
+    """PartitionSpecs for the optimizer state.
+
+    Adam moments mirror the param shapes, so they inherit the param
+    PartitionSpecs one-to-one (ZeRO-style: no replicated fp32 moment copies on
+    the model axis); every non-param leaf (step counters, empty states) is
+    replicated. This beats the reference's DDP memory contract of a full
+    per-device optimizer (reference finetune/finetune.py:219).
+    """
+    return optax.tree_map_params(
+        optimizer, lambda _, spec: spec, opt_state, param_specs,
+        transform_non_params=lambda _: P())
+
+
+def train_state_specs(optimizer, state: TrainState, param_specs) -> TrainState:
+    """Full TrainState PartitionSpec tree: params + matching optimizer state."""
+    return TrainState(
+        step=P(),
+        params=param_specs,
+        opt_state=opt_state_specs(optimizer, state.opt_state, param_specs))
+
+
 def shard_train_step(train_step, mesh: Mesh, state_specs, batch_spec_tree):
     """pjit the step with explicit shardings (in/out constraint form)."""
     return jax.jit(

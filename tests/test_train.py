@@ -8,7 +8,8 @@ from moss_ttsd_tpu.core.config import LMConfig
 from moss_ttsd_tpu.ops.chunked_ce import (asteroid_loss, chunked_cross_entropy,
                                           shift_for_causal, IGNORE_INDEX)
 from moss_ttsd_tpu.train.step import (init_train_state, make_optimizer,
-                                      make_train_step, TrainState)
+                                      make_train_step, opt_state_specs,
+                                      train_state_specs, TrainState)
 
 
 def tiny_cfg():
@@ -137,3 +138,45 @@ def test_train_step_dp_sharding_equivalence():
     _, m_dp = jax.jit(step)(state, batch_sharded)
     np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
                                rtol=1e-5)
+
+
+def test_opt_state_sharded_like_params():
+    """Adam moment shardings == param shardings on a (2,4) TP mesh (no
+    replicated fp32 moments on the model axis — ZeRO-style)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from moss_ttsd_tpu.parallel.mesh import lm_param_specs, make_mesh
+
+    cfg = LMConfig(dtype="float32", param_dtype="float32").tiny(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, speech_vocab_size=34, speech_pad_token=32,
+        speech_token_range=(100, 134), pad_token_id=0, eos_token_id=200)
+    opt = make_optimizer(total_steps=10)
+    state = init_train_state(cfg, opt, jax.random.PRNGKey(2))
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    param_specs = lm_param_specs(state.params, model_size=4)
+    specs = opt_state_specs(opt, state.opt_state, param_specs)
+
+    # the moment spec tree mirrors the param spec tree exactly
+    adam = [s for s in jax.tree.leaves(
+        specs, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(s, "mu")]
+    assert adam, "no ScaleByAdamState in opt_state specs"
+    for moments in (adam[0].mu, adam[0].nu):
+        eq = jax.tree.map(lambda a, b: a == b, moments, param_specs,
+                          is_leaf=lambda x: isinstance(x, P))
+        assert all(jax.tree.leaves(eq))
+
+    # some spec is actually sharded (mesh axis used), and device_put works
+    flat = jax.tree.leaves(adam[0].mu, is_leaf=lambda x: isinstance(x, P))
+    assert any(s != P() for s in flat)
+    full_specs = train_state_specs(opt, state, param_specs)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), full_specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    placed = jax.tree.map(jax.device_put, state, shardings)
+    placed_adam = [s for s in jax.tree.leaves(
+        placed.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(s, "mu")]
+    got = jax.tree.map(lambda a, spec: a.sharding.spec == spec,
+                       placed_adam[0].mu, param_specs,
+                       is_leaf=lambda x: isinstance(x, P))
+    assert all(jax.tree.leaves(got))
