@@ -131,6 +131,11 @@ class SamplingConfig:
 
     channels: List[ChannelSamplingConfig] = field(default_factory=list)
     max_new_tokens: int = 8192
+    # Total-length cap (prompt + generated), HF max_length semantics: the
+    # reference's MaxLengthCriteria stops at cur_len >= max_length, so the
+    # per-request step count is max_length - prompt_len (resolved by the
+    # engine at generate time).
+    max_length: Optional[int] = None
     # Static pre-filter size used before top-p on the large text-channel vocab;
     # when a channel sets top_k it is used directly.
     topk_prefilter: int = 128
@@ -164,8 +169,15 @@ class SamplingConfig:
                 repetition_penalty=layer.get("repetition_penalty"),
             ))
         cfg = cls(channels=chans)
+        if "max_new_tokens" in d:
+            cfg.max_new_tokens = int(d["max_new_tokens"])
         if "max_length" in d:
-            cfg.max_new_tokens = int(d["max_length"])
+            # HF max_length is a TOTAL length cap (prompt included); keep it
+            # as such and let the engine subtract the prompt length per
+            # request. max_new_tokens stays an upper bound for buffer sizing.
+            cfg.max_length = int(d["max_length"])
+            if "max_new_tokens" not in d:
+                cfg.max_new_tokens = int(d["max_length"])
         return cfg
 
 

@@ -23,6 +23,8 @@ number of distinct compiled programs stays bounded.
 
 from __future__ import annotations
 
+import logging
+from collections import OrderedDict
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -35,6 +37,8 @@ from ..ops.sampling import (ChannelParams, apply_repetition_penalty,
                             presence_from_history, sample_from_channel,
                             scatter_presence)
 from ..ops.attention import NEG_INF
+
+logger = logging.getLogger(__name__)
 
 
 class GenerateResult(NamedTuple):
@@ -60,8 +64,10 @@ class DecodeState(NamedTuple):
 
 def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfig,
                        base: int, max_steps: int, cache_dtype):
-    """Compile-time-closed generate(params, tokens, attn_mask, rng) for one
-    (bucketed prompt length, max_steps) shape."""
+    """Compile-time-closed (prefill, run) pair for one (bucketed prompt
+    length, buffer capacity) shape. ``max_steps`` sizes the token buffer and
+    KV cache; the actual step bound is the dynamic ``upto`` arg of ``run``,
+    so one compiled pair serves every request whose limit fits the buffer."""
     C = cfg.channels
     ch_params: List[ChannelParams] = [ChannelParams.from_config(c)
                                       for c in sampling.channels]
@@ -204,12 +210,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             lambda st: body(params, st),
             state)
 
-    def generate(params, tokens_full, attn_mask, rng):
-        state = run(params, prefill(params, tokens_full, attn_mask, rng),
-                    jnp.int32(max_steps))
-        return state.tokens, state.step
-
-    return generate, prefill, run
+    return prefill, run
 
 
 class GenerationEngine:
@@ -224,7 +225,8 @@ class GenerationEngine:
 
     def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
                  bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, step_bucket: int = 512,
+                 max_cached_programs: int = 8):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
         step, dequant fused into each matmul (ops/quantize.py). Composes with
@@ -261,31 +263,68 @@ class GenerationEngine:
             self._repl_sharding = NamedSharding(mesh, P())
         self.params = params
         self.sampling = sampling or SamplingConfig.default(cfg.channels)
+        for i, ch in enumerate(self.sampling.channels):
+            if (ch.do_sample and (ch.top_p or 1.0) < 1.0
+                    and (ch.top_k or 0) <= 0):
+                logger.warning(
+                    "channel %d samples with top_p=%.3g but no top_k: the "
+                    "static top-%d prefilter truncates the nucleus whenever "
+                    "it exceeds %d candidates (approximate vs HF's exact "
+                    "TopPLogitsWarper); set top_k or raise "
+                    "SamplingConfig.topk_prefilter", i, ch.top_p,
+                    self.sampling.topk_prefilter, self.sampling.topk_prefilter)
         self.model = AsteroidLM(cfg)
         self.bucket = bucket
+        # buffer capacity (KV cache + token buffer) is bucketed to multiples
+        # of step_bucket so varying max_tokens shares compiled programs; the
+        # actual step bound is a dynamic scalar.
+        self.step_bucket = step_bucket
+        self.max_cached_programs = max_cached_programs
         self.cache_dtype = cache_dtype
-        self._compiled = {}
+        self._compiled: OrderedDict = OrderedDict()
 
-    def _get_fns(self, base: int, max_steps: int):
-        key = (base, max_steps)
-        if key not in self._compiled:
-            gen, prefill, run = _build_generate_fn(
-                self.model, self.cfg, self.sampling, base, max_steps,
-                self.cache_dtype)
-            if self.mesh is not None:
-                io_sh = (self._param_shardings, self._data_sharding,
-                         self._data_sharding, self._repl_sharding)
-                gen = jax.jit(gen, in_shardings=io_sh)
-                prefill = jax.jit(prefill, in_shardings=io_sh)
-                run = jax.jit(run, in_shardings=(self._param_shardings,
-                                                 None, None))
-            else:
-                gen, prefill, run = jax.jit(gen), jax.jit(prefill), jax.jit(run)
-            self._compiled[key] = (gen, prefill, run)
+    def _get_fns(self, base: int, buf_steps: int):
+        """(prefill, run) for one (prompt-base, buffer-capacity) key, with an
+        LRU-capped cache so a long-tail serving mix (varying max_tokens /
+        prompt lengths) compiles a bounded number of programs."""
+        key = (base, buf_steps)
+        if key in self._compiled:
+            self._compiled.move_to_end(key)
+            return self._compiled[key]
+        logger.info("GenerationEngine: compiling (base=%d, buf_steps=%d); "
+                    "%d program pair(s) cached", base, buf_steps,
+                    len(self._compiled))
+        prefill, run = _build_generate_fn(
+            self.model, self.cfg, self.sampling, base, buf_steps,
+            self.cache_dtype)
+        if self.mesh is not None:
+            io_sh = (self._param_shardings, self._data_sharding,
+                     self._data_sharding, self._repl_sharding)
+            prefill = jax.jit(prefill, in_shardings=io_sh)
+            run = jax.jit(run, in_shardings=(self._param_shardings,
+                                             None, None))
+        else:
+            prefill, run = jax.jit(prefill), jax.jit(run)
+        self._compiled[key] = (prefill, run)
+        while len(self._compiled) > self.max_cached_programs:
+            old_key, _ = self._compiled.popitem(last=False)
+            logger.info("GenerationEngine: evicting compiled pair %s", old_key)
         return self._compiled[key]
 
-    def _get_fn(self, base: int, max_steps: int):
-        return self._get_fns(base, max_steps)[0]
+    def _step_budget(self, max_new_tokens: Optional[int], prompt_len: int):
+        """Resolve (steps to run, buffer capacity) for a request.
+
+        HF max_length semantics (reference MaxLengthCriteria): the config's
+        max_length caps prompt+generated total, so the per-request step count
+        is max_length - prompt_len. Buffer capacity is bucketed upward so the
+        number of distinct compiled programs stays bounded.
+        """
+        steps = max_new_tokens or self.sampling.max_new_tokens
+        if self.sampling.max_length is not None and max_new_tokens is None:
+            steps = min(steps, max(1, self.sampling.max_length - prompt_len))
+        sb = self.step_bucket
+        buf = max(sb, -(-steps // sb) * sb)
+        return steps, buf
 
     def _bucket_prompt(self, input_ids: np.ndarray, attention_mask: np.ndarray):
         """Left-pad the prompt to a bucket multiple; returns (ids, mask, base)."""
@@ -309,15 +348,16 @@ class GenerationEngine:
         attention_mask: (B, L). Mirrors reference model.generate()
         (generation_utils.py:406-409) with jitted execution.
         """
-        max_steps = max_new_tokens or self.sampling.max_new_tokens
+        max_steps, buf_steps = self._step_budget(max_new_tokens,
+                                                 input_ids.shape[1])
         input_ids, attention_mask, base = self._bucket_prompt(input_ids,
                                                               attention_mask)
-        fn = self._get_fn(base, max_steps)
-        tokens, steps = fn(self.params, jnp.asarray(input_ids),
-                           jnp.asarray(attention_mask),
-                           jax.random.PRNGKey(seed))
-        steps = int(steps)
-        return GenerateResult(tokens=np.asarray(tokens[:, :base + steps]),
+        prefill, run = self._get_fns(base, buf_steps)
+        state = prefill(self.params, jnp.asarray(input_ids),
+                        jnp.asarray(attention_mask), jax.random.PRNGKey(seed))
+        state = run(self.params, state, jnp.int32(max_steps))
+        steps = int(state.step)
+        return GenerateResult(tokens=np.asarray(state.tokens[:, :base + steps]),
                               steps=steps, base=base)
 
     def generate_stream(self, input_ids: np.ndarray, attention_mask: np.ndarray,
@@ -333,10 +373,11 @@ class GenerationEngine:
         up) an HF streamer for this path (reference modeling_asteroid.py:
         161-162; SURVEY §3.4).
         """
-        max_steps = max_new_tokens or self.sampling.max_new_tokens
+        max_steps, buf_steps = self._step_budget(max_new_tokens,
+                                                 input_ids.shape[1])
         input_ids, attention_mask, base = self._bucket_prompt(input_ids,
                                                               attention_mask)
-        _, prefill, run = self._get_fns(base, max_steps)
+        prefill, run = self._get_fns(base, buf_steps)
         state = prefill(self.params, jnp.asarray(input_ids),
                         jnp.asarray(attention_mask), jax.random.PRNGKey(seed))
         done = 0

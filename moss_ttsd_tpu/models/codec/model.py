@@ -93,6 +93,59 @@ class XYTokenizerModule(nn.Module):
         det = self.detokenize(tok["codes"], tok["codes_lengths"])
         return {**tok, **det}
 
+    def train_forward(self, wav: jnp.ndarray, lengths: jnp.ndarray,
+                      rng: jax.Array):
+        """Training round-trip: encoder stack -> RVQ in TRAIN mode (quantizer
+        dropout / skip-rvq / EMA statistics, reference quantizer.py:244-343)
+        -> decoder stack on the straight-through zq (gradients flow into the
+        encoders through the commitment + reconstruction losses).
+
+        Returns dict(wav, wav_lengths, codes, commit_losses (nq,), vq_stats).
+        """
+        c = self.cfg
+        mel = log_mel_spectrogram(
+            wav, n_fft=c.feature_extractor.n_fft, hop=c.feature_extractor.hop_length,
+            num_mels=c.feature_extractor.feature_size,
+            sampling_rate=c.feature_extractor.sampling_rate)
+        mel = jnp.swapaxes(mel, -1, -2)
+        mel_lengths = jnp.ceil(lengths / c.feature_extractor.hop_length).astype(jnp.int32)
+
+        sem, sem_len = self.semantic_encoder(mel, mel_lengths)
+        sem, sem_len = self.semantic_encoder_adapter(sem, sem_len)
+        aco, aco_len = self.acoustic_encoder(mel, mel_lengths)
+        mixed = jnp.concatenate([sem, aco], axis=-1)
+        mixed, mix_len = self.pre_rvq_adapter(mixed, aco_len)
+        down, down_len = self.downsample(mixed, mix_len)
+        zq, codes, commits, q_len, stats = self.quantizer.train_call(
+            down, down_len, rng)
+
+        h, h_len = self.post_rvq_adapter(zq, q_len)
+        h, h_len = self.upsample(h, h_len)
+        h, h_len = self.acoustic_decoder(h, h_len)
+        wav24, wav_len = self.vocos(h, h_len)
+        return {"wav": wav24, "wav_lengths": wav_len, "codes": codes,
+                "commit_losses": commits, "vq_stats": stats}
+
+    def kmeans_init_codebooks(self, wav: jnp.ndarray, lengths: jnp.ndarray,
+                              rng: jax.Array):
+        """Run the encoder stack and k-means-initialize every RVQ stage from
+        the first batch (reference init_codebook, quantizer.py:132-152).
+        Returns (new_codebook (nq, K, D), cluster_sizes (nq, K))."""
+        c = self.cfg
+        mel = log_mel_spectrogram(
+            wav, n_fft=c.feature_extractor.n_fft, hop=c.feature_extractor.hop_length,
+            num_mels=c.feature_extractor.feature_size,
+            sampling_rate=c.feature_extractor.sampling_rate)
+        mel = jnp.swapaxes(mel, -1, -2)
+        mel_lengths = jnp.ceil(lengths / c.feature_extractor.hop_length).astype(jnp.int32)
+        sem, sem_len = self.semantic_encoder(mel, mel_lengths)
+        sem, sem_len = self.semantic_encoder_adapter(sem, sem_len)
+        aco, aco_len = self.acoustic_encoder(mel, mel_lengths)
+        mixed = jnp.concatenate([sem, aco], axis=-1)
+        mixed, mix_len = self.pre_rvq_adapter(mixed, aco_len)
+        down, down_len = self.downsample(mixed, mix_len)
+        return self.quantizer.kmeans_init_call(down, down_len, rng)
+
 
 class XYTokenizer:
     """User-facing codec with the reference's chunked encode/decode API
@@ -107,6 +160,7 @@ class XYTokenizer:
         self.encoder_downsample_rate = cfg.encoder_downsample_rate
         self.decoder_upsample_rate = cfg.decoder_upsample_rate
         self.nq = cfg.quantizer.num_quantizers
+        self.chunk_seconds = chunk_seconds
         self.chunk_samples = chunk_seconds * cfg.input_sample_rate
         self.chunk_codes = self.chunk_samples // cfg.encoder_downsample_rate
 
@@ -213,7 +267,11 @@ class XYTokenizer:
         the return contract is unchanged (serving writes 16-bit wavs, so the
         extra quantization is exactly the file bit depth).
         """
-        duration_codes = self.chunk_codes - overlap_seconds * self.input_sample_rate \
+        # reference formula ((30 - overlap)*sr) // dsr — floor AFTER the
+        # multiply, which differs from chunk_codes - (overlap*sr)//dsr by one
+        # code whenever overlap*sr isn't a multiple of dsr
+        duration_codes = ((self.chunk_seconds - overlap_seconds)
+                          * self.input_sample_rate) \
             // self.encoder_downsample_rate
         duration_wav = duration_codes * self.decoder_upsample_rate
 

@@ -273,8 +273,15 @@ def istft_same(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int) -> jnp.nd
 
 @functools.lru_cache(maxsize=32)
 def _resample_kernel(orig_freq: int, new_freq: int, lowpass_filter_width: int = 6,
-                     rolloff: float = 0.99, beta: float = 14.769656459379492):
-    """Kaiser-windowed-sinc polyphase kernel (torchaudio-compatible semantics).
+                     rolloff: float = 0.99, beta: float = 14.769656459379492,
+                     window: str = "hann"):
+    """Windowed-sinc polyphase kernel (torchaudio-compatible semantics).
+
+    window="hann" matches torchaudio.functional.resample's default
+    (sinc_interp_hann) — the variant the reference hits through its default
+    resample calls (reference generation_utils.py:117) — so prompt audio at
+    non-16 kHz rates produces the same samples. window="kaiser" matches
+    sinc_interp_kaiser (better stopband).
 
     Returns (kernel, width) where kernel has shape (new_freq_r, kernel_size) and
     width is the one-sided support in input samples (after gcd reduction).
@@ -287,25 +294,30 @@ def _resample_kernel(orig_freq: int, new_freq: int, lowpass_filter_width: int = 
     t = np.arange(0, -new_freq_r, -1, dtype=np.float64)[:, None] / new_freq_r + idx
     t = t * base_freq
     t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
-    # kaiser window
-    window = np.i0(beta * np.sqrt(1 - (t / lowpass_filter_width) ** 2)) / np.i0(beta)
+    if window == "hann":
+        win = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
+    elif window == "kaiser":
+        win = np.i0(beta * np.sqrt(1 - (t / lowpass_filter_width) ** 2)) / np.i0(beta)
+    else:
+        raise ValueError(f"unknown window {window!r}")
     t = t * np.pi
     scale = base_freq / orig_freq_r
     kernel = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
-    kernel = kernel * window * scale
+    kernel = kernel * win * scale
     return kernel.astype(np.float32), width, orig_freq_r, new_freq_r
 
 
-def resample(x: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
+def resample(x: np.ndarray, orig_freq: int, new_freq: int,
+             window: str = "hann") -> np.ndarray:
     """Polyphase sinc resampling of (..., T) — numpy host-side (IO path).
 
-    Matches torchaudio.functional.resample (sinc_interp_kaiser defaults differ:
-    we use the kaiser-window variant for better stopband; the 'hann' variant of
-    torchaudio default is close — both are windowed-sinc lowpass designs).
+    Default window="hann" matches torchaudio.functional.resample's default
+    (sinc_interp_hann), the path the reference uses for prompt audio.
     """
     if orig_freq == new_freq:
         return x
-    kernel, width, of_r, nf_r = _resample_kernel(int(orig_freq), int(new_freq))
+    kernel, width, of_r, nf_r = _resample_kernel(int(orig_freq), int(new_freq),
+                                                 window=window)
     length = x.shape[-1]
     lead = x.shape[:-1]
     xf = x.reshape((-1, length)).astype(np.float32)
@@ -322,11 +334,13 @@ def resample(x: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
     return out.reshape(lead + (target_len,))
 
 
-def resample_jax(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
+def resample_jax(x: jnp.ndarray, orig_freq: int, new_freq: int,
+                 window: str = "hann") -> jnp.ndarray:
     """Jittable polyphase sinc resampling of (..., T) on-device."""
     if orig_freq == new_freq:
         return x
-    kernel, width, of_r, nf_r = _resample_kernel(int(orig_freq), int(new_freq))
+    kernel, width, of_r, nf_r = _resample_kernel(int(orig_freq), int(new_freq),
+                                                 window=window)
     length = x.shape[-1]
     lead = x.shape[:-1]
     xf = x.reshape((-1, length)).astype(jnp.float32)

@@ -182,6 +182,9 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    return self._json_error(400, "bad request: body must be "
+                                                 "a JSON object")
                 text = payload["input"]
             except (KeyError, json.JSONDecodeError) as e:
                 return self._json_error(400, f"bad request: {e}")

@@ -42,7 +42,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # always run make: it no-ops when the .so is newer than the source,
+        # and rebuilds a stale .so after an ABI change
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -55,7 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ma_resample.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64]
+            ctypes.c_int64, ctypes.c_int32]
         lib.ma_wav_info.restype = ctypes.c_int32
         lib.ma_wav_info.argtypes = [ctypes.c_char_p,
                                     ctypes.POINTER(ctypes.c_int32),
@@ -82,8 +84,14 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def resample(x: np.ndarray, sr_in: int, sr_out: int) -> Optional[np.ndarray]:
-    """(..., T) float32 -> resampled, or None if the native lib is missing."""
+def resample(x: np.ndarray, sr_in: int, sr_out: int,
+             window: str = "hann") -> Optional[np.ndarray]:
+    """(..., T) float32 -> resampled, or None if the native lib is missing.
+
+    window="hann" matches torchaudio.functional.resample's default
+    (sinc_interp_hann, the reference's prompt-audio path); "kaiser" selects
+    the sinc_interp_kaiser variant.
+    """
     lib = _load()
     if lib is None:
         return None
@@ -95,7 +103,8 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> Optional[np.ndarray]:
     n_out = int(lib.ma_resample_out_len(n_in, sr_in, sr_out))
     out = np.empty((xf.shape[0], n_out), np.float32)
     rc = lib.ma_resample(_fptr(xf), xf.shape[0], n_in, sr_in, sr_out,
-                         _fptr(out), n_out)
+                         _fptr(out), n_out,
+                         0 if window == "hann" else 1)
     if rc != 0:
         return None
     return out.reshape(lead + (n_out,))

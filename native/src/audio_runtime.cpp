@@ -44,8 +44,9 @@ struct PolyKernel {
   int ksz = 0;
 };
 
+// window_mode: 0 = hann (torchaudio sinc_interp_hann default), 1 = kaiser
 PolyKernel build_kernel(int orig_freq, int new_freq, int lowpass_filter_width,
-                        double rolloff, double beta) {
+                        double rolloff, double beta, int window_mode) {
   PolyKernel k;
   int g = std::gcd(orig_freq, new_freq);
   k.of_r = orig_freq / g;
@@ -63,10 +64,16 @@ PolyKernel build_kernel(int orig_freq, int new_freq, int lowpass_filter_width,
       t *= base_freq;
       t = std::min(std::max(t, (double)-lowpass_filter_width),
                    (double)lowpass_filter_width);
-      double ratio = t / lowpass_filter_width;
-      double window =
-          bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - ratio * ratio))) /
-          i0_beta;
+      double window;
+      if (window_mode == 0) {
+        double c = std::cos(t * M_PI / lowpass_filter_width / 2.0);
+        window = c * c;
+      } else {
+        double ratio = t / lowpass_filter_width;
+        window =
+            bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - ratio * ratio))) /
+            i0_beta;
+      }
       double tp = t * M_PI;
       double sinc = (tp == 0.0) ? 1.0 : std::sin(tp) / tp;
       k.weights[(size_t)p * k.ksz + j] = (float)(sinc * window * scale);
@@ -185,14 +192,17 @@ int64_t ma_resample_out_len(int64_t n_in, int32_t sr_in, int32_t sr_out) {
 }
 
 // in: (rows, n_in) row-major; out: (rows, n_out) row-major. Returns 0 on ok.
+// window_mode: 0 = hann (torchaudio default), 1 = kaiser.
 int32_t ma_resample(const float* in, int64_t rows, int64_t n_in, int32_t sr_in,
-                    int32_t sr_out, float* out, int64_t n_out) {
+                    int32_t sr_out, float* out, int64_t n_out,
+                    int32_t window_mode) {
   if (sr_in <= 0 || sr_out <= 0 || n_in < 0) return 1;
   if (sr_in == sr_out) {
     std::memcpy(out, in, sizeof(float) * (size_t)rows * (size_t)n_in);
     return 0;
   }
-  PolyKernel k = build_kernel(sr_in, sr_out, 6, 0.99, 14.769656459379492);
+  PolyKernel k =
+      build_kernel(sr_in, sr_out, 6, 0.99, 14.769656459379492, window_mode);
   int64_t blocks = (n_in + k.of_r - 1) / k.of_r;
   int nthreads = (int)std::min<int64_t>(hw_threads(), std::max<int64_t>(1, blocks * rows / 4096 + 1));
   for (int64_t r = 0; r < rows; ++r) {

@@ -147,6 +147,54 @@ def test_engine_bucketing_invariance(setup):
     np.testing.assert_array_equal(r1.tokens[:, r1.base:], r2.tokens[:, r2.base:])
 
 
+def test_compile_cache_bounded_mixed_workload(setup):
+    """A mixed workload (varying max_new_tokens and prompt lengths) compiles a
+    bounded number of programs: max_steps is bucketed into buffer capacity and
+    the actual bound is a dynamic scalar, so requests share compiled pairs."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(5)
+    engine = GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
+                              cache_dtype=jnp.float32, step_bucket=64,
+                              max_cached_programs=4)
+    for text_len, steps in [(5, 10), (6, 25), (7, 40), (5, 63), (6, 12),
+                            (8, 30)]:
+        prompts = [make_prompt(cfg, rng, text_len, 3)]
+        batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                     cfg.speech_pad_token)
+        engine.generate(batch, mask, max_new_tokens=steps, seed=0)
+    # every prompt buckets to 32 and every step count to 64 -> ONE program pair
+    assert len(engine._compiled) == 1
+
+    # exceed the LRU cap -> evictions keep the cache bounded
+    for steps in [70, 140, 200, 260, 330]:
+        prompts = [make_prompt(cfg, rng, 5, 3)]
+        batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                     cfg.speech_pad_token)
+        engine.generate(batch, mask, max_new_tokens=steps, seed=0)
+    assert len(engine._compiled) <= 4
+
+
+def test_max_length_total_cap(setup):
+    """SamplingConfig.max_length is a TOTAL length cap (HF MaxLengthCriteria):
+    steps run = max_length - prompt_len, not max_length."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(6)
+    prompts = [make_prompt(cfg, rng, 6, 4)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    L = batch.shape[1]
+    sampling = greedy_sampling()
+    sampling.max_length = L + 5
+    sampling.max_new_tokens = 100
+    engine = GenerationEngine(cfg, params, sampling, bucket=L,
+                              cache_dtype=jnp.float32, step_bucket=64)
+    res = engine.generate(batch, mask, seed=0)
+    assert res.steps <= 5
+    # explicit max_new_tokens overrides the config cap
+    res2 = engine.generate(batch, mask, max_new_tokens=8, seed=0)
+    assert res2.steps <= 8 and res2.steps > 5
+
+
 def test_shift_unshift_roundtrip():
     cfg = tiny_cfg()
     rng = np.random.default_rng(2)
