@@ -92,6 +92,38 @@ def sample_from_channel(rng: jax.Array, logits: jnp.ndarray, p: ChannelParams,
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
 
 
+def processed_logits(logits: jnp.ndarray, presence: jnp.ndarray,
+                     p: ChannelParams, prefilter_k: int = 128,
+                     approx_topk: bool = False) -> jnp.ndarray:
+    """Dense (B, V) post-processor logits — exactly the distribution
+    ``sample_from_channel`` draws from, scattered back to the full vocab with
+    NEG_INF at filtered entries.
+
+    Mirrors the reference's per-channel HF chain (modeling_asteroid.py:95-109:
+    RepetitionPenalty -> Temperature -> TopK -> TopP); used for rng-free
+    parity tests against transformers' LogitsProcessorList and for logit
+    inspection. Identical to HF output wherever the nucleus fits in the
+    static prefilter (exact whenever the channel sets top_k; see the
+    GenerationEngine warning otherwise). Tie-breaking at the k-th value keeps
+    exactly K entries, where HF's threshold rule may keep more — measure-zero
+    for float logits.
+    """
+    logits = apply_repetition_penalty(logits, presence, p.repetition_penalty)
+    V = logits.shape[-1]
+    K = min(p.top_k if p.top_k > 0 else prefilter_k, V)
+    if approx_topk and V > 4096:
+        vals, idx = jax.lax.approx_max_k(logits, K, recall_target=0.95,
+                                         aggregate_to_topk=True)
+    else:
+        vals, idx = jax.lax.top_k(logits, K)
+    if p.temperature != 1.0:
+        vals = vals / p.temperature
+    if p.top_p < 1.0:
+        vals = jnp.where(top_p_mask_sorted(vals, p.top_p), vals, NEG_INF)
+    out = jnp.full(logits.shape, NEG_INF, logits.dtype)
+    return jax.vmap(lambda o, i, v: o.at[i].set(v))(out, idx, vals)
+
+
 def scatter_presence(presence: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     """Mark tokens (...,) as present in presence (..., V)."""
     flat_p = presence.reshape(-1, presence.shape[-1])

@@ -171,3 +171,133 @@ def test_training_loss_parity(models):
                                weights, num_chunks=4)
     np.testing.assert_allclose(np.asarray(per), ref_per, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+
+
+def _hf_chain(rp, temp, top_k, top_p):
+    from transformers.generation.logits_process import (
+        LogitsProcessorList, RepetitionPenaltyLogitsProcessor,
+        TemperatureLogitsWarper, TopKLogitsWarper, TopPLogitsWarper)
+    chain = LogitsProcessorList()
+    if rp is not None:
+        chain.append(RepetitionPenaltyLogitsProcessor(penalty=rp))
+    if temp is not None:
+        chain.append(TemperatureLogitsWarper(temperature=temp))
+    if top_k is not None:
+        chain.append(TopKLogitsWarper(top_k=top_k))
+    if top_p is not None:
+        chain.append(TopPLogitsWarper(top_p=top_p))
+    return chain
+
+
+def _compare_processed(ours_np, hf_np, neg_inf_cut=-1e29):
+    """Finite-support equality + value agreement on the kept entries."""
+    kept_ours = ours_np > neg_inf_cut
+    kept_hf = np.isfinite(hf_np)
+    np.testing.assert_array_equal(kept_ours, kept_hf)
+    np.testing.assert_allclose(ours_np[kept_ours], hf_np[kept_hf], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_processed_logits_match_hf_chain_on_model_logits(models):
+    """The production sampling pipeline (repetition penalty -> temperature ->
+    top-k -> top-p, ops/sampling.py) produces EXACTLY the logits HF's actual
+    LogitsProcessorList yields (reference builds that chain per channel,
+    modeling_asteroid.py:95-109) — rng-free, on real model logits with the
+    real generation history (left-pads included, as HF sees them)."""
+    import torch
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.ops.sampling import (ChannelParams,
+                                            presence_from_history,
+                                            processed_logits)
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+
+    ref_model, our_cfg, params = models
+    rng = np.random.default_rng(11)
+    prompts = [make_prompt(rng, 6, 4), make_prompt(rng, 4, 2)]
+    batch, mask = left_pad_batch(prompts, PAD_TEXT, PAD_SPEECH)
+    B, L, _ = batch.shape
+
+    model = AsteroidLM(our_cfg)
+    text_logits, speech_logits = model.apply(params, jnp.asarray(batch),
+                                             jnp.asarray(mask))
+    # channel 0: big text vocab; reference generation_config.json-style params
+    t_logits = np.asarray(text_logits[:, -1], np.float32)
+    history0 = batch[..., 0]
+    for rp, temp, top_k, top_p in [(1.3, 0.9, 50, 0.9), (None, 0.7, 30, None),
+                                   (1.1, None, None, 0.8)]:
+        hf = _hf_chain(rp, temp, top_k, top_p)(
+            torch.from_numpy(history0),
+            torch.from_numpy(t_logits.copy())).numpy()
+        p = ChannelParams.from_config(ChannelSamplingConfig(
+            do_sample=True, temperature=temp, top_k=top_k, top_p=top_p,
+            repetition_penalty=rp))
+        presence = presence_from_history(jnp.asarray(history0),
+                                         our_cfg.vocab_size)
+        ours = np.asarray(processed_logits(
+            jnp.asarray(t_logits), presence, p,
+            prefilter_k=our_cfg.vocab_size if top_p and not top_k else 128))
+        _compare_processed(ours, hf)
+
+    # a speech channel (1025-entry vocab, full-vocab exact regardless)
+    s_logits = np.asarray(speech_logits[:, -1, 0], np.float32)
+    history1 = batch[..., 1]
+    hf = _hf_chain(1.2, 0.8, 25, 0.85)(
+        torch.from_numpy(history1), torch.from_numpy(s_logits.copy())).numpy()
+    p = ChannelParams(do_sample=True, temperature=0.8, top_k=25, top_p=0.85,
+                      repetition_penalty=1.2)
+    presence = presence_from_history(jnp.asarray(history1),
+                                     our_cfg.speech_vocab_size)
+    ours = np.asarray(processed_logits(jnp.asarray(s_logits), presence, p))
+    _compare_processed(ours, hf)
+
+
+def test_topp_prefilter_truncation_quantified(models):
+    """Quantifies the static top-K prefilter's top-p truncation (ops/sampling
+    docstring contract): EXACT when the nucleus fits in K; when it doesn't,
+    our kept set is the top-m prefix of HF's kept set and the truncated
+    probability mass is measured."""
+    import torch
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.ops.sampling import ChannelParams, processed_logits
+
+    ref_model, our_cfg, params = models
+    rng = np.random.default_rng(13)
+    prompts = [make_prompt(rng, 6, 4)]
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    batch, mask = left_pad_batch(prompts, PAD_TEXT, PAD_SPEECH)
+    model = AsteroidLM(our_cfg)
+    text_logits, _ = model.apply(params, jnp.asarray(batch), jnp.asarray(mask))
+    base = np.asarray(text_logits[:, -1], np.float32)        # (1, 152704)
+
+    K = 128
+    p = ChannelParams(do_sample=True, temperature=1.0, top_k=0, top_p=0.95,
+                      repetition_penalty=1.0)
+    presence = jnp.zeros((1, our_cfg.vocab_size), bool)
+
+    # peaked logits: nucleus fits in K -> exact match with HF
+    peaked = base * 40.0
+    hf = _hf_chain(None, None, None, 0.95)(
+        torch.zeros(1, 0, dtype=torch.long),
+        torch.from_numpy(peaked.copy())).numpy()
+    assert np.isfinite(hf).sum() <= K, "test setup: nucleus must fit in K"
+    ours = np.asarray(processed_logits(jnp.asarray(peaked), presence, p,
+                                       prefilter_k=K))
+    _compare_processed(ours, hf)
+
+    # near-flat logits (random tiny model): nucleus >> K -> ours is the top-m
+    # prefix; measure the truncated mass
+    hf = _hf_chain(None, None, None, 0.95)(
+        torch.zeros(1, 0, dtype=torch.long),
+        torch.from_numpy(base.copy())).numpy()
+    ours = np.asarray(processed_logits(jnp.asarray(base), presence, p,
+                                       prefilter_k=K))
+    kept_ours = ours[0] > -1e29
+    kept_hf = np.isfinite(hf[0])
+    assert kept_ours.sum() <= K < kept_hf.sum()
+    assert not np.any(kept_ours & ~kept_hf)          # strict subset
+    probs = torch.softmax(torch.from_numpy(base[0]), -1).numpy()
+    truncated = probs[kept_hf & ~kept_ours].sum() / probs[kept_hf].sum()
+    # document the scale of the approximation on a near-uniform distribution
+    assert 0.0 < truncated < 1.0
+    print(f"top-p prefilter truncation on near-flat 152k logits: "
+          f"{truncated:.3f} of the nucleus mass (K={K})")
