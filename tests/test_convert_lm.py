@@ -1,0 +1,158 @@
+"""HF-format export round-trip tests (VERDICT r1 #7).
+
+The reference ecosystem consumes save_pretrained-style checkpoints
+(finetune/finetune.py:234-247); export_asteroid_state_dict /
+save_asteroid_checkpoint produce exactly that layout from flax params
+(unstacking scan layers, re-transposing kernels, re-emitting tied heads).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moss_ttsd_tpu.core.config import LMConfig
+from moss_ttsd_tpu.models.lm import AsteroidLM
+from moss_ttsd_tpu.utils.convert_lm import (convert_asteroid_state_dict,
+                                            export_asteroid_state_dict,
+                                            load_asteroid_checkpoint,
+                                            save_asteroid_checkpoint)
+
+
+def tiny_cfg():
+    return LMConfig(dtype="float32", param_dtype="float32").tiny()
+
+
+def make_params(cfg, seed=0):
+    model = AsteroidLM(cfg)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, 8, cfg.channels), jnp.int32))
+
+
+def logits_of(cfg, params, ids):
+    model = AsteroidLM(cfg)
+    t, s = model.apply(params, jnp.asarray(ids))
+    return np.asarray(t), np.asarray(s)
+
+
+def test_export_reload_identical_logits(tmp_path):
+    """export -> load_asteroid_checkpoint -> bit-identical logits."""
+    cfg = tiny_cfg()
+    params = make_params(cfg)
+    save_asteroid_checkpoint(params, cfg, str(tmp_path))
+    assert (tmp_path / "model.safetensors").exists()
+    assert (tmp_path / "config.json").exists()
+
+    reloaded = load_asteroid_checkpoint(str(tmp_path), cfg)
+    rng = np.random.default_rng(0)
+    ids = np.full((2, 10, cfg.channels), cfg.speech_pad_token, np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (2, 10))
+    t0, s0 = logits_of(cfg, params, ids)
+    t1, s1 = logits_of(cfg, reloaded, ids)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(s0, s1)
+
+    # config.json round-trips through from_hf_config_json
+    cfg2 = LMConfig.from_hf_config_json(str(tmp_path / "config.json"))
+    assert cfg2.hidden_size == cfg.hidden_size
+    assert cfg2.speech_token_range == cfg.speech_token_range
+
+
+def test_export_state_dict_inverse_of_convert():
+    """export_asteroid_state_dict is the exact inverse of
+    convert_asteroid_state_dict (every tensor, both directions)."""
+    cfg = tiny_cfg()
+    params = make_params(cfg, seed=1)
+    sd = export_asteroid_state_dict(params, cfg)
+    back = convert_asteroid_state_dict(sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    # tree_leaves_with_path gives [(path, leaf)]; compare by path
+    b_by_path = {jax.tree_util.keystr(p): v
+                 for p, v in jax.tree_util.tree_leaves_with_path(back)}
+    for p, v in flat_a:
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_array_equal(np.asarray(v, np.float32),
+                                      np.asarray(b_by_path[key]),
+                                      err_msg=key)
+    # tied heads present and equal to embeddings
+    np.testing.assert_array_equal(sd["lm_heads.0.weight"],
+                                  sd["model.embedding_list.0.weight"])
+
+
+def test_export_with_lora_merge(tmp_path):
+    """LoRA factors fold into the export (reference merge_and_unload,
+    finetune.py:234-241): reloaded logits == merged-params logits and differ
+    from base."""
+    from moss_ttsd_tpu.train.lora import init_lora, merge_lora
+
+    cfg = tiny_cfg()
+    params = make_params(cfg, seed=2)
+    lora = init_lora(params, jax.random.PRNGKey(3), rank=4)
+    # nudge B away from zero so the merge is non-trivial (init keeps B=0)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    merged = merge_lora(params, lora, rank=4, alpha=8.0)
+
+    save_asteroid_checkpoint(params, cfg, str(tmp_path), lora=lora,
+                             lora_rank=4, lora_alpha=8.0)
+    reloaded = load_asteroid_checkpoint(str(tmp_path), cfg)
+
+    rng = np.random.default_rng(5)
+    ids = np.full((1, 8, cfg.channels), cfg.speech_pad_token, np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (1, 8))
+    t_merged, _ = logits_of(cfg, merged, ids)
+    t_loaded, _ = logits_of(cfg, reloaded, ids)
+    t_base, _ = logits_of(cfg, params, ids)
+    np.testing.assert_allclose(t_loaded, t_merged, atol=1e-6)
+    assert np.abs(t_loaded - t_base).max() > 1e-4
+
+
+def test_export_loads_into_reference_torch_model():
+    """The exported state dict loads into the ACTUAL reference torch model
+    (strict), and the torch forward matches our flax forward — finetuned
+    weights are consumable by the reference ecosystem."""
+    from tests.ref_oracle import install_reference_stubs, reference_available
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    install_reference_stubs()
+    import torch
+    from modeling_asteroid import AsteroidTTSConfig, AsteroidTTSInstruct
+
+    VOCAB, SPEECH_RANGE, EOS, PAD_TEXT = 152704, (151665, 152690), 152694, 151643
+    cfg = LMConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rope_theta=10000.0, max_position_embeddings=512,
+        speech_token_range=SPEECH_RANGE, eos_token_id=EOS,
+        pad_token_id=PAD_TEXT, dtype="float32", param_dtype="float32")
+    params = make_params(cfg, seed=7)
+    sd = export_asteroid_state_dict(params, cfg)
+
+    ref_cfg = AsteroidTTSConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rms_norm_eps=cfg.rms_norm_eps, rope_theta=10000.0,
+        attention_bias=False, attention_dropout=0.0,
+        max_position_embeddings=512, channels=8,
+        speech_pad_token=cfg.speech_pad_token, speech_vocab_size=1025,
+        speech_token_range=list(SPEECH_RANGE), eos_token_id=EOS,
+        pad_token_id=PAD_TEXT, attn_implementation="eager")
+    ref_model = AsteroidTTSInstruct(ref_cfg).eval()
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False)
+    assert not unexpected, unexpected
+    assert not missing, missing
+
+    rng = np.random.default_rng(9)
+    B, T = 2, 9
+    ids = np.full((B, T, 8), cfg.speech_pad_token, np.int64)
+    ids[..., 0] = rng.integers(10, 5000, (B, T))
+    with torch.no_grad():
+        out = ref_model(input_ids=torch.from_numpy(ids),
+                        attention_mask=torch.ones(B, T, dtype=torch.long))
+    t_ours, s_ours = logits_of(cfg, params, ids)
+    np.testing.assert_allclose(t_ours, out.logits_all[0].numpy(),
+                               atol=2e-4)
+    np.testing.assert_allclose(s_ours[:, :, 0], out.logits_all[1].numpy(),
+                               atol=2e-4)
