@@ -292,6 +292,16 @@ class VocosConfig:
     n_fft: int = 960
     hop_size: int = 240
     padding: str = "same"
+    # Config-selectable backbone/head family (reference modules.py:795-1449;
+    # the shipped checkpoint uses convnext + istft — the other variants are
+    # the reference's alternative Vocos generators)
+    backbone: str = "convnext"        # "convnext" | "resnet"
+    head: str = "istft"               # "istft" | "imdct_symexp" | "imdct_cos"
+    adanorm_num_embeddings: Optional[int] = None   # conditional ConvNeXt LN
+    num_blocks: int = 3               # ResNet backbone depth
+    mdct_frame_len: int = 480         # IMDCT heads (upsample = frame_len // 2)
+    head_sample_rate: Optional[int] = None   # mel-scale init of IMDCTSymExpHead
+    clip_audio: bool = False
 
 
 @dataclass

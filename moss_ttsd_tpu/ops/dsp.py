@@ -354,3 +354,88 @@ def resample_jax(x: jnp.ndarray, orig_freq: int, new_freq: int,
     target_len = int(np.ceil(new_freq * length / orig_freq))
     out = out[:, :target_len]
     return out.reshape(lead + (target_len,))
+
+
+# ---------------------------------------------------------------------------
+# MDCT / IMDCT (reference modules.py:795-937 — unused by the shipped config
+# but part of the Vocos head family; config-selectable via VocosConfig)
+# ---------------------------------------------------------------------------
+
+def _cosine_window(M: int) -> np.ndarray:
+    """scipy.signal.windows.cosine: w(n) = sin(pi*(n+0.5)/M)."""
+    return np.sin(np.pi * (np.arange(M) + 0.5) / M).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _mdct_basis(frame_len: int) -> np.ndarray:
+    """Real MDCT basis (frame_len, N): windowed-frame @ basis == MDCT.
+
+    Folds the reference's pre/post twiddles + FFT (modules.py:846-854) into
+    ONE real matmul — complex FFT never touches the device (TPU-native; the
+    reference keeps complex buffers view_as_real only as an NCCL workaround).
+    """
+    N = frame_len // 2
+    n0 = (N + 1) / 2
+    n = np.arange(frame_len)[:, None].astype(np.float64)
+    k = np.arange(N)[None, :].astype(np.float64)
+    pre = np.exp(-1j * np.pi * n / frame_len)
+    post = np.exp(-1j * np.pi * n0 * (k + 0.5) / N)
+    fourier = np.exp(-2j * np.pi * n * k / frame_len)
+    basis = np.real(pre * fourier * post) * np.sqrt(1.0 / N) * np.sqrt(2)
+    return basis.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _imdct_basis(frame_len: int) -> np.ndarray:
+    """Real IMDCT basis (N, frame_len): X @ basis == windowless IMDCT frames.
+
+    Folds the spectrum mirroring Y = [X, -flip(X)], the IFFT, and both
+    twiddles (modules.py:883-911) into one real matmul.
+    """
+    N = frame_len // 2
+    n0 = (N + 1) / 2
+    k = np.arange(2 * N)[:, None].astype(np.float64)    # input bin (mirrored)
+    m = np.arange(2 * N)[None, :].astype(np.float64)    # output sample
+    pre = np.exp(1j * np.pi * n0 * k / N)
+    post = np.exp(1j * np.pi * (m + n0) / (2 * N))
+    fourier = np.exp(2j * np.pi * k * m / (2 * N)) / (2 * N)   # ifft kernel
+    C = np.real(pre * fourier * post) * np.sqrt(N) * np.sqrt(2)  # (2N, 2N)
+    # fold the mirror: y = X @ C[:N] - flip(X) @ C[N:]  ==  X @ D
+    D = C[:N] - C[N:][::-1]
+    return D.astype(np.float32)
+
+
+def mdct(audio: jnp.ndarray, frame_len: int, padding: str = "same") -> jnp.ndarray:
+    """Modified DCT of (..., T) -> (..., L, N) with N = frame_len//2.
+
+    Matches reference MDCT.forward (modules.py:822-854): cosine window,
+    lapped transform with hop N. "same" pads frame_len//4 per side,
+    "center" pads frame_len//2.
+    """
+    if padding not in ("center", "same"):
+        raise ValueError("padding must be 'center' or 'same'")
+    N = frame_len // 2
+    pad = frame_len // 2 if padding == "center" else frame_len // 4
+    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)])
+    frames = frame_signal(x.astype(jnp.float32), frame_len, N)  # (..., L, frame_len)
+    frames = frames * jnp.asarray(_cosine_window(frame_len))
+    return frames @ jnp.asarray(_mdct_basis(frame_len))
+
+
+def imdct(X: jnp.ndarray, frame_len: int, padding: str = "same") -> jnp.ndarray:
+    """Inverse MDCT of (..., L, N) -> (..., L*N) ("same") / (..., (L-1)*N)
+    ("center").
+
+    Matches reference IMDCT.forward (modules.py:883-922): mirrored-spectrum
+    inverse transform, cosine window, hop-N overlap-add (our static pad+add
+    instead of F.fold).
+    """
+    if padding not in ("center", "same"):
+        raise ValueError("padding must be 'center' or 'same'")
+    N = frame_len // 2
+    assert X.shape[-1] == N, f"expected {N} bins, got {X.shape[-1]}"
+    y = X.astype(jnp.float32) @ jnp.asarray(_imdct_basis(frame_len))  # (..., L, 2N)
+    y = y * jnp.asarray(_cosine_window(frame_len))
+    audio = overlap_add(jnp.swapaxes(y, -1, -2), N)         # (..., (L+1)*N)
+    pad = frame_len // 2 if padding == "center" else frame_len // 4
+    return audio[..., pad:-pad]

@@ -140,23 +140,76 @@ def _adapter(sd: _SD, prefix: str, num_layers: int):
     return out
 
 
-def _vocos(sd: _SD, prefix: str, num_layers: int):
+def _ada_layer_norm(sd: _SD, prefix: str):
+    """Reference AdaLayerNorm (modules.py:1157-1184) scale/shift embeddings."""
+    return {"scale": sd.get(f"{prefix}.scale.weight"),
+            "shift": sd.get(f"{prefix}.shift.weight")}
+
+
+def _norm(sd: _SD, prefix: str, adanorm: bool):
+    return _ada_layer_norm(sd, prefix) if adanorm else layer_norm(sd, prefix)
+
+
+def _convnext_backbone(sd: _SD, prefix: str, num_layers: int,
+                       adanorm: bool = False):
     backbone = {
-        "embed": {"kernel": conv_kernel(sd.get(f"{prefix}.backbone.embed.weight")),
-                  "bias": sd.get(f"{prefix}.backbone.embed.bias")},
-        "norm": layer_norm(sd, f"{prefix}.backbone.norm"),
-        "final_ln": layer_norm(sd, f"{prefix}.backbone.final_layer_norm"),
+        "embed": {"kernel": conv_kernel(sd.get(f"{prefix}.embed.weight")),
+                  "bias": sd.get(f"{prefix}.embed.bias")},
+        "norm": _norm(sd, f"{prefix}.norm", adanorm),
+        "final_ln": layer_norm(sd, f"{prefix}.final_layer_norm"),
     }
     for i in range(num_layers):
-        p = f"{prefix}.backbone.convnext.{i}"
+        p = f"{prefix}.convnext.{i}"
         backbone[f"block_{i}"] = {
             "dwconv": {"kernel": conv_kernel(sd.get(f"{p}.dwconv.weight")),
                        "bias": sd.get(f"{p}.dwconv.bias")},
-            "norm": layer_norm(sd, f"{p}.norm"),
+            "norm": _norm(sd, f"{p}.norm", adanorm),
             "pwconv1": dense(sd, f"{p}.pwconv1"),
             "pwconv2": dense(sd, f"{p}.pwconv2"),
             "gamma": sd.get(f"{p}.gamma"),
         }
+    return backbone
+
+
+def _resnet_backbone(sd: _SD, prefix: str, num_blocks: int):
+    """Reference VocosResNetBackbone (modules.py:1413-1449): weight-normed
+    embed conv + ResBlock1 stack; weight norms folded, (dim,1) gammas
+    squeezed to (dim,)."""
+    backbone = {
+        "embed": {"kernel": conv_kernel(sd.folded_wn(f"{prefix}.embed")),
+                  "bias": sd.get(f"{prefix}.embed.bias")},
+    }
+    for i in range(num_blocks):
+        p = f"{prefix}.resnet.{i}"
+        blk = {}
+        for j in range(3):
+            blk[f"conv1_{j}"] = {
+                "kernel": conv_kernel(sd.folded_wn(f"{p}.convs1.{j}")),
+                "bias": sd.get(f"{p}.convs1.{j}.bias")}
+            blk[f"conv2_{j}"] = {
+                "kernel": conv_kernel(sd.folded_wn(f"{p}.convs2.{j}")),
+                "bias": sd.get(f"{p}.convs2.{j}.bias")}
+            if f"{p}.gamma.{j}" in sd:
+                blk[f"gamma_{j}"] = sd.get(f"{p}.gamma.{j}")[:, 0]
+        backbone[f"resblock_{i}"] = blk
+    return backbone
+
+
+def _vocos(sd: _SD, prefix: str, cfg):
+    """Full Vocos generator family; ``cfg`` is a VocosConfig (an int is
+    accepted as a legacy shorthand for convnext num_layers + istft head)."""
+    from ..core.config import VocosConfig
+    if isinstance(cfg, int):
+        cfg = VocosConfig(num_layers=cfg)
+    adanorm = cfg.adanorm_num_embeddings is not None
+    if cfg.backbone == "convnext":
+        backbone = _convnext_backbone(sd, f"{prefix}.backbone",
+                                      cfg.num_layers, adanorm)
+    elif cfg.backbone == "resnet":
+        backbone = _resnet_backbone(sd, f"{prefix}.backbone", cfg.num_blocks)
+    else:
+        raise ValueError(f"unknown backbone {cfg.backbone!r}")
+    # all reference heads expose one linear "out" (modules.py:957, 1014, 1071)
     return {"backbone": backbone, "head": {"out": dense(sd, f"{prefix}.head.out")}}
 
 
@@ -195,7 +248,7 @@ def convert_codec_state_dict(sd_raw: Dict, cfg: CodecConfig) -> dict:
         },
         "acoustic_decoder": _audio_decoder(
             sd, "acoustic_decoder", cfg.acoustic_decoder.decoder_layers),
-        "vocos": _vocos(sd, "enhanced_vocos", cfg.vocos.num_layers),
+        "vocos": _vocos(sd, "enhanced_vocos", cfg.vocos),
     }
     return {"params": params}
 
