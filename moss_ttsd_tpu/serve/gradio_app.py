@@ -33,20 +33,49 @@ def get_pipeline(loader=None):
     return _PIPELINE
 
 
-def load_examples_from_jsonl(path: str, limit: int = 5):
-    """Reference load_examples_from_jsonl (gradio_demo.py:11-68)."""
-    examples = []
-    if not os.path.exists(path):
-        return examples
-    with open(path) as f:
-        for line in f:
-            if not line.strip():
-                continue
-            item = json.loads(line)
-            examples.append(item)
-            if len(examples) >= limit:
-                break
-    return examples
+def load_examples_from_jsonl(paths, limit: int = 20):
+    """Full example rows for the UI galleries — audio paths resolved against
+    base_path, prompt transcripts, and normalize flags, split into Role /
+    Single groups (reference load_examples_from_jsonl, gradio_demo.py:11-68).
+
+    Returns (role_examples, single_examples):
+      role row   = [text, s1_audio, s1_text, s2_audio, s2_text, use_normalize]
+      single row = [text, prompt_audio, prompt_text, use_normalize]
+    Rows whose audio files are missing are dropped so every gallery entry is
+    clickable end-to-end.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    role, single = [], []
+    for path in paths:
+        if not path or not os.path.exists(path):
+            continue
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                data = json.loads(line)
+                text = data.get("text", "")
+                base = data.get("base_path", os.path.dirname(path) or ".")
+                norm = bool(data.get("use_normalize", True))
+                if ("prompt_audio_speaker1" in data
+                        and "prompt_audio_speaker2" in data):
+                    a1 = os.path.join(base, data["prompt_audio_speaker1"])
+                    a2 = os.path.join(base, data["prompt_audio_speaker2"])
+                    if os.path.exists(a1) and os.path.exists(a2):
+                        role.append([text, a1,
+                                     data.get("prompt_text_speaker1", ""),
+                                     a2,
+                                     data.get("prompt_text_speaker2", ""),
+                                     norm])
+                elif "prompt_audio" in data:
+                    a = os.path.join(base, data["prompt_audio"])
+                    if os.path.exists(a):
+                        single.append([text, a,
+                                       data.get("prompt_text", ""), norm])
+                else:
+                    single.append([text, None, "", norm])
+    return role[:limit], single[:limit]
 
 
 def synthesize_single(text: str, prompt_text: str, prompt_audio_path: Optional[str],
@@ -121,7 +150,11 @@ def synthesize_single_stream(text: str, prompt_text: str,
         yield None, "Generation produced no valid speech tokens."
 
 
-def create_gradio_interface(loader=None, examples_jsonl: Optional[str] = None):
+DEFAULT_EXAMPLE_JSONLS = ("examples/examples.jsonl",
+                          "examples/examples_single_reference.jsonl")
+
+
+def create_gradio_interface(loader=None, examples_jsonl=None):
     """Build the Blocks app (reference create_gradio_interface,
     gradio_demo.py:278-528). Requires gradio."""
     try:
@@ -130,6 +163,10 @@ def create_gradio_interface(loader=None, examples_jsonl: Optional[str] = None):
         raise ImportError(
             "gradio is not installed in this environment; install it to use "
             "the web UI, or use the CLI (moss_ttsd_tpu.cli.inference)") from e
+
+    role_ex, single_ex = load_examples_from_jsonl(
+        examples_jsonl if examples_jsonl is not None
+        else list(DEFAULT_EXAMPLE_JSONLS))
 
     with gr.Blocks(title="MOSS-TTSD TPU — Spoken Dialogue Synthesis") as demo:
         gr.Markdown("# MOSS-TTSD (TPU-native)\n"
@@ -159,6 +196,13 @@ def create_gradio_interface(loader=None, examples_jsonl: Optional[str] = None):
                 btn1.click(_single,
                            [text1, ptext1, paudio1, norm1, seed1, stream1],
                            [out1, status1])
+                if single_ex:
+                    # full rows: text + prompt audio + transcript + normalize
+                    # (reference wires the same columns, gradio_demo.py:484-520)
+                    gr.Examples(
+                        examples=[[t, a, pt, n] for t, a, pt, n in single_ex],
+                        inputs=[text1, paudio1, ptext1, norm1],
+                        label="Examples / 示例 (Single)")
             with gr.Tab("Role (per-speaker prompts) / 角色模式"):
                 text2 = gr.Textbox(label="Dialogue script / 对话文本", lines=6)
                 with gr.Row():
@@ -177,11 +221,12 @@ def create_gradio_interface(loader=None, examples_jsonl: Optional[str] = None):
                     lambda t, a, b, c, d, n, s: synthesize_role(
                         t, a, b, c, d, n, int(s), loader),
                     [text2, s1t, s1a, s2t, s2a, norm2, seed2], [out2, status2])
-        if examples_jsonl:
-            ex = load_examples_from_jsonl(examples_jsonl)
-            if ex:
-                gr.Examples(examples=[[e.get("text", "")] for e in ex],
-                            inputs=[text1])
+                if role_ex:
+                    gr.Examples(
+                        examples=[[t, a1, p1, a2, p2, n]
+                                  for t, a1, p1, a2, p2, n in role_ex],
+                        inputs=[text2, s1a, s1t, s2a, s2t, norm2],
+                        label="Examples / 示例 (Role)")
     return demo
 
 

@@ -26,24 +26,108 @@ DEFAULT_VOICES = {
            "prompt_text_speaker2": "Well, we know this much about her."},
 }
 
-SCRIPT_PROMPT_ZH = """你是一位专业的播客编剧。请将下面的材料改写成一段两人对谈的中文播客脚本。
-要求：
-1. 使用 [S1] 和 [S2] 标注两位主持人的每一句话，两人交替自然对话；
-2. 口语化表达，包含适当的语气词（嗯、诶、对对对）和互动；
-3. 完整覆盖材料的核心信息，总长度适合 5-10 分钟的节目；
-4. 只输出脚本本身，不要任何其他说明。
-材料：
-{content}"""
+# Scriptwriting prompts. Same structural-constraint set as the reference's
+# templates (podcast_generate.py:224-310) — language style, loose spoken
+# sentence structure with fillers/reduplication, [S1]/[S2] turn marking with
+# heavy listener backchannels, punctuation whitelist, contextual number
+# verbalization, completeness + term-explanation content rules, and the
+# 1500-character/word (~10 min) hard cap — phrased in our own words.
+SCRIPT_PROMPT_ZH = """你是一位资深的中文播客文字编剧。请把下面的原始材料改写成两位中文播客主持人之间的自然对谈脚本，并严格满足全部要求：
 
-SCRIPT_PROMPT_EN = """You are a professional podcast scriptwriter. Turn the \
-material below into a two-host English podcast script.
-Requirements:
-1. Tag every utterance with [S1] or [S2]; the hosts alternate naturally.
-2. Conversational tone with fillers (um, right, exactly) and interaction.
-3. Cover the material's core information; length suitable for 5-10 minutes.
-4. Output only the script, nothing else.
-Material:
-{content}"""
+一、语言风格
+- 口语优先：用轻松随意的日常中文说话，不要书面腔；把材料里的书面表达改写成口语说法，但专业名词本身保持不变；
+- 词汇尽量简单好懂，可以适度用一些网络热词、俗语来增加真实感；
+- 整体听感要像两位熟悉的主持人在录节目聊天。
+
+二、句式
+- 句子结构松散自然，允许口语特有的重复、停顿和语气词；
+- 多用叠词（比如"特别特别"、"慢慢来"）和填充词（比如"这个"、"其实"、"然后"、"就是"、"呃"）；
+- 可以带一点模糊和情绪化的表达，让语气更亲切。
+
+三、对话组织
+- 两人交替发言，每个轮次用 [S1] 或 [S2] 开头标记，[S1] 和 [S2] 之间不要换行；
+- 重点：当一方在讲解时，另一方要频繁插入简短的倾听反馈（比如"嗯。""对。""是的。""哦，原来是这样。""明白。""没错。""有道理。""确实。"），自然地落在对方语句的停顿处或段落交界处，而不是生硬打断。示例：[S2]我本人其实不太相信星座诶，[S1]嗯。[S2]一开始我就觉得，呃，你总不能把人分成十二种，[S1]是的。[S2]然后它说的就都是对的。这类反馈越多越好，不要吝啬；
+- 节目要有开场引入、核心讨论和自然收尾，语气有起伏，不要平铺直叙；
+- 硬性限制：总长度控制在十分钟朗读时长以内（不超过一千五百字），绝对不许超。
+
+四、标点与数字
+- 只允许用中文逗号、句号、问号；禁止叹号、省略号、括号、各种引号和破折号等一切其他符号；
+- 所有数字都写成中文读法，例如"1000000"写成"一百万"；
+- 根据上下文判断数字怎么读：带数字的英文缩写要意译（"a2b"写成"a到b"，"gpt-4o"写成"GPT四O"，"3:4"写成"三比四"）；"2021"表示年份时写"二零二一"，表示数量时写"两千零二十一"。
+
+五、内容
+- 所有信息都要基于原始材料改写，材料里的内容一条都不能丢；
+- 可以加入背景补充、吐槽、对比、联想和提问来带动节奏；
+- 信息密度要高，引用要交代清楚上下文，保证听众能跟上；
+- 对话里不要出现"我是S1"之类的自我指称；
+- 出现专业术语要顺带解释，抽象的技术点用比喻或类比讲明白。
+
+## 原始材料
+{content}
+
+请按以上全部要求输出播客对话脚本。只能用 [S1] 和 [S2] 标记说话人，不许用任何其他标记方式。直接输出脚本本身，不要附加任何说明。"""
+
+SCRIPT_PROMPT_EN = """You are a seasoned English podcast scriptwriter. Rewrite \
+the source material below as a natural conversation between two English \
+podcast hosts, strictly following every requirement:
+
+I. Language style
+- Spoken first: relaxed, casual, everyday English — no written-register \
+phrasing. Convert formal wording into how people actually talk, while \
+keeping technical terms themselves intact.
+- Prefer simple words; a little slang or idiom is welcome when it makes the \
+chat feel real.
+- The whole thing should sound like two hosts who know each other recording \
+an episode.
+
+II. Sentence structure
+- Loose, natural sentences; spoken artifacts like repetition, pauses and \
+filler words are encouraged ("like", "actually", "so", "you know", "uh"), \
+plus doubled intensifiers ("very, very", "take it slow").
+- A bit of vagueness or emotional coloring is fine — it makes the hosts \
+approachable.
+
+III. Dialogue organization
+- The hosts alternate turns, each turn marked with [S1] or [S2]; never put a \
+newline between [S1] and [S2].
+- Key requirement: while one host explains something, the other must keep \
+dropping in short listener backchannels ("Mhm.", "Yeah.", "Right.", "Oh.", \
+"I see.", "Okay.", "Got it.", "Makes sense.", "Totally."), placed naturally \
+at pauses and transitions rather than as interruptions. Example: [S2] I'm \
+not a big believer in horoscopes, actually. [S1] Mhm. [S2] At first I \
+thought, uh, you can't just sort everyone into twelve types, [S1] Right. \
+[S2] and then whatever it says is just true. Use plenty of these — don't \
+hold back.
+- Give the episode an opening hook, a core discussion and a natural wrap-up, \
+with rhythm and variation rather than a flat read-through.
+- Hard limit: keep the total under a ten-minute read (no more than 1500 \
+words). Never exceed it.
+
+IV. Punctuation and numbers
+- Only commas, periods and question marks. No exclamation marks, ellipses, \
+parentheses, quotation marks of any kind, or dashes.
+- Spell every number out in words, e.g. "1,000,000" becomes "one million".
+- Read numbers by context: verbalize alphanumeric abbreviations ("a2b" as "a \
+to b", "gpt-4o" as "GPT four O", "3:4" as "three to four"); "2021" is \
+"twenty twenty-one" as a year but "two thousand twenty-one" as a quantity.
+
+V. Content
+- Everything must be rewritten from the source material, and every piece of \
+information in it must be covered — nothing dropped.
+- Feel free to add background, light roasting, comparisons, associations and \
+questions to keep the rhythm going.
+- Keep the information density high and give citations enough context for \
+listeners to follow.
+- The hosts must never self-identify ("I am S1" and similar is forbidden).
+- Explain technical terms as they come up; unpack abstract ideas with \
+analogies or metaphors so they never sound opaque.
+
+## Source material
+{content}
+
+Convert the source material into a podcast dialogue script meeting all the \
+requirements above. Mark the speakers only with [S1] and [S2] — absolutely \
+no other speaker markers. Output the script directly with no extra text."""
 
 FALLBACK_SCRIPT_ZH = ("[S1]欢迎收听本期节目。今天我们聊的材料内容非常有意思。"
                       "[S2]是的，虽然自动脚本生成暂时不可用，我们还是为大家准备了这段演示。"
@@ -124,6 +208,9 @@ def generate_podcast_script(content: str, language: str = "zh",
                 timeout=300)
             r.raise_for_status()
             script = r.json()["choices"][0]["message"]["content"].strip()
+            # the synthesizer consumes one continuous line (reference strips
+            # all newlines from the LLM output, podcast_generate.py:341-342)
+            script = script.replace("\n", "").replace("\r", "")
             if "[S1]" in script:
                 return script
             print("LLM response missing [S1] tags; using fallback")

@@ -88,8 +88,40 @@ def test_gradio_examples_loader(tmp_path):
     with open(p, "w") as f:
         for i in range(8):
             f.write(json.dumps({"text": f"[S1]hello {i}"}) + "\n")
-    ex = load_examples_from_jsonl(p, limit=3)
-    assert len(ex) == 3
+    role, single = load_examples_from_jsonl(p, limit=3)
+    assert role == [] and len(single) == 3
+    assert single[0] == ["[S1]hello 0", None, "", True]
+
+
+def test_gradio_examples_full_rows():
+    """The repo's shipped example JSONLs load as FULL rows (text + resolved
+    audio paths + prompt transcripts + normalize flags) for both Role and
+    Single galleries (reference gradio_demo.py:11-68)."""
+    import os
+    from moss_ttsd_tpu.serve.gradio_app import (DEFAULT_EXAMPLE_JSONLS,
+                                                load_examples_from_jsonl)
+    role, single = load_examples_from_jsonl(
+        [os.path.join("/root/repo", p) for p in DEFAULT_EXAMPLE_JSONLS])
+    assert role and single
+    text, a1, p1, a2, p2, norm = role[0]
+    assert "[S1]" in text and os.path.exists(a1) and os.path.exists(a2)
+    assert p1 and p2 and isinstance(norm, bool)
+    text, a, pt, norm = single[0]
+    assert os.path.exists(a) and pt
+
+
+def test_podcast_templates_carry_reference_constraints():
+    """The zh/en scriptwriting prompts carry the reference templates'
+    structural constraints (podcast_generate.py:224-310)."""
+    from moss_ttsd_tpu.serve.podcast import SCRIPT_PROMPT_EN, SCRIPT_PROMPT_ZH
+    for t in (SCRIPT_PROMPT_ZH, SCRIPT_PROMPT_EN):
+        assert "[S1]" in t and "[S2]" in t
+        assert "{content}" in t
+        assert "1500" in t or "一千五百" in t          # hard length cap
+        assert "gpt-4o" in t or "GPT" in t             # number verbalization
+    # backchannel emphasis with an inline example
+    assert "Mhm." in SCRIPT_PROMPT_EN and "twenty twenty-one" in SCRIPT_PROMPT_EN
+    assert "原来是这样" in SCRIPT_PROMPT_ZH and "二零二一" in SCRIPT_PROMPT_ZH
 
 
 def test_helpers_param_count():
