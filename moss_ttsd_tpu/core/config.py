@@ -77,6 +77,11 @@ class LMConfig:
     # Set by the decode engine via quant="int8"; params must be converted
     # with ops/quantize.quantize_lm_params.
     quantized: bool = False
+    # int8 KV cache with per-head-per-token scales, dequantized inside the
+    # Pallas decode kernel (ops/pallas_attention.flash_decode_int8_hs) —
+    # halves the dominant HBM stream of long-context decode. Set by the
+    # engine via kv_quant="int8".
+    kv_quant: str = "none"            # "none" | "int8"
 
     @property
     def num_kv_groups(self) -> int:

@@ -50,8 +50,7 @@ class GenerateResult(NamedTuple):
 class DecodeState(NamedTuple):
     step: jnp.ndarray           # scalar int32 — decode step s
     tokens: jnp.ndarray         # (B, S, C) token buffer
-    cache_k: jnp.ndarray
-    cache_v: jnp.ndarray
+    cache: dict                 # {"k","v"[, "k_s","v_s"]} (L, B, Hkv, S, ...)
     key_valid: jnp.ndarray      # (B, S) bool
     hidden_last: jnp.ndarray    # (B, 1, H)
     last_pos: jnp.ndarray       # (B,) last RoPE position used
@@ -161,12 +160,11 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
         positions = (state.last_pos + 1)[:, None]
         hidden, new_cache = model.apply(
             params, next_tokens[:, None, :], positions, key_valid,
-            {"k": state.cache_k, "v": state.cache_v}, cur_len,
-            method=AsteroidLM.backbone)
+            state.cache, cur_len, method=AsteroidLM.backbone)
 
         return DecodeState(
-            step=s + 1, tokens=tokens, cache_k=new_cache["k"],
-            cache_v=new_cache["v"], key_valid=key_valid, hidden_last=hidden,
+            step=s + 1, tokens=tokens, cache=new_cache,
+            key_valid=key_valid, hidden_last=hidden,
             last_pos=state.last_pos + 1, needs=needs, unfinished=unfinished,
             presence_text=presence_text, presence_speech=presence_speech,
             rng=rng)
@@ -190,8 +188,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             method=AsteroidLM.backbone)
 
         return DecodeState(
-            step=jnp.int32(0), tokens=buf, cache_k=cache["k"],
-            cache_v=cache["v"], key_valid=key_valid,
+            step=jnp.int32(0), tokens=buf, cache=cache, key_valid=key_valid,
             hidden_last=hidden[:, -1:], last_pos=positions[:, -1],
             needs=jnp.full((B,), -1, jnp.int32),
             unfinished=jnp.ones((B,), bool),
@@ -226,12 +223,23 @@ class GenerationEngine:
     def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
                  bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None,
                  quant: Optional[str] = None, step_bucket: int = 512,
-                 max_cached_programs: int = 8):
+                 max_cached_programs: int = 8, kv_quant: Optional[str] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
         step, dequant fused into each matmul (ops/quantize.py). Composes with
-        mesh sharding (tests/test_quantize.py::test_int8_mesh_engine_matches_unsharded)."""
+        mesh sharding (tests/test_quantize.py::test_int8_mesh_engine_matches_unsharded).
+
+        kv_quant="int8" additionally stores the KV cache int8 with
+        per-head-per-token scales, dequantized inside the fused Pallas decode
+        kernel — halves the cache HBM stream that dominates long-context
+        decode (ops/pallas_attention.flash_decode_int8_hs)."""
         self.cfg = cfg
+        if kv_quant == "int8":
+            import dataclasses
+            cfg = dataclasses.replace(cfg, kv_quant="int8")
+            self.cfg = cfg
+        elif kv_quant is not None:
+            raise ValueError(f"unknown kv_quant mode {kv_quant!r}")
         # store weights in the compute dtype once — the decode step is
         # weight-bandwidth-bound, so fp32 storage would halve throughput
         target = jnp.dtype(cfg.dtype)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..core.config import LMConfig
 from ..ops.attention import causal_mask, gqa_attention, gqa_attention_hs
-from ..ops.pallas_attention import flash_decode_hs, flash_prefill
+from ..ops.pallas_attention import (flash_decode_hs, flash_decode_int8_hs,
+                                    flash_prefill, quantize_kv)
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -85,12 +86,14 @@ class Qwen3Block(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, x, ck_all, cv_all, layer_idx, cos, sin, mask, cache_pos):
+    def __call__(self, x, cache, layer_idx, cos, sin, mask, cache_pos):
         c = self.cfg
         dtype = x.dtype
         H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
         B, T, _ = x.shape
+        ck_all = cache["k"]
         L, S = ck_all.shape[0], ck_all.shape[3]       # cache (L, B, Hkv, S, D)
+        kv8 = "k_s" in cache                          # int8 KV cache + scales
 
         def dense(feat, name, use_bias=False):
             if c.quantized:
@@ -116,11 +119,17 @@ class Qwen3Block(nn.Module):
         # ~1.8us/slot beats XLA's ~2.7us/slot, while XLA's fusion wins the
         # fixed overhead race on short caches.
         pallas_ok = jax.default_backend() == "tpu" or c.pallas_interpret
-        pallas_decode = pallas_ok and not c.quantized and (
-            c.attn_impl == "pallas" or (c.attn_impl == "mixed" and S >= 512))
-        # int8 + pallas decode OOMs on v5e (kernel operands defeat the fused
-        # dequant); the XLA decode path with int8 weights is faster than
-        # bf16+pallas at every measured S anyway
+        if kv8:
+            # int8 cache: XLA fuses the dequant into its attention reads, so
+            # the XLA decode gets the halved HBM stream AND full MXU
+            # utilization — measured 204 vs 173 steps/s for the pallas int8
+            # kernel at S=569 (G=2 grouped heads starve the kernel's dots).
+            # "pallas" still selects the fused int8 kernel explicitly.
+            pallas_decode = pallas_ok and c.attn_impl == "pallas"
+        else:
+            pallas_decode = pallas_ok and (
+                c.attn_impl == "pallas"
+                or (c.attn_impl == "mixed" and not c.quantized and S >= 512))
         pallas_prefill = c.attn_impl in ("pallas", "mixed") and pallas_ok
         scale = D ** -0.5
         if S > 0:                      # decode/prefill path: write into cache
@@ -129,29 +138,65 @@ class Qwen3Block(nn.Module):
             # (B, T, Hkv, D) token slice (tiny)
             k_hs = jnp.moveaxis(k, 2, 1)               # (B, Hkv, T, D)
             v_hs = jnp.moveaxis(v, 2, 1)
-            ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k_hs[None].astype(ck_all.dtype),
-                (layer_idx, 0, 0, cache_pos, 0))
-            cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v_hs[None].astype(cv_all.dtype),
-                (layer_idx, 0, 0, cache_pos, 0))
+            if kv8:
+                k_w, k_sw = quantize_kv(k_hs)
+                v_w, v_sw = quantize_kv(v_hs)
+                cache = dict(cache)
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], k_w[None], (layer_idx, 0, 0, cache_pos, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], v_w[None], (layer_idx, 0, 0, cache_pos, 0))
+                cache["k_s"] = jax.lax.dynamic_update_slice(
+                    cache["k_s"], k_sw[None], (layer_idx, 0, 0, cache_pos))
+                cache["v_s"] = jax.lax.dynamic_update_slice(
+                    cache["v_s"], v_sw[None], (layer_idx, 0, 0, cache_pos))
+            else:
+                cache = dict(cache)
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], k_hs[None].astype(cache["k"].dtype),
+                    (layer_idx, 0, 0, cache_pos, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], v_hs[None].astype(cache["v"].dtype),
+                    (layer_idx, 0, 0, cache_pos, 0))
             if pallas_prefill and T > 1:
                 # prefill: queries only see keys < T, i.e. the current k/v
+                # (with kv8 the prefill attends over the EXACT bf16 k/v; only
+                # later decode steps read the quantized slots)
                 attn = flash_prefill(q, k, v, mask[:, T - 1, :T], scale,
                                      interpret=c.pallas_interpret)
             else:
-                k_all = jax.lax.dynamic_slice(
-                    ck_all, (layer_idx, 0, 0, 0, 0), (1, B, Hkv, S, D))[0]
-                v_all = jax.lax.dynamic_slice(
-                    cv_all, (layer_idx, 0, 0, 0, 0), (1, B, Hkv, S, D))[0]
-                if pallas_decode and T == 1:
-                    # mask (B, 1, S): causal+validity collapses to a key mask
-                    attn = flash_decode_hs(q, k_all.astype(dtype),
-                                           v_all.astype(dtype), mask[:, 0],
-                                           scale, interpret=c.pallas_interpret)
+                def layer_slice(arr, with_d=True):
+                    shape = (1, B, Hkv, S, D) if with_d else (1, B, Hkv, S)
+                    start = (layer_idx, 0, 0, 0, 0)[:len(shape)]
+                    return jax.lax.dynamic_slice(arr, start, shape)[0]
+                if kv8:
+                    kq_all = layer_slice(cache["k"])
+                    vq_all = layer_slice(cache["v"])
+                    ks_all = layer_slice(cache["k_s"], with_d=False)
+                    vs_all = layer_slice(cache["v_s"], with_d=False)
+                    if pallas_decode and T == 1:
+                        attn = flash_decode_int8_hs(
+                            q, kq_all, ks_all, vq_all, vs_all, mask[:, 0],
+                            scale, interpret=c.pallas_interpret)
+                    else:
+                        # XLA fallback = the kernel's parity oracle: dequant
+                        # then dense attention
+                        k_all = kq_all.astype(dtype) * ks_all[..., None].astype(dtype)
+                        v_all = vq_all.astype(dtype) * vs_all[..., None].astype(dtype)
+                        attn = gqa_attention_hs(q, k_all, v_all, mask, scale)
                 else:
-                    attn = gqa_attention_hs(q, k_all.astype(dtype),
-                                            v_all.astype(dtype), mask, scale)
+                    k_all = layer_slice(cache["k"])
+                    v_all = layer_slice(cache["v"])
+                    if pallas_decode and T == 1:
+                        # mask (B, 1, S): causal+validity collapses to a key mask
+                        attn = flash_decode_hs(q, k_all.astype(dtype),
+                                               v_all.astype(dtype), mask[:, 0],
+                                               scale,
+                                               interpret=c.pallas_interpret)
+                    else:
+                        attn = gqa_attention_hs(q, k_all.astype(dtype),
+                                                v_all.astype(dtype), mask,
+                                                scale)
         else:                          # training path: attend over current tokens
             attn = gqa_attention(q, k, v, mask, scale)
         attn = attn.reshape(B, T, H * D)
@@ -161,7 +206,7 @@ class Qwen3Block(nn.Module):
         gate = dense(c.intermediate_size, "gate_proj")(h)
         up = dense(c.intermediate_size, "up_proj")(h)
         down = dense(c.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
-        return x + down, ck_all, cv_all
+        return x + down, cache
 
 
 class _ScanBlock(nn.Module):
@@ -169,10 +214,10 @@ class _ScanBlock(nn.Module):
 
     @nn.compact
     def __call__(self, carry, cos, sin, mask):
-        x, ck_all, cv_all, layer_idx, cache_pos = carry
-        x, ck_all, cv_all = Qwen3Block(self.cfg, name="block")(
-            x, ck_all, cv_all, layer_idx, cos, sin, mask, cache_pos)
-        return (x, ck_all, cv_all, layer_idx + 1, cache_pos), None
+        x, cache, layer_idx, cache_pos = carry
+        x, cache = Qwen3Block(self.cfg, name="block")(
+            x, cache, layer_idx, cos, sin, mask, cache_pos)
+        return (x, cache, layer_idx + 1, cache_pos), None
 
 
 class AsteroidLM(nn.Module):
@@ -260,19 +305,17 @@ class AsteroidLM(nn.Module):
             S = T
             empty = jnp.zeros((c.num_hidden_layers, B, c.num_key_value_heads,
                                0, c.head_dim), x.dtype)
-            ck_all, cv_all = empty, empty
+            cache_in = {"k": empty, "v": empty}
             mask = causal_mask(0, T, S, key_valid)
         else:
             S = cache["k"].shape[3]
-            ck_all, cv_all = cache["k"], cache["v"]
+            cache_in = cache
             mask = causal_mask(cache_pos, T, S, key_valid)
 
-        carry = (x, ck_all, cv_all, jnp.int32(0),
-                 jnp.asarray(cache_pos, jnp.int32))
-        (x, new_k, new_v, _, _), _ = self.blocks(carry, cos, sin, mask)
+        carry = (x, cache_in, jnp.int32(0), jnp.asarray(cache_pos, jnp.int32))
+        (x, new_cache, _, _), _ = self.blocks(carry, cos, sin, mask)
         x = self.final_norm(x)
-        new_cache = None if cache is None else {"k": new_k, "v": new_v}
-        return x, new_cache
+        return x, (None if cache is None else new_cache)
 
     # -- heads (tied to embeddings; reference modeling_asteroid.py:315-317) --
 
@@ -322,7 +365,17 @@ class AsteroidLM(nn.Module):
 
 def init_cache(cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
     """Static KV cache, head-major (L, B, Hkv, S, D) so decode attention and
-    the Pallas kernels read it directly with no per-step transpose."""
+    the Pallas kernels read it directly with no per-step transpose.
+
+    With cfg.kv_quant == "int8" the cache stores int8 values plus
+    per-head-per-token fp32 scales (L, B, Hkv, S) — half the HBM bytes of a
+    bf16 cache."""
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
              cfg.head_dim)
+    if cfg.kv_quant == "int8":
+        sshape = shape[:-1]
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_s": jnp.zeros(sshape, jnp.float32),
+                "v_s": jnp.zeros(sshape, jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

@@ -123,6 +123,125 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Decode against an INT8 KV cache (per-head-per-token scales): the cache is
+# the dominant HBM stream at long S — storing it int8 and dequantizing inside
+# the kernel halves that traffic (the weights are already int8 via w8a16)
+# ---------------------------------------------------------------------------
+
+def _decode_int8_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, valid_ref,
+                        o_ref, m_ref, l_ref, acc_ref,
+                        *, scale: float, seq_len: int, block_k: int):
+    s = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)                # (G, D)
+    kq = kq_ref[0, 0]                                  # (Bk, D) int8
+    vq = vq_ref[0, 0]                                  # (Bk, D) int8
+    ks = ks_ref[0, 0].astype(jnp.float32)              # (Bk,)
+    vs = vs_ref[0, 0].astype(jnp.float32)              # (Bk,)
+    valid = valid_ref[0, 0]                            # (Bk,) int32
+
+    # dequant folded around the dots: k's per-token scale applies to the
+    # score column, v's to the probability row — the int8 tensors go straight
+    # from HBM into VMEM and only tiny (Bk,) scale vectors ride along
+    scores = jnp.dot(q, kq.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32)
+    scores = scores * (ks[None, :] * scale)
+    kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    in_bounds = kpos[0] < seq_len
+    scores = jnp.where((valid[None, :] != 0) & in_bounds[None, :], scores,
+                       NEG_INF)                         # (G, Bk)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)                        # (G, Bk)
+    l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = p * vs[None, :]
+    acc_new = acc_ref[:] * alpha + jnp.dot(pv, vq.astype(jnp.float32),
+                                           preferred_element_type=jnp.float32)
+
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+    acc_ref[:] = acc_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def flash_decode_int8_hs(q: jnp.ndarray, kq: jnp.ndarray, ks: jnp.ndarray,
+                         vq: jnp.ndarray, vs: jnp.ndarray,
+                         key_valid: jnp.ndarray, scale: float,
+                         block_k: int = 512,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Single-query decode attention over an int8 KV cache.
+
+    q (B, 1, H, D); kq/vq (B, Hkv, S, D) int8; ks/vs (B, Hkv, S) fp32
+    per-head-per-token scales (k ≈ kq * ks[..., None]); key_valid (B, S).
+    Returns (B, 1, H, D) in q.dtype. Exact vs the XLA dequant-then-attend
+    path up to fp32 accumulation order (tests/test_pallas_attention.py).
+    """
+    B, _, H, D = q.shape
+    Hkv, S = kq.shape[1], kq.shape[2]
+    G = H // Hkv
+    bk = min(block_k, S)
+    n_s = -(-S // bk)
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    validi = key_valid.astype(jnp.int32)[:, None, :]   # (B, 1, S)
+    # TPU block shapes need the 2nd-to-last dim to equal the array dim:
+    # flatten (B, Hkv, S) scales to (B*Hkv, 1, S) (layout-preserving view)
+    ks2 = ks.reshape(B * Hkv, 1, S)
+    vs2 = vs.reshape(B * Hkv, 1, S)
+
+    grid = (B, Hkv, n_s)
+    out = pl.pallas_call(
+        functools.partial(_decode_int8_kernel, scale=scale, seq_len=S,
+                          block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b * Hkv + h, 0, s)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b * Hkv + h, 0, s)),
+            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b, 0, s)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qg, kq, ks2, vq, vs2, validi)
+    return out.reshape(B, 1, H, D)
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Per-head-per-token int8 quantization of k/v slices.
+
+    x (..., D) -> (x_q int8 (..., D), scales fp32 (...,)) with
+    x ≈ x_q * scales[..., None]."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    # round-half-up via floor(x+0.5): jnp.round lowers through a closed_call
+    # that the axon TPU backend fails to cache inside scan/while bodies
+    q = jnp.clip(jnp.floor(xf / s[..., None] + 0.5), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+# ---------------------------------------------------------------------------
 # Prefill: causal blockwise attention
 # ---------------------------------------------------------------------------
 

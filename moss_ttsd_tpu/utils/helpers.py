@@ -62,3 +62,24 @@ def asr_normalize_text(text: str) -> str:
     text = text.lower()
     text = re.sub(r"[^\w\s一-鿿]", " ", text)
     return re.sub(r"\s+", " ", text).strip()
+
+
+def waiting_for_debug(ip: str = "localhost", port: int = 5678) -> None:
+    """Block until a debugpy client attaches (reference helpers.py:67-72).
+
+    Gated import: if debugpy is missing the hook degrades to a logged no-op
+    instead of crashing the process.
+    """
+    import logging
+    rank = os.environ.get("RANK", "0")
+    try:
+        import debugpy
+    except ImportError:
+        logging.warning("[rank %s] debugpy not installed; skipping "
+                        "remote-attach wait", rank)
+        return
+    debugpy.listen((ip, port))
+    logging.info("[rank %s] Waiting for debugger attach on %s:%d...",
+                 rank, ip, port)
+    debugpy.wait_for_client()
+    logging.info("[rank %s] Debugger attached", rank)

@@ -98,3 +98,112 @@ def test_engine_pallas_matches_xla_greedy():
                             cache_dtype=jnp.float32).generate(batch, mask, 10)
     np.testing.assert_array_equal(r_pl.tokens[:, r_pl.base:],
                                   r_xla.tokens[:, r_xla.base:])
+
+
+def test_flash_decode_int8_matches_xla_dequant():
+    """Fused int8-KV decode kernel == XLA dequant-then-attend oracle."""
+    from moss_ttsd_tpu.ops.pallas_attention import (flash_decode_int8_hs,
+                                                    quantize_kv)
+    rng = np.random.default_rng(7)
+    B, S, H, Hkv, D = 2, 96, 8, 4, 16
+    q, k, v = make_qkv(rng, B, 1, S, H, Hkv, D)
+    valid = np.zeros((B, S), bool)
+    valid[0, :70] = True
+    valid[1, 9:88] = True
+    scale = D ** -0.5
+
+    kt = jnp.moveaxis(k, 2, 1)                  # (B, Hkv, S, D)
+    vt = jnp.moveaxis(v, 2, 1)
+    kq, ks = quantize_kv(kt)
+    vq, vs = quantize_kv(vt)
+
+    # oracle: dequantize then dense attention on the SAME int8 values
+    k_deq = jnp.moveaxis(kq.astype(jnp.float32) * ks[..., None], 1, 2)
+    v_deq = jnp.moveaxis(vq.astype(jnp.float32) * vs[..., None], 1, 2)
+    ref = gqa_attention(q, k_deq, v_deq, jnp.asarray(valid)[:, None, :], scale)
+
+    out = flash_decode_int8_hs(q, kq, ks, vq, vs, jnp.asarray(valid), scale,
+                               block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_quantize_kv_roundtrip_error():
+    from moss_ttsd_tpu.ops.pallas_attention import quantize_kv
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((3, 4, 17, 32)).astype(np.float32))
+    q, s = quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (3, 4, 17)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s)[..., None]
+                 - np.asarray(x))
+    # per-row max-abs scaling: error bounded by half a quantization step
+    bound = np.asarray(s)[..., None] * 0.5 + 1e-6
+    assert np.all(err <= bound)
+
+
+def test_engine_int8_kv_cache_close_to_bf16():
+    """kv_quant="int8" engine: runs end-to-end (interpret-mode kernels on
+    CPU) and the generated tokens track the exact-cache engine (greedy,
+    tiny model). Per-step hidden agreement is verified at the model level."""
+    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
+                                           SamplingConfig)
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.models.lm import AsteroidLM, init_cache
+
+    cfg = LMConfig(dtype="float32", param_dtype="float32",
+                   attn_impl="pallas", pallas_interpret=True).tiny()
+    model = AsteroidLM(cfg)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 4, cfg.channels), jnp.int32))
+
+    # model-level: one decode step, int8 cache vs exact cache
+    import dataclasses
+    rng = np.random.default_rng(9)
+    B, T, S = 2, 6, 16
+    ids = np.full((B, T, cfg.channels), cfg.speech_pad_token, np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (B, T))
+    positions = jnp.tile(jnp.arange(T)[None], (B, 1))
+    key_valid = jnp.zeros((B, S), bool).at[:, :T].set(True)
+
+    hiddens = {}
+    for kv in ("none", "int8"):
+        c = dataclasses.replace(cfg, kv_quant=kv)
+        m = AsteroidLM(c)
+        cache = init_cache(c, B, S, jnp.float32)
+        h, cache = m.apply(params, jnp.asarray(ids), positions, key_valid,
+                           cache, 0, method=AsteroidLM.backbone)
+        # one extra decode step reading the (possibly quantized) cache
+        nxt = np.full((B, 1, cfg.channels), cfg.speech_pad_token, np.int32)
+        nxt[..., 0] = rng.integers(0, cfg.vocab_size, (B, 1)) * 0 + 3
+        kv2 = key_valid.at[:, T].set(True)
+        h2, _ = m.apply(params, jnp.asarray(nxt),
+                        jnp.full((B, 1), T, jnp.int32), kv2, cache, T,
+                        method=AsteroidLM.backbone)
+        hiddens[kv] = np.asarray(h2, np.float32)
+    a, b = hiddens["none"].ravel(), hiddens["int8"].ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, f"int8 KV cache diverged: cos={cos}"
+
+    # engine-level smoke: int8-cache engine generates valid tokens
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=False, temperature=None,
+                                        top_k=None, top_p=None)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=8)
+    from tests.test_decode import make_prompt
+    prompts = [make_prompt(cfg, np.random.default_rng(4), 5, 3)]
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    eng8 = GenerationEngine(cfg, params, sampling, bucket=batch.shape[1],
+                            cache_dtype=jnp.float32, kv_quant="int8",
+                            step_bucket=64)
+    eng = GenerationEngine(cfg, params, sampling, bucket=batch.shape[1],
+                           cache_dtype=jnp.float32, step_bucket=64)
+    r8 = eng8.generate(batch, mask, max_new_tokens=8, seed=0)
+    r = eng.generate(batch, mask, max_new_tokens=8, seed=0)
+    assert r8.tokens.shape[0] == 1 and r8.steps >= 1
+    # greedy tokens from the quantized cache track the exact cache
+    n = min(r8.steps, r.steps)
+    agree = np.mean(r8.tokens[:, r8.base:r8.base + n]
+                    == r.tokens[:, r.base:r.base + n])
+    assert agree > 0.9, f"token agreement {agree}"
