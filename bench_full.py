@@ -1,0 +1,232 @@
+"""Full benchmark suite: one JSON line per BASELINE.json config on one TPU chip.
+
+`bench.py` stays the driver's single headline number (text-path e2e RTF at
+batch 8). This file covers the remaining BASELINE configs the reference
+defines but never measures (BASELINE.md: the reference publishes no RTF/TTFA):
+
+  * codec_roundtrip  — BASELINE config 1: XY-codec encode + RVQ + decode
+    throughput, batch 8 x 30 s clips, audio-seconds per wall-second.
+  * voice_clone_rtf  — BASELINE config 3: the FULL production pipeline
+    (TTSPipeline.process_batch on examples.jsonl items with two prompt
+    voices): prompt-audio codec encode + prompt assembly + jitted generate +
+    batched vocode. RTF counts every phase, unlike bench.py's
+    decode+vocode steady state.
+  * ttfa — time-to-first-audio (warm, batch 1): stream_item wall time from
+    request to the first yielded audio chunk (prefill + 25 decode steps +
+    first vocode window). p50 over trials.
+
+All models run at full production geometry with random weights (no public
+checkpoint ships here; compute cost is weight-independent). As in bench.py,
+the whole vocab counts as "speech" so random channel-0 samples never trigger
+the EOS flush and generation runs full length.
+
+Usage:  python bench_full.py [--configs codec,clone,ttfa] [--steps N]
+Prints one JSON line per config on stdout; progress on stderr.
+``--tiny --platform cpu`` smoke-tests the harness with tiny geometry
+(numbers are meaningless there; it validates wiring, not performance).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def setup_jax_cache():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def emit(metric, value, unit, vs_baseline=None, **extra):
+    line = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if vs_baseline is not None:
+        line["vs_baseline"] = round(vs_baseline, 3)
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def random_lm_params(model, cfg, seed=0):
+    """Random full-geometry params directly on device in the param dtypes."""
+    import jax
+    import jax.numpy as jnp
+    rng = jax.random.PRNGKey(seed)
+    abstract = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)), rng)
+    leaves, treedef = jax.tree.flatten(abstract)
+    keys = list(jax.random.split(rng, len(leaves)))
+    return jax.tree.unflatten(treedef, [
+        (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
+        for k, s in zip(keys, leaves)])
+
+
+def bench_codec_roundtrip(spt, trials=3):
+    """BASELINE config 1: encode+decode of batch-8 30 s clips."""
+    import numpy as np
+    B, secs = 8, 30
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(secs * spt.input_sample_rate)
+            .astype(np.float32) * 0.1 for _ in range(B)]
+
+    log("codec_roundtrip: compile encode+decode...")
+    enc = spt.encode(wavs, overlap_seconds=10)
+    codes = [np.asarray(c, np.int32) for c in enc["codes_list"]]
+    spt.decode(codes, overlap_seconds=10, pcm16=True)
+
+    enc_s = dec_s = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        enc = spt.encode(wavs, overlap_seconds=10)
+        codes = [np.asarray(c, np.int32) for c in enc["codes_list"]]
+        t1 = time.perf_counter()
+        out = spt.decode(codes, overlap_seconds=10, pcm16=True)
+        t2 = time.perf_counter()
+        enc_s = t1 - t0 if enc_s is None else min(enc_s, t1 - t0)
+        dec_s = t2 - t1 if dec_s is None else min(dec_s, t2 - t1)
+    audio_sec = B * secs
+    xrt = audio_sec / (enc_s + dec_s)
+    log(f"codec_roundtrip: {audio_sec}s audio enc {enc_s:.2f}s + dec {dec_s:.2f}s"
+        f" = {xrt:.1f}x realtime")
+    emit("codec_roundtrip_xrt_batch8", xrt, "audio_sec_per_wall_sec",
+         encode_xrt=round(audio_sec / enc_s, 1),
+         decode_xrt=round(audio_sec / dec_s, 1))
+
+
+def build_pipeline(spt, decode_steps, batch, tiny=False):
+    """Production TTSPipeline at full LM geometry, int8 serving config."""
+    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
+                                           SamplingConfig)
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.pipeline.batch import TTSPipeline
+    from moss_ttsd_tpu.utils.mock_tokenizer import MockTokenizer
+
+    if tiny:
+        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+    else:
+        cfg = LMConfig()
+    # full vocab counts as speech => random weights never hit the EOS flush
+    cfg = type(cfg)(**{**cfg.to_dict(),
+                       "speech_token_range": (0, cfg.vocab_size)})
+    model = AsteroidLM(cfg)
+    log("voice_clone: init LM params...")
+    params = random_lm_params(model, cfg)
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=50, top_p=0.95)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=decode_steps,
+        approx_topk=not tiny)
+    return TTSPipeline(MockTokenizer(), cfg, params, spt, sampling,
+                       bucket=128, quant="int8")
+
+
+def clone_items(batch):
+    import json as _json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "examples.jsonl")
+    with open(path) as f:
+        base_items = [_json.loads(l) for l in f if l.strip()]
+    return [dict(base_items[i % len(base_items)]) for i in range(batch)]
+
+
+def bench_voice_clone(pipe, decode_steps, batch, trials=3):
+    """BASELINE config 3: two-speaker zero-shot cloning, full pipeline."""
+    items = clone_items(batch)
+    log("voice_clone: compile + first run (prompt encode + generate + vocode)...")
+    t0 = time.perf_counter()
+    pipe.process_batch(items, max_new_tokens=decode_steps, seed=0)
+    log(f"voice_clone: first call {time.perf_counter() - t0:.1f}s")
+
+    best = None
+    for i in range(trials):
+        pipe.timings.__init__()          # reset phase accumulators
+        t0 = time.perf_counter()
+        _, audio = pipe.process_batch(items, max_new_tokens=decode_steps,
+                                      seed=1 + i)
+        wall = time.perf_counter() - t0
+        audio_sec = sum(a["audio_data"].shape[-1] / a["sample_rate"]
+                        for a in audio if a is not None)
+        if best is None or wall < best[0]:
+            best = (wall, audio_sec, pipe.timings.as_dict())
+    wall, audio_sec, phases = best
+    rtf = audio_sec / wall
+    log(f"voice_clone: {audio_sec:.1f}s audio in {wall:.2f}s (RTF {rtf:.1f}) "
+        f"phases={phases}")
+    emit("voice_clone_e2e_rtf_batch8", rtf, "audio_sec_per_wall_sec",
+         vs_baseline=rtf / 5.0,
+         tokenize_s=round(phases["tokenize_s"], 3),
+         generate_s=round(phases["prefill_decode_s"], 3),
+         vocode_s=round(phases["vocode_s"], 3))
+
+
+def bench_ttfa(pipe, trials=5, chunk_steps=25):
+    """Warm time-to-first-audio at batch 1 via the streaming path."""
+    item = clone_items(1)[0]
+
+    def first_chunk_ms(seed):
+        t0 = time.perf_counter()
+        for _wav, _sr in pipe.stream_item(item, max_new_tokens=chunk_steps * 2,
+                                          seed=seed, chunk_steps=chunk_steps):
+            return (time.perf_counter() - t0) * 1e3
+        return None
+
+    log("ttfa: compile streaming path (batch 1)...")
+    t0 = time.perf_counter()
+    cold = first_chunk_ms(0)
+    log(f"ttfa: first (cold) call {time.perf_counter() - t0:.1f}s")
+
+    vals = sorted(v for v in (first_chunk_ms(1 + i) for i in range(trials))
+                  if v is not None)
+    p50 = vals[len(vals) // 2]
+    log(f"ttfa: warm trials (ms) = {[round(v) for v in vals]}, cold first "
+        f"chunk = {cold / 1e3:.1f}s")
+    emit("ttfa_warm_p50", p50, "ms",
+         chunk_steps=chunk_steps,
+         first_chunk_audio_s=round(chunk_steps / 12.5, 2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="codec,clone,ttfa",
+                    help="comma list of codec,clone,ttfa")
+    ap.add_argument("--steps", type=int, default=256,
+                    help="decode steps for the voice-clone config")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--platform", default=None, help="e.g. cpu")
+    args = ap.parse_args(argv)
+    configs = set(args.configs.split(","))
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    setup_jax_cache()
+    from moss_ttsd_tpu.core.config import CodecConfig
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+
+    log("init codec...")
+    codec_cfg = CodecConfig().tiny() if args.tiny else CodecConfig()
+    spt = XYTokenizer.init_random(codec_cfg, seed=0)
+
+    if "codec" in configs:
+        bench_codec_roundtrip(spt)
+
+    if configs & {"clone", "ttfa"}:
+        pipe = build_pipeline(spt, args.steps, args.batch, tiny=args.tiny)
+        if "clone" in configs:
+            bench_voice_clone(pipe, args.steps, args.batch)
+        if "ttfa" in configs:
+            bench_ttfa(pipe)
+
+
+if __name__ == "__main__":
+    main()

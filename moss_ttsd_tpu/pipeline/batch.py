@@ -78,9 +78,8 @@ class TTSPipeline:
 
     # ------------------------------------------------------------------
 
-    def prepare_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
-                     use_normalize: bool = False):
-        """One JSONL item -> (shifted prompt ids, text metadata)."""
+    def _prepare_text(self, item: dict, use_normalize: bool):
+        """Text half of item preparation -> (final_text, meta, wav-or-None)."""
         processed = process_jsonl_item(item)
         text = processed["text"]
         prompt_text = processed["prompt_text"]
@@ -89,27 +88,36 @@ class TTSPipeline:
         if use_normalize:
             full_text = normalize_text(full_text)
         final_text = rewrite_speaker_tags(full_text)
-
-        audio_codes = None
+        wav = None
         if processed["prompt_audio"] is not None:
-            t0 = time.perf_counter()
             wav = load_audio_data(processed["prompt_audio"])
+        meta = {"original_text": original,
+                "normalized_text": normalize_text(original) if use_normalize else None,
+                "final_text": final_text, "use_normalize": use_normalize}
+        return final_text, meta, wav
+
+    def _assemble(self, final_text: str, audio_codes, system_prompt: str):
+        """Prompt ids + delay shift for one item."""
+        ids = pp.build_prompt_ids(self.tokenizer, system_prompt, final_text,
+                                  audio_codes, channels=self.lm_cfg.channels,
+                                  pad_token=self.lm_cfg.speech_pad_token,
+                                  speech_offset=self.lm_cfg.speech_token_range[0])
+        return pp.shift_delay_pattern(ids, self.tokenizer.pad_token_id,
+                                      self.lm_cfg.speech_pad_token)
+
+    def prepare_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
+                     use_normalize: bool = False):
+        """One JSONL item -> (shifted prompt ids, text metadata)."""
+        final_text, meta, wav = self._prepare_text(item, use_normalize)
+        audio_codes = None
+        if wav is not None:
+            t0 = time.perf_counter()
             codes = self.spt.encode([wav])["codes_list"][0]     # (nq, T)
             audio_codes = np.asarray(codes).T                   # (T, nq)
             dt = time.perf_counter() - t0
             self.timings.tokenize_s += dt
             metrics.add("tokenize_s", dt)
-
-        ids = pp.build_prompt_ids(self.tokenizer, system_prompt, final_text,
-                                  audio_codes, channels=self.lm_cfg.channels,
-                                  pad_token=self.lm_cfg.speech_pad_token,
-                                  speech_offset=self.lm_cfg.speech_token_range[0])
-        shifted = pp.shift_delay_pattern(ids, self.tokenizer.pad_token_id,
-                                         self.lm_cfg.speech_pad_token)
-        meta = {"original_text": original,
-                "normalized_text": normalize_text(original) if use_normalize else None,
-                "final_text": final_text, "use_normalize": use_normalize}
-        return shifted, meta
+        return self._assemble(final_text, audio_codes, system_prompt), meta
 
     def process_batch(self, batch_items: List[dict],
                       system_prompt: str = SYSTEM_PROMPT,
@@ -124,20 +132,50 @@ class TTSPipeline:
         434-467): an item that fails preparation (bad audio path, malformed
         record) is reported as None + an "error" entry in its text metadata;
         the rest of the batch still generates.
+
+        Prompt-audio codec encode runs as ONE batched call over all items
+        that have a prompt voice (the reference encodes per item inside
+        process_inputs, generation_utils.py:198 — serial batch-1 codec calls
+        that would leave the compiled encoder's batch dimension idle here).
+        Variable prompt lengths are masked inside the codec.
         """
-        shifted_list, texts_data, ok_idx = [], [], []
+        staged, texts_data = [], []   # staged: (i, meta_slot, final_text, wav)
         for i, item in enumerate(batch_items):
             try:
-                shifted, meta = self.prepare_item(item, system_prompt,
-                                                  use_normalize)
+                final_text, meta, wav = self._prepare_text(item, use_normalize)
             except Exception as e:            # noqa: BLE001 — isolate items
                 import traceback
                 traceback.print_exc()
                 texts_data.append({"index": start_idx + i, "error": str(e)})
                 continue
             meta["index"] = start_idx + i
-            shifted_list.append(shifted)
+            staged.append((i, len(texts_data), final_text, wav))
             texts_data.append(meta)
+
+        wavs = [wav for _, _, _, wav in staged if wav is not None]
+        codes_list = []
+        if wavs:
+            t0 = time.perf_counter()
+            codes_list = self.spt.encode(wavs)["codes_list"]
+            dt = time.perf_counter() - t0
+            self.timings.tokenize_s += dt
+            metrics.add("tokenize_s", dt)
+
+        shifted_list, ok_idx, next_code = [], [], 0
+        for i, meta_slot, final_text, wav in staged:
+            audio_codes = None
+            if wav is not None:
+                audio_codes = np.asarray(codes_list[next_code]).T   # (T, nq)
+                next_code += 1
+            try:
+                shifted = self._assemble(final_text, audio_codes, system_prompt)
+            except Exception as e:            # noqa: BLE001 — isolate items
+                import traceback
+                traceback.print_exc()
+                texts_data[meta_slot] = {"index": start_idx + i,
+                                         "error": str(e)}
+                continue
+            shifted_list.append(shifted)
             ok_idx.append(i)
 
         if not shifted_list:

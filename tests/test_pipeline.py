@@ -166,3 +166,65 @@ def test_process_batch_per_item_isolation():
     assert "error" in texts[1] and audio[1] is None
     assert audio[0] is not None and audio[2] is not None
     assert texts[0]["index"] == 0 and texts[2]["index"] == 2
+
+
+def test_process_batch_batched_prompt_encode_matches_per_item(tmp_path):
+    """process_batch encodes all prompt voices in ONE batched codec call;
+    the resulting prompt ids must equal the per-item prepare_item path
+    (variable prompt lengths are masked inside the codec)."""
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.core.config import CodecConfig, LMConfig
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.pipeline.batch import TTSPipeline
+    from moss_ttsd_tpu.utils.audio_io import write_wav
+    from tests.test_decode import greedy_sampling
+
+    tok = MockTokenizer()
+    lm_cfg = LMConfig(dtype="float32", param_dtype="float32").tiny(
+        vocab_size=300, speech_vocab_size=65, speech_pad_token=64,
+        speech_token_range=(0, 290), eos_token_id=290,
+        pad_token_id=tok.pad_token_id)
+    model = AsteroidLM(lm_cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, lm_cfg.channels), jnp.int32))
+    spt = XYTokenizer.init_random(CodecConfig().tiny(), seed=0)
+    pipe = TTSPipeline(tok, lm_cfg, params, spt, greedy_sampling(), bucket=32)
+    pipe.engine.cache_dtype = jnp.float32
+
+    rng = np.random.default_rng(0)
+    sr = spt.input_sample_rate
+    for name, secs in [("p1.wav", 0.5), ("p2.wav", 1.25)]:
+        write_wav(str(tmp_path / name),
+                  (rng.standard_normal(int(secs * sr)) * 0.1).astype(np.float32),
+                  sr)
+
+    items = [
+        {"text": "[S1]cloned one[S2]ok", "prompt_audio": str(tmp_path / "p1.wav"),
+         "prompt_text": "voice one"},
+        {"text": "[S1]no clone here[S2]right"},
+        {"text": "[S1]cloned two[S2]sure", "prompt_audio": str(tmp_path / "p2.wav"),
+         "prompt_text": "voice two"},
+    ]
+
+    # reference path: per-item prepare (serial batch-1 codec encodes)
+    expected = [pipe.prepare_item(dict(it))[0] for it in items]
+
+    # capture what the batched path feeds the engine
+    captured = {}
+    orig_generate = pipe.engine.generate
+
+    def spy(batch, mask, *a, **kw):
+        captured["batch"], captured["mask"] = batch, mask
+        return orig_generate(batch, mask, *a, **kw)
+
+    pipe.engine.generate = spy
+    texts, audio = pipe.process_batch(items, max_new_tokens=8)
+    assert all("error" not in t for t in texts)
+
+    from moss_ttsd_tpu.pipeline import prompt as pp
+    exp_batch, exp_mask = pp.left_pad_batch(expected, tok.pad_token_id,
+                                            lm_cfg.speech_pad_token)
+    np.testing.assert_array_equal(captured["batch"], exp_batch)
+    np.testing.assert_array_equal(captured["mask"], exp_mask)
