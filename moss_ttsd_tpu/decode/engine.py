@@ -222,7 +222,7 @@ class GenerationEngine:
 
     def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
                  bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None,
-                 quant: Optional[str] = None, step_bucket: int = 512,
+                 quant: Optional[str] = None, step_bucket: int = 256,
                  max_cached_programs: int = 8, kv_quant: Optional[str] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
@@ -232,7 +232,11 @@ class GenerationEngine:
         kv_quant="int8" additionally stores the KV cache int8 with
         per-head-per-token scales, dequantized inside the fused Pallas decode
         kernel — halves the cache HBM stream that dominates long-context
-        decode (ops/pallas_attention.flash_decode_int8_hs)."""
+        decode (ops/pallas_attention.flash_decode_int8_hs). Measured v5e
+        crossover: at a 256-slot cache the per-step quantize cost outweighs
+        the saved reads (223 vs 229 steps/s); at >=512 slots int8 wins
+        (201 vs 186) and the gap grows with cache length — enable it for
+        long-form/podcast decodes, leave it off for short interactive ones."""
         self.cfg = cfg
         if kv_quant == "int8":
             import dataclasses
@@ -285,7 +289,12 @@ class GenerationEngine:
         self.bucket = bucket
         # buffer capacity (KV cache + token buffer) is bucketed to multiples
         # of step_bucket so varying max_tokens shares compiled programs; the
-        # actual step bound is a dynamic scalar.
+        # actual step bound is a dynamic scalar. Keep the bucket tight:
+        # decode attention reads the FULL static buffer every step, so
+        # oversizing it costs real bandwidth — measured on v5e at the
+        # 256-step serving config: 229 steps/s with a 256-slot bucket vs
+        # 186 with a 512-slot one (bf16 KV, w8a16). Larger buckets only pay
+        # off for workloads whose max_tokens genuinely varies per request.
         self.step_bucket = step_bucket
         self.max_cached_programs = max_cached_programs
         self.cache_dtype = cache_dtype
