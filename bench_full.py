@@ -14,6 +14,10 @@ defines but never measures (BASELINE.md: the reference publishes no RTF/TTFA):
   * ttfa — time-to-first-audio (warm, batch 1): stream_item wall time from
     request to the first yielded audio chunk (prefill + 25 decode steps +
     first vocode window). p50 over trials.
+  * longform — BASELINE config 4 (podcast single-stream): batch-1 decode of
+    minutes of audio with the int8 KV cache (the serving config for long
+    buffers — see decode/engine.py docstring), decode steps/s + decode-only
+    RTF. Vocode throughput is covered by the codec config above.
 
 All models run at full production geometry with random weights (no public
 checkpoint ships here; compute cost is weight-independent). As in bench.py,
@@ -56,17 +60,31 @@ def emit(metric, value, unit, vs_baseline=None, **extra):
 
 
 def random_lm_params(model, cfg, seed=0):
-    """Random full-geometry params directly on device in the param dtypes."""
+    """Random full-geometry params directly on device in the param dtypes.
+
+    With cfg.quantized the tree is generated straight in quantized layout
+    (random int8 weights + small fp32 scales, ~0.02-scaled effective values)
+    so no full-precision master copy ever touches HBM — the engine detects
+    the pre-quantized tree and skips conversion."""
     import jax
     import jax.numpy as jnp
     rng = jax.random.PRNGKey(seed)
     abstract = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)), rng)
-    leaves, treedef = jax.tree.flatten(abstract)
-    keys = list(jax.random.split(rng, len(leaves)))
-    return jax.tree.unflatten(treedef, [
-        (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
-        for k, s in zip(keys, leaves)])
+    flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
+    keys = list(jax.random.split(rng, len(flat)))
+
+    def fill(path, spec, k):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if spec.dtype == jnp.int8:
+            return jax.random.randint(k, spec.shape, -127, 128, jnp.int8)
+        if name.endswith("_s"):          # dequant scales: 0.02 / 127
+            return jnp.full(spec.shape, 0.02 / 127, spec.dtype)
+        return (jax.random.normal(k, spec.shape, jnp.bfloat16) * 0.02
+                ).astype(spec.dtype)
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [fill(p, s, k) for (p, s), k in zip(flat, keys)])
 
 
 def bench_codec_roundtrip(spt, trials=3):
@@ -116,9 +134,10 @@ def build_pipeline(spt, decode_steps, batch, tiny=False):
     # full vocab counts as speech => random weights never hit the EOS flush
     cfg = type(cfg)(**{**cfg.to_dict(),
                        "speech_token_range": (0, cfg.vocab_size)})
-    model = AsteroidLM(cfg)
-    log("voice_clone: init LM params...")
-    params = random_lm_params(model, cfg)
+    log("voice_clone: init LM params (pre-quantized int8)...")
+    import dataclasses
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    params = random_lm_params(AsteroidLM(qcfg), qcfg)
     sampling = SamplingConfig(
         channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
                                         top_k=50, top_p=0.95)
@@ -194,10 +213,62 @@ def bench_ttfa(pipe, trials=5, chunk_steps=25):
          first_chunk_audio_s=round(chunk_steps / 12.5, 2))
 
 
+def bench_longform(steps=1500, trials=2, tiny=False):
+    """BASELINE config 4: single-stream long-form decode (podcast path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
+                                           SamplingConfig)
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+
+    if tiny:
+        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+    else:
+        cfg = LMConfig()
+    cfg = type(cfg)(**{**cfg.to_dict(),
+                       "speech_token_range": (0, cfg.vocab_size)})
+    log("longform: init LM params (pre-quantized int8)...")
+    import dataclasses
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    params = random_lm_params(AsteroidLM(qcfg), qcfg)
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=50, top_p=0.95)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=steps, approx_topk=not tiny)
+    engine = GenerationEngine(cfg, params, sampling, bucket=64, quant="int8",
+                              kv_quant="int8", step_bucket=steps)
+    del params
+
+    nprng = np.random.default_rng(0)
+    ids = np.full((1, 64, cfg.channels), cfg.speech_pad_token, np.int64)
+    ids[..., 0] = nprng.integers(1, min(10000, cfg.vocab_size - 1), (1, 64))
+    mask = np.ones((1, 64), np.int64)
+
+    log("longform: compile + first run...")
+    t0 = time.perf_counter()
+    engine.generate(ids, mask, max_new_tokens=steps, seed=0)
+    log(f"longform: first call {time.perf_counter() - t0:.1f}s")
+    best = None
+    for i in range(trials):
+        t0 = time.perf_counter()
+        r = engine.generate(ids, mask, max_new_tokens=steps, seed=1 + i)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    sps = r.steps / best
+    rtf = sps / 12.5
+    log(f"longform: {r.steps} steps in {best:.2f}s = {sps:.1f} steps/s "
+        f"(decode RTF {rtf:.1f} single-stream)")
+    emit("longform_decode_steps_per_s_batch1", sps, "steps_per_sec",
+         decode_rtf=round(rtf, 1), steps=r.steps, kv_quant="int8")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="codec,clone,ttfa",
-                    help="comma list of codec,clone,ttfa")
+    ap.add_argument("--configs", default="codec,clone,ttfa,longform",
+                    help="comma list of codec,clone,ttfa,longform")
     ap.add_argument("--steps", type=int, default=256,
                     help="decode steps for the voice-clone config")
     ap.add_argument("--batch", type=int, default=8)
@@ -226,6 +297,10 @@ def main(argv=None):
             bench_voice_clone(pipe, args.steps, args.batch)
         if "ttfa" in configs:
             bench_ttfa(pipe)
+        del pipe
+
+    if "longform" in configs:
+        bench_longform(steps=96 if args.tiny else 1500, tiny=args.tiny)
 
 
 if __name__ == "__main__":

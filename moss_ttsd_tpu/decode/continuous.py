@@ -1,0 +1,328 @@
+"""Continuous batching: a slot-based serving engine over the jitted decoder.
+
+The reference serves whole static batches (reference generation_utils.py:
+341-409): one slow request holds its whole batch hostage and new requests
+wait for a full drain. This module keeps a fixed pool of ``slots`` rows
+decoding in lockstep; requests JOIN the running pool at segment boundaries
+(a compiled batch-1 prefill + a device-side row splice) and finished rows
+are EVICTED and reused immediately — vLLM-style continuous batching, but
+with fully static shapes so XLA compiles exactly three programs (prefill,
+splice, segment) regardless of the request mix.
+
+Per-row state is the key difference from decode/engine.py: every slot
+carries its own decode-step counter, cache depth, RoPE position, EOS-flush
+countdown and repetition-penalty presence sets. The decode body indexes the
+KV cache and token buffer with per-row positions (models/lm.py cache_write
+vector path), so a row that joined 400 steps after its neighbour still
+writes cache slot ``base + its_own_step``.
+
+Numerics per row are identical to the static engine: a greedy request
+joined mid-flight yields token-for-token the same output as an isolated
+``GenerationEngine.generate`` call (tests/test_continuous.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LMConfig, SamplingConfig
+from ..models.lm import AsteroidLM, init_cache
+from ..ops.attention import NEG_INF
+from ..ops.sampling import (ChannelParams, presence_from_history,
+                            scatter_presence)
+from .engine import GenerateResult, _build_generate_fn, sample_channels
+
+logger = logging.getLogger(__name__)
+
+
+class PoolState(NamedTuple):
+    active: jnp.ndarray          # (B,) bool — slot holds a live request
+    step_r: jnp.ndarray          # (B,) int32 — decode steps done per row
+    max_r: jnp.ndarray           # (B,) int32 — per-row step budget
+    tokens: jnp.ndarray          # (B, S, C)
+    cache: dict                  # {"k","v"[, "k_s","v_s"]} (L, B, Hkv, S, ...)
+    key_valid: jnp.ndarray       # (B, S) bool
+    hidden_last: jnp.ndarray     # (B, 1, H)
+    last_pos: jnp.ndarray        # (B,)
+    needs: jnp.ndarray           # (B,) int32 EOS-flush countdown, -1 inactive
+    unfinished: jnp.ndarray      # (B,) bool
+    presence_text: jnp.ndarray   # (B, V_text) bool
+    presence_speech: jnp.ndarray  # (B, C-1, V_speech) bool
+    rng: jax.Array
+
+
+def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
+                      sampling: SamplingConfig, base: int):
+    """Compiled ``segment(params, state, k)``: advance every live row by up
+    to ``k`` decode steps (rows stop individually at EOS or their budget)."""
+    C = cfg.channels
+    ch_params: List[ChannelParams] = [ChannelParams.from_config(c)
+                                      for c in sampling.channels]
+    prefilter = sampling.topk_prefilter
+    approx_topk = sampling.approx_topk
+    speech_lo, speech_hi = cfg.speech_token_range
+    eos = cfg.eos_token_id
+    pad_speech = cfg.speech_pad_token
+
+    def is_speech(tok):
+        return (tok >= speech_lo) & (tok < speech_hi)
+
+    def body(params, state: PoolState) -> PoolState:
+        srow = state.step_r                              # (B,)
+        cur_r = base + srow                              # (B,) per-row write pos
+        S = state.tokens.shape[1]
+        adv = state.active & state.unfinished            # rows that advance
+
+        text_logits, speech_logits = model.apply(
+            params, state.hidden_last, method=AsteroidLM.logits_all)
+        text_logits = text_logits[:, 0]
+        speech_logits = speech_logits[:, 0]
+
+        rng, step_rng = jax.random.split(state.rng)
+        next_tokens = sample_channels(
+            step_rng, text_logits, speech_logits, state.presence_text,
+            state.presence_speech, srow, ch_params, prefilter, approx_topk,
+            eos, pad_speech)
+
+        # adv-gated: a frozen row samples garbage (its output is discarded
+        # below) and must not re-arm the flush countdown
+        trigger = adv & (~is_speech(next_tokens[:, 0])) & (state.needs < 0)
+        needs = jnp.where(trigger, C - 1, state.needs)
+
+        # teacher forcing: per-row read of the shifted-prompt tail row
+        tf_row = jax.vmap(
+            lambda t, c: jax.lax.dynamic_slice(t, (c, 0), (1, C))[0]
+        )(state.tokens, cur_r)                           # (B, C)
+        chan = jnp.arange(C)
+        tf_mask = (srow[:, None] < C - 1) & (chan[None, :] > srow[:, None])
+        next_tokens = jnp.where(tf_mask, tf_row, next_tokens)
+
+        flushing = (needs > 0) & (needs < C - 1)
+        flush_val = jnp.where(chan[None, :] == 0, eos, pad_speech)
+        flush_chan = (chan[None, :] == 0) | (needs[:, None] < C - chan[None, :])
+        next_tokens = jnp.where(flushing[:, None] & flush_chan, flush_val,
+                                next_tokens)
+        fin_fill = jnp.where(chan[None, :] == 0, eos, pad_speech)
+        next_tokens = jnp.where(adv[:, None], next_tokens, fin_fill)
+
+        # per-row token write; frozen rows keep their buffer untouched (the
+        # select is over the whole (B, S, C) buffer — a few hundred KB)
+        written = jax.vmap(
+            lambda t, nt, c: jax.lax.dynamic_update_slice(t, nt[None], (c, 0))
+        )(state.tokens, next_tokens.astype(state.tokens.dtype), cur_r)
+        tokens = jnp.where(adv[:, None, None], written, state.tokens)
+
+        presence_text = jnp.where(
+            adv[:, None],
+            scatter_presence(state.presence_text, next_tokens[:, 0]),
+            state.presence_text)
+        presence_speech = jnp.where(
+            adv[:, None, None],
+            scatter_presence(state.presence_speech, next_tokens[:, 1:]),
+            state.presence_speech)
+
+        needs = jnp.where(adv & (needs > 0), needs - 1, needs)
+        stopping = (next_tokens[:, 0] == eos) | (needs == 0)
+        unfinished = state.unfinished & ~stopping
+        unfinished = unfinished | (needs > 0)
+        # per-row budget: a row that just wrote its max_r-th token stops
+        unfinished = unfinished & (srow + 1 < state.max_r)
+
+        # forward the new token; frozen rows run too (lockstep) but their
+        # cache write lands on an invalid slot (key_valid gated on adv) and
+        # their sampled tokens are discarded above
+        iota = jnp.arange(S)
+        key_valid = state.key_valid | (adv[:, None] & (iota[None, :] == cur_r[:, None]))
+        positions = (state.last_pos + 1)[:, None]
+        hidden, new_cache = model.apply(
+            params, next_tokens[:, None, :], positions, key_valid,
+            state.cache, cur_r, method=AsteroidLM.backbone)
+        hidden = jnp.where(adv[:, None, None], hidden, state.hidden_last)
+
+        return PoolState(
+            active=state.active,
+            step_r=state.step_r + adv.astype(jnp.int32),
+            max_r=state.max_r,
+            tokens=tokens, cache=new_cache, key_valid=key_valid,
+            hidden_last=hidden,
+            last_pos=state.last_pos + adv.astype(state.last_pos.dtype),
+            needs=needs,
+            unfinished=unfinished & state.active,
+            presence_text=presence_text, presence_speech=presence_speech,
+            rng=rng)
+
+    def segment(params, state: PoolState, k) -> PoolState:
+        def cond(carry):
+            t, st = carry
+            return (t < k) & jnp.any(st.active & st.unfinished)
+
+        def step(carry):
+            t, st = carry
+            return t + 1, body(params, st)
+
+        _, state = jax.lax.while_loop(cond, step, (jnp.int32(0), state))
+        return state
+
+    return segment
+
+
+class ContinuousBatcher:
+    """Fixed-slot continuous batching over AsteroidLM.
+
+    Parameters mirror GenerationEngine; ``slots`` is the pool width (the
+    static batch the device decodes), ``base`` the single prompt bucket
+    (shifted prompts longer than base + channels - 1 are rejected) and
+    ``max_steps`` the per-slot KV/token capacity.
+
+    Typical loop::
+
+        cb = ContinuousBatcher(cfg, params, sampling, slots=8)
+        cb.submit(shifted_prompt, max_new_tokens=200)   # whenever slots free
+        cb.run(steps=25)                                # advance the pool
+        for slot in cb.finished():
+            result = cb.collect(slot)                   # frees the slot
+    """
+
+    def __init__(self, cfg: LMConfig, params,
+                 sampling: Optional[SamplingConfig] = None, slots: int = 8,
+                 base: int = 128, max_steps: int = 512,
+                 cache_dtype=jnp.bfloat16, quant: Optional[str] = None,
+                 kv_quant: Optional[str] = None, seed: int = 0):
+        # reuse the engine's param handling (dtype cast / int8 quantization)
+        from .engine import GenerationEngine
+        eng = GenerationEngine(cfg, params, sampling, bucket=base,
+                               cache_dtype=cache_dtype, quant=quant,
+                               step_bucket=max_steps, kv_quant=kv_quant)
+        self.cfg = eng.cfg
+        self.params = eng.params
+        self.sampling = eng.sampling
+        self.model = eng.model
+        self.base = base
+        self.max_steps = max_steps
+        self.slots = slots
+        self.cache_dtype = cache_dtype
+        C = self.cfg.channels
+        self.S = base + max_steps
+        self.L = base + C - 1
+
+        # three compiled programs: batch-1 prefill (the engine's own),
+        # row splice, and the pooled decode segment
+        self._prefill1, _ = _build_generate_fn(
+            self.model, self.cfg, self.sampling, base, max_steps, cache_dtype)
+        self._prefill1 = jax.jit(self._prefill1)
+        self._segment = jax.jit(_build_segment_fn(
+            self.model, self.cfg, self.sampling, base),
+            donate_argnums=(1,))
+        self._splice = jax.jit(self._splice_impl, donate_argnums=(0,),
+                               static_argnames=())
+
+        self.state = self._init_state(seed)
+        self._slot_free = [True] * slots
+
+    # ------------------------------------------------------------------
+
+    def _init_state(self, seed: int) -> PoolState:
+        cfg, B, S, C = self.cfg, self.slots, self.S, self.cfg.channels
+        return PoolState(
+            active=jnp.zeros((B,), bool),
+            step_r=jnp.zeros((B,), jnp.int32),
+            max_r=jnp.full((B,), self.max_steps, jnp.int32),
+            tokens=jnp.zeros((B, S, C), jnp.int32),
+            cache=init_cache(cfg, B, S, self.cache_dtype),
+            key_valid=jnp.zeros((B, S), bool),
+            hidden_last=jnp.zeros((B, 1, cfg.hidden_size),
+                                  jnp.dtype(cfg.dtype)),
+            last_pos=jnp.zeros((B,), jnp.int32),
+            needs=jnp.full((B,), -1, jnp.int32),
+            unfinished=jnp.zeros((B,), bool),
+            presence_text=jnp.zeros((B, cfg.vocab_size), bool),
+            presence_speech=jnp.zeros(
+                (B, C - 1, cfg.speech_vocab_size), bool),
+            rng=jax.random.PRNGKey(seed))
+
+    @staticmethod
+    def _splice_impl(pool: PoolState, s1, j, max_new) -> PoolState:
+        """Install a prefilled batch-1 DecodeState into pool row j."""
+        row = lambda a, b: a.at[j].set(b[0])
+        cache = {k: pool.cache[k].at[:, j].set(v[:, 0])
+                 for k, v in s1.cache.items()}
+        return PoolState(
+            active=pool.active.at[j].set(True),
+            step_r=pool.step_r.at[j].set(0),
+            max_r=pool.max_r.at[j].set(max_new),
+            tokens=row(pool.tokens, s1.tokens.astype(pool.tokens.dtype)),
+            cache=cache,
+            key_valid=row(pool.key_valid, s1.key_valid),
+            hidden_last=row(pool.hidden_last, s1.hidden_last),
+            last_pos=row(pool.last_pos,
+                         s1.last_pos.astype(pool.last_pos.dtype)),
+            needs=pool.needs.at[j].set(-1),
+            unfinished=pool.unfinished.at[j].set(True),
+            presence_text=row(pool.presence_text, s1.presence_text),
+            presence_speech=row(pool.presence_speech, s1.presence_speech),
+            rng=pool.rng)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def free_slots(self) -> int:
+        return sum(self._slot_free)
+
+    def submit(self, shifted_prompt: np.ndarray,
+               max_new_tokens: Optional[int] = None,
+               seed: int = 0) -> Optional[int]:
+        """Join one request: shifted_prompt (Lp, C) — the delay-shifted
+        prompt (pipeline.prompt.shift_delay_pattern). Returns the slot id,
+        or None when the pool is full."""
+        try:
+            j = self._slot_free.index(True)
+        except ValueError:
+            return None
+        Lp, C = shifted_prompt.shape
+        if Lp > self.L:
+            raise ValueError(
+                f"shifted prompt ({Lp} rows) exceeds the pool bucket "
+                f"({self.L}); raise base= or pre-chunk the prompt")
+        ids = np.zeros((1, self.L, C), np.int32)
+        ids[0, :, 0] = self.cfg.pad_token_id
+        ids[0, :, 1:] = self.cfg.speech_pad_token
+        ids[0, self.L - Lp:] = shifted_prompt
+        mask = np.zeros((1, self.L), np.int32)
+        mask[0, self.L - Lp:] = 1
+
+        steps = max_new_tokens or self.sampling.max_new_tokens
+        steps = min(steps, self.max_steps)
+        s1 = self._prefill1(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                            jax.random.PRNGKey(seed))
+        self.state = self._splice(self.state, s1, jnp.int32(j),
+                                  jnp.int32(steps))
+        self._slot_free[j] = False
+        return j
+
+    def run(self, steps: int = 25) -> None:
+        """Advance every live row by up to ``steps`` decode steps."""
+        self.state = self._segment(self.params, self.state, jnp.int32(steps))
+
+    def finished(self) -> List[int]:
+        """Slot ids holding a completed request (ready to collect)."""
+        active = np.asarray(self.state.active)
+        unfinished = np.asarray(self.state.unfinished)
+        return [j for j in range(self.slots)
+                if active[j] and not unfinished[j]]
+
+    def collect(self, j: int) -> GenerateResult:
+        """Read slot j's output and free the slot."""
+        if self._slot_free[j]:
+            raise ValueError(f"slot {j} is free")
+        steps = int(np.asarray(self.state.step_r[j]))
+        tokens = np.asarray(self.state.tokens[j, :self.base + steps])[None]
+        self.state = self.state._replace(
+            active=self.state.active.at[j].set(False),
+            unfinished=self.state.unfinished.at[j].set(False))
+        self._slot_free[j] = True
+        return GenerateResult(tokens=tokens, steps=steps, base=self.base)

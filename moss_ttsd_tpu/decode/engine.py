@@ -61,6 +61,35 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
+def sample_channels(rng, text_logits, speech_logits, presence_text,
+                    presence_speech, srow, ch_params, prefilter, approx_topk,
+                    eos, pad_speech):
+    """One sampling round -> next_tokens (B, C). Shared by the static engine
+    and the continuous batcher.
+
+    srow is the per-request decode step: a traced scalar (static batch — all
+    rows in lockstep) or a (B,) vector (continuous batching — each row at its
+    own depth). The two hard masks it gates (no end-of-speech during the
+    teacher-forcing window, reference modeling_asteroid.py:127-128; no
+    pad-1024 on channel i once its delay elapsed, reference :124-126)
+    broadcast identically either way."""
+    C = len(ch_params)
+    in_tf = srow < C - 1
+    t_logits = text_logits.at[:, eos].add(jnp.where(in_tf, NEG_INF, 0.0))
+    t_logits = apply_repetition_penalty(t_logits, presence_text,
+                                        ch_params[0].repetition_penalty)
+    rngs = jax.random.split(rng, C)
+    toks = [sample_from_channel(rngs[0], t_logits, ch_params[0], prefilter,
+                                approx_topk)]
+    for i in range(1, C):
+        sl = speech_logits[:, i - 1]
+        sl = sl.at[:, pad_speech].add(jnp.where(srow >= i, NEG_INF, 0.0))
+        sl = apply_repetition_penalty(sl, presence_speech[:, i - 1],
+                                      ch_params[i].repetition_penalty)
+        toks.append(sample_from_channel(rngs[i], sl, ch_params[i], prefilter))
+    return jnp.stack(toks, axis=-1)      # (B, C)
+
+
 def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfig,
                        base: int, max_steps: int, cache_dtype):
     """Compile-time-closed (prefill, run) pair for one (bucketed prompt
@@ -81,34 +110,6 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
     def is_speech(tok):
         return (tok >= speech_lo) & (tok < speech_hi)
 
-    def sample_step(rng, text_logits, speech_logits, state: DecodeState):
-        """One sampling round -> next_tokens (B, C)."""
-        s = state.step
-        B = text_logits.shape[0]
-
-        # -- channel 0 (text vocab) -------------------------------------
-        t_logits = text_logits
-        # forbid end-of-speech during the TF window (reference :127-128)
-        in_tf = s < C - 1
-        t_logits = t_logits.at[:, eos].add(jnp.where(in_tf, NEG_INF, 0.0))
-        t_logits = apply_repetition_penalty(t_logits, state.presence_text,
-                                            ch_params[0].repetition_penalty)
-        rngs = jax.random.split(rng, C)
-        tok0 = sample_from_channel(rngs[0], t_logits, ch_params[0], prefilter,
-                                   approx_topk)
-
-        # -- channels 1..C-1 (speech vocab) ----------------------------
-        toks = [tok0]
-        for i in range(1, C):
-            sl = speech_logits[:, i - 1]
-            # forbid pad-1024 once channel i's delay has elapsed (s >= i)
-            sl = sl.at[:, pad_speech].add(jnp.where(s >= i, NEG_INF, 0.0))
-            sl = apply_repetition_penalty(sl, state.presence_speech[:, i - 1],
-                                          ch_params[i].repetition_penalty)
-            toks.append(sample_from_channel(rngs[i], sl, ch_params[i], prefilter))
-
-        return jnp.stack(toks, axis=-1)      # (B, C)
-
     def body(params, state: DecodeState) -> DecodeState:
         s = state.step
         cur_len = base + s
@@ -118,7 +119,10 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
         speech_logits = speech_logits[:, 0]      # (B, C-1, Vs)
 
         rng, step_rng = jax.random.split(state.rng)
-        next_tokens = sample_step(step_rng, text_logits, speech_logits, state)
+        next_tokens = sample_channels(
+            step_rng, text_logits, speech_logits, state.presence_text,
+            state.presence_speech, s, ch_params, prefilter, approx_topk,
+            eos, pad_speech)
 
         # EOS detection on the *sampled* channel 0 (reference :140-141)
         trigger = (~is_speech(next_tokens[:, 0])) & (state.needs < 0)
@@ -244,18 +248,23 @@ class GenerationEngine:
             self.cfg = cfg
         elif kv_quant is not None:
             raise ValueError(f"unknown kv_quant mode {kv_quant!r}")
+        from ..ops.quantize import is_quantized_tree, quantize_lm_params
+        # a tree already in quantized layout (int8 checkpoint, or random init
+        # of the quantized model) skips the cast + conversion — avoids ever
+        # materializing a full-precision master copy on device
+        pre_quantized = quant == "int8" and is_quantized_tree(params)
         # store weights in the compute dtype once — the decode step is
         # weight-bandwidth-bound, so fp32 storage would halve throughput
         target = jnp.dtype(cfg.dtype)
-        if target != jnp.float32:
+        if target != jnp.float32 and not pre_quantized:
             params = jax.tree.map(
                 lambda x: x.astype(target)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
         self.quant = quant
         if quant == "int8":
             import dataclasses
-            from ..ops.quantize import quantize_lm_params
-            params = quantize_lm_params(params)
+            if not pre_quantized:
+                params = quantize_lm_params(params)
             cfg = dataclasses.replace(cfg, quantized=True)
             self.cfg = cfg
         elif quant is not None:

@@ -135,29 +135,39 @@ class Qwen3Block(nn.Module):
         if S > 0:                      # decode/prefill path: write into cache
             # cache is head-major (L, B, Hkv, S, D): attention reads it with
             # zero transposes; the per-step write transposes only the new
-            # (B, T, Hkv, D) token slice (tiny)
+            # (B, T, Hkv, D) token slice (tiny).
+            # cache_pos may be a (B,) vector (continuous batching: rows sit at
+            # different depths) — then the write is a per-row scatter of the
+            # same tiny slice.
+            vec_pos = jnp.ndim(cache_pos) > 0
+
+            def cache_write(buf, new):
+                """buf (L, B, Hkv, S[, D]); new (B, Hkv, T[, D])."""
+                if not vec_pos:
+                    start = (layer_idx, 0, 0, cache_pos, 0)[:buf.ndim]
+                    return jax.lax.dynamic_update_slice(
+                        buf, new[None].astype(buf.dtype), start)
+
+                def row(rbuf, rnew, pos):   # (L, Hkv, S[, D]), (Hkv, T[, D])
+                    start = (layer_idx, 0, pos, 0)[:rbuf.ndim]
+                    return jax.lax.dynamic_update_slice(
+                        rbuf, rnew[None].astype(rbuf.dtype), start)
+                return jax.vmap(row, in_axes=(1, 0, 0), out_axes=1)(
+                    buf, new, cache_pos)
+
             k_hs = jnp.moveaxis(k, 2, 1)               # (B, Hkv, T, D)
             v_hs = jnp.moveaxis(v, 2, 1)
+            cache = dict(cache)
             if kv8:
                 k_w, k_sw = quantize_kv(k_hs)
                 v_w, v_sw = quantize_kv(v_hs)
-                cache = dict(cache)
-                cache["k"] = jax.lax.dynamic_update_slice(
-                    cache["k"], k_w[None], (layer_idx, 0, 0, cache_pos, 0))
-                cache["v"] = jax.lax.dynamic_update_slice(
-                    cache["v"], v_w[None], (layer_idx, 0, 0, cache_pos, 0))
-                cache["k_s"] = jax.lax.dynamic_update_slice(
-                    cache["k_s"], k_sw[None], (layer_idx, 0, 0, cache_pos))
-                cache["v_s"] = jax.lax.dynamic_update_slice(
-                    cache["v_s"], v_sw[None], (layer_idx, 0, 0, cache_pos))
+                cache["k"] = cache_write(cache["k"], k_w)
+                cache["v"] = cache_write(cache["v"], v_w)
+                cache["k_s"] = cache_write(cache["k_s"], k_sw)
+                cache["v_s"] = cache_write(cache["v_s"], v_sw)
             else:
-                cache = dict(cache)
-                cache["k"] = jax.lax.dynamic_update_slice(
-                    cache["k"], k_hs[None].astype(cache["k"].dtype),
-                    (layer_idx, 0, 0, cache_pos, 0))
-                cache["v"] = jax.lax.dynamic_update_slice(
-                    cache["v"], v_hs[None].astype(cache["v"].dtype),
-                    (layer_idx, 0, 0, cache_pos, 0))
+                cache["k"] = cache_write(cache["k"], k_hs)
+                cache["v"] = cache_write(cache["v"], v_hs)
             if pallas_prefill and T > 1:
                 # prefill: queries only see keys < T, i.e. the current k/v
                 # (with kv8 the prefill attends over the EXACT bf16 k/v; only
@@ -293,7 +303,9 @@ class AsteroidLM(nn.Module):
         key_valid: (B, S) cache-slot validity (left-padding + unwritten slots)
                    or (B, T) for the cache-free path;
         cache: {"k","v": (L, B, Hkv, S, D)} or None (training);
-        cache_pos: scalar — write offset of this segment in the cache.
+        cache_pos: write offset of this segment in the cache — a scalar, or
+                   a (B,) vector of per-row offsets (continuous batching,
+                   decode/continuous.py).
         Returns (hidden (B, T, hidden), new_cache).
         """
         c = self.cfg

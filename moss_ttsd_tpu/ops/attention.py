@@ -67,13 +67,18 @@ def causal_mask(cache_pos, q_len: int, kv_len: int,
                 key_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Causal + validity mask (B, q_len, kv_len).
 
-    cache_pos: scalar int — absolute position of the first query token.
+    cache_pos: absolute position of the first query token — a scalar, or a
+    (B,) vector when rows sit at different cache depths (continuous batching).
     key_valid: (B, kv_len) validity of cache slots (covers left-padding and
     not-yet-written slots); None means all valid.
     """
-    qpos = cache_pos + jnp.arange(q_len)
     kpos = jnp.arange(kv_len)
-    causal = kpos[None, :] <= qpos[:, None]                    # (q, k)
+    if jnp.ndim(cache_pos) == 0:
+        qpos = cache_pos + jnp.arange(q_len)                   # (q,)
+        causal = (kpos[None, :] <= qpos[:, None])[None]        # (1, q, k)
+    else:
+        qpos = jnp.asarray(cache_pos)[:, None] + jnp.arange(q_len)  # (B, q)
+        causal = kpos[None, None, :] <= qpos[:, :, None]       # (B, q, k)
     if key_valid is None:
-        return jnp.broadcast_to(causal[None], (1, q_len, kv_len))
-    return causal[None] & key_valid[:, None, :]
+        return jnp.broadcast_to(causal, (causal.shape[0], q_len, kv_len))
+    return causal & key_valid[:, None, :]

@@ -38,6 +38,26 @@ def _quantize(w: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def is_quantized_tree(params: Dict) -> bool:
+    """True if the tree is already in the quantized model's layout (contains
+    kernel_q / embed_*_q leaves) — e.g. an int8 checkpoint loaded from disk,
+    or params initialized directly from the quantized model. Engines skip the
+    dtype cast and re-quantization for such trees."""
+    found = [False]
+
+    def walk(node):
+        if found[0] or not isinstance(node, dict):
+            return
+        for k, v in node.items():
+            if k in ("kernel_q", "embed_text_q", "embed_speech_q"):
+                found[0] = True
+                return
+            walk(v)
+
+    walk(params)
+    return found[0]
+
+
 def quantize_lm_params(params: Dict) -> Dict:
     """AsteroidLM bf16/fp32 params -> the param tree of the quantized model
     (LMConfig.quantized=True): projection kernels become kernel_q/kernel_s

@@ -131,6 +131,139 @@ class BatchingWorker:
                         r.event.set()
 
 
+class ContinuousWorker:
+    """Slot-based continuous batching worker (decode/continuous.py).
+
+    Unlike BatchingWorker there is no batching window: a request joins the
+    running pool at the next segment boundary (its prompt is codec-encoded +
+    prefilled batch-1 and spliced into a free slot), and each request leaves
+    the pool the moment it finishes — a long generation never blocks short
+    ones behind it. Finished slots from one segment are vocoded in a single
+    batched codec call.
+
+    Per-request ``seed`` is accepted but sampling draws come from the pool's
+    shared rng stream (slots decode in lockstep); outputs are valid samples
+    but not reproducible per request — use the static BatchingWorker when
+    bit-reproducibility per seed matters.
+    """
+
+    def __init__(self, pipeline, slots: int = 8, base: int = 512,
+                 max_steps: int = 2048, segment_steps: int = 25,
+                 kv_quant: Optional[str] = None):
+        from ..decode.continuous import ContinuousBatcher
+        self.pipeline = pipeline
+        eng = pipeline.engine
+        # engine params are already cast/quantized; the batcher's engine
+        # detects the pre-quantized tree and reuses it as-is
+        self.cb = ContinuousBatcher(
+            eng.cfg, eng.params, eng.sampling, slots=slots, base=base,
+            max_steps=max_steps, cache_dtype=eng.cache_dtype,
+            quant=eng.quant, kv_quant=kv_quant)
+        self.segment_steps = segment_steps
+        self._queue: List[_Request] = []
+        self._live: Dict[int, _Request] = {}        # slot -> request
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: _Request) -> None:
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify()
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    # -- pool plumbing --------------------------------------------------
+
+    def _admit(self) -> None:
+        """Move queued requests into free pool slots."""
+        while self.cb.free_slots:
+            with self._cv:
+                if not self._queue:
+                    return
+                req = self._queue.pop(0)
+            try:
+                shifted, _ = self.pipeline.prepare_item(
+                    req.item, use_normalize=req.use_normalize)
+                slot = self.cb.submit(shifted,
+                                      max_new_tokens=req.max_new_tokens,
+                                      seed=req.seed)
+            except Exception as e:                  # noqa: BLE001
+                req.error = f"bad request: {e}"
+                req.event.set()
+                continue
+            self._live[slot] = req
+            metrics.add("server_continuous_joins", 1)
+
+    def _drain_finished(self) -> None:
+        done = self.cb.finished()
+        if not done:
+            return
+        from ..pipeline import prompt as pp
+        spt = self.pipeline.spt
+        cfg = self.pipeline.lm_cfg
+        reqs, codes_list = [], []
+        for slot in done:
+            req = self._live.pop(slot)
+            res = self.cb.collect(slot)
+            speech_ids = pp.unshift_outputs(res.tokens, res.base,
+                                            cfg.channels,
+                                            cfg.speech_token_range[0])
+            end = int(pp.find_max_valid_positions(
+                speech_ids, cfg.speech_pad_token)[0]) + 1
+            if end <= 0:
+                req.error = "generation produced no speech tokens"
+                req.event.set()
+                continue
+            codes = speech_ids[0, :end].T.astype(np.int32)
+            codes = np.clip(codes, 0, spt.cfg.quantizer.codebook_size - 1)
+            reqs.append(req)
+            codes_list.append(codes)
+        if not codes_list:
+            return
+        try:
+            wavs = spt.decode(codes_list, overlap_seconds=10,
+                              pcm16=True)["syn_wav_list"]
+            for req, wav in zip(reqs, wavs):
+                req.wav_bytes = wav_array_to_bytes(
+                    np.asarray(wav, np.float32), spt.output_sample_rate)
+                req.event.set()
+        except Exception as e:                      # noqa: BLE001
+            for req in reqs:
+                req.error = f"vocode error: {e}"
+                req.event.set()
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._live and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    for r in self._queue:
+                        r.error = "server shutting down"
+                        r.event.set()
+                    for r in self._live.values():
+                        r.error = "server shutting down"
+                        r.event.set()
+                    return
+            try:
+                self._admit()
+                if self._live:
+                    self.cb.run(steps=self.segment_steps)
+                    metrics.add("server_continuous_segments", 1)
+                    self._drain_finished()
+            except Exception as e:                  # noqa: BLE001
+                for slot, r in list(self._live.items()):
+                    r.error = f"server error: {e}"
+                    r.event.set()
+                self._live.clear()
+
+
 def _references_to_item(text: str, references: List[Dict]) -> dict:
     """API references -> internal JSONL-item schema (in-memory tuples)."""
     item: dict = {"text": text}
@@ -213,11 +346,25 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
 
 
 class SpeechServer:
-    """Owns the HTTP server + batching worker; start()/stop() for tests."""
+    """Owns the HTTP server + scheduling worker; start()/stop() for tests.
+
+    scheduler="window" (default) micro-batches concurrent requests into one
+    static generate call; scheduler="continuous" runs the slot-based
+    continuous batcher (requests join/leave a running pool individually).
+    """
 
     def __init__(self, pipeline, host: str = "0.0.0.0", port: int = 8000,
-                 max_batch: int = 8, batch_window_s: float = 0.05):
-        self.worker = BatchingWorker(pipeline, max_batch, batch_window_s)
+                 max_batch: int = 8, batch_window_s: float = 0.05,
+                 scheduler: str = "window", pool_base: int = 512,
+                 pool_max_steps: int = 2048, segment_steps: int = 25):
+        if scheduler == "continuous":
+            self.worker = ContinuousWorker(
+                pipeline, slots=max_batch, base=pool_base,
+                max_steps=pool_max_steps, segment_steps=segment_steps)
+        elif scheduler == "window":
+            self.worker = BatchingWorker(pipeline, max_batch, batch_window_s)
+        else:
+            raise ValueError(f"unknown scheduler {scheduler!r}")
         self.httpd = ThreadingHTTPServer((host, port),
                                          make_handler(self.worker))
         self._thread: Optional[threading.Thread] = None
@@ -252,6 +399,16 @@ def main(argv=None):
                    help="tiny random models (smoke test)")
     p.add_argument("--quant", choices=["int8"], default=None,
                    help="weight-only int8 serving (w8a16)")
+    p.add_argument("--scheduler", choices=["window", "continuous"],
+                   default="window",
+                   help="window = micro-batched static generate; continuous "
+                        "= slot pool with per-request join/leave")
+    p.add_argument("--pool_base", type=int, default=512,
+                   help="continuous: prompt bucket (rows)")
+    p.add_argument("--pool_max_steps", type=int, default=2048,
+                   help="continuous: per-slot decode capacity")
+    p.add_argument("--segment_steps", type=int, default=25,
+                   help="continuous: decode steps between join/evict points")
     args = p.parse_args(argv)
 
     if args.tiny or not args.model_path:
@@ -262,9 +419,12 @@ def main(argv=None):
         pipeline = TTSPipeline.load(args.model_path, args.spt_config,
                                     args.spt_ckpt, quant=args.quant)
     server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
-                          args.batch_window_ms / 1000.0)
+                          args.batch_window_ms / 1000.0,
+                          scheduler=args.scheduler, pool_base=args.pool_base,
+                          pool_max_steps=args.pool_max_steps,
+                          segment_steps=args.segment_steps)
     print(f"serving on {args.host}:{server.port} "
-          f"(max_batch={args.max_batch})")
+          f"(scheduler={args.scheduler}, max_batch={args.max_batch})")
     server.start()
     try:
         threading.Event().wait()

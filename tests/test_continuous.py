@@ -1,0 +1,149 @@
+"""Continuous batching tests: per-row decode state vs the static engine.
+
+The invariant: a request joined into a running pool (other slots mid-decode)
+must produce token-for-token the output of an isolated
+GenerationEngine.generate call — greedy mode makes this rng-free.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moss_ttsd_tpu.decode.continuous import ContinuousBatcher
+from moss_ttsd_tpu.decode.engine import GenerationEngine
+from tests.test_decode import greedy_sampling, make_prompt, setup, tiny_cfg  # noqa: F401
+
+
+BASE = 24
+
+
+def isolated_greedy(cfg, params, prompt, max_steps):
+    """Static-engine result at the batcher's exact prompt bucket."""
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    batch, mask = left_pad_batch([prompt], cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    engine = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                              bucket=BASE + cfg.channels - 1,
+                              cache_dtype=jnp.float32, step_bucket=32)
+    return engine.generate(batch, mask, max_new_tokens=max_steps, seed=0)
+
+
+def make_batcher(cfg, params, slots=3, max_steps=32):
+    return ContinuousBatcher(cfg, params, greedy_sampling(cfg.channels),
+                             slots=slots, base=BASE, max_steps=max_steps,
+                             cache_dtype=jnp.float32)
+
+
+def test_staggered_joins_match_isolated_greedy(setup):
+    """Three requests joining at different pool times each reproduce their
+    isolated static-engine output exactly."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(0)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 9, 2),
+               make_prompt(cfg, rng, 4, 7)]
+    budgets = [20, 14, 18]
+    expected = [isolated_greedy(cfg, params, p, b)
+                for p, b in zip(prompts, budgets)]
+
+    cb = make_batcher(cfg, params)
+    s0 = cb.submit(prompts[0], max_new_tokens=budgets[0])
+    cb.run(steps=5)                       # slot 0 is 5 steps deep...
+    s1 = cb.submit(prompts[1], max_new_tokens=budgets[1])
+    cb.run(steps=3)                       # ...slots at depth 8 and 3
+    s2 = cb.submit(prompts[2], max_new_tokens=budgets[2])
+    for _ in range(12):
+        cb.run(steps=4)
+        if len(cb.finished()) == 3:
+            break
+    assert sorted(cb.finished()) == sorted([s0, s1, s2])
+
+    for slot, exp in zip([s0, s1, s2], expected):
+        got = cb.collect(slot)
+        assert got.steps == exp.steps
+        np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                      exp.tokens[0, exp.base:])
+
+
+def test_slot_reuse_after_collect(setup):
+    """A freed slot serves a new request with a clean state."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(1)
+    p1 = make_prompt(cfg, rng, 5, 3)
+    p2 = make_prompt(cfg, rng, 8, 1)
+    exp2 = isolated_greedy(cfg, params, p2, 12)
+
+    cb = make_batcher(cfg, params, slots=1)
+    slot = cb.submit(p1, max_new_tokens=6)
+    assert cb.submit(p2) is None          # pool full
+    cb.run(steps=10)
+    assert cb.finished() == [slot]
+    first = cb.collect(slot)
+    assert first.steps == 6
+
+    slot2 = cb.submit(p2, max_new_tokens=12)
+    assert slot2 == slot                  # same physical slot, fresh state
+    cb.run(steps=16)
+    got = cb.collect(slot2)
+    assert got.steps == exp2.steps
+    np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                  exp2.tokens[0, exp2.base:])
+
+
+def test_budget_freeze_does_not_corrupt_neighbours(setup):
+    """A row frozen at its budget keeps decoding neighbours unaffected and
+    its own buffer intact across further segments."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(2)
+    pa = make_prompt(cfg, rng, 6, 4)
+    pb = make_prompt(cfg, rng, 9, 2)
+    exp_a = isolated_greedy(cfg, params, pa, 4)
+    exp_b = isolated_greedy(cfg, params, pb, 20)
+
+    cb = make_batcher(cfg, params, slots=2)
+    sa = cb.submit(pa, max_new_tokens=4)
+    sb = cb.submit(pb, max_new_tokens=20)
+    cb.run(steps=6)                       # A froze at 4; B still going
+    assert sa in cb.finished()
+    snap_a = np.asarray(cb.state.tokens[sa]).copy()
+    cb.run(steps=30)                      # extra segments with A frozen
+    np.testing.assert_array_equal(np.asarray(cb.state.tokens[sa]), snap_a)
+
+    got_a, got_b = cb.collect(sa), cb.collect(sb)
+    np.testing.assert_array_equal(got_a.tokens[0, got_a.base:],
+                                  exp_a.tokens[0, exp_a.base:])
+    np.testing.assert_array_equal(got_b.tokens[0, got_b.base:],
+                                  exp_b.tokens[0, exp_b.base:])
+
+
+def test_oversized_prompt_rejected(setup):
+    cfg, model, params = setup
+    rng = np.random.default_rng(3)
+    cb = make_batcher(cfg, params, slots=1)
+    big = make_prompt(cfg, rng, BASE + 10, 4)
+    with pytest.raises(ValueError, match="exceeds the pool bucket"):
+        cb.submit(big)
+
+
+def test_sampled_mode_runs(setup):
+    """Sampled (non-greedy) pool smoke: rows produce speech-range tokens."""
+    from moss_ttsd_tpu.core.config import ChannelSamplingConfig, SamplingConfig
+    cfg, model, params = setup
+    rng = np.random.default_rng(4)
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=1.0,
+                                        top_k=20, top_p=0.9)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=10)
+    cb = ContinuousBatcher(cfg, params, sampling, slots=2, base=BASE,
+                           max_steps=16, cache_dtype=jnp.float32)
+    s0 = cb.submit(make_prompt(cfg, rng, 5, 3), max_new_tokens=10)
+    cb.run(steps=4)
+    s1 = cb.submit(make_prompt(cfg, rng, 7, 2), max_new_tokens=10)
+    for _ in range(8):
+        cb.run(steps=4)
+        if len(cb.finished()) == 2:
+            break
+    for s in (s0, s1):
+        r = cb.collect(s)
+        assert 1 <= r.steps <= 10
+        assert r.tokens.shape[1] == r.base + r.steps

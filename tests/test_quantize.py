@@ -128,3 +128,34 @@ def test_int8_mesh_engine_matches_unsharded(setup, data, model_par):
     res = eng.generate(batch, mask, max_new_tokens=10, seed=0)
     assert res.steps == ref.steps
     np.testing.assert_array_equal(res.tokens, ref.tokens)
+
+
+def test_prequantized_tree_engine_matches_online_quantization():
+    """An engine fed a tree already in quantized layout (int8 checkpoint /
+    direct quantized init) must decode exactly like one that quantizes the
+    full-precision master itself — and must not re-quantize or cast it."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.ops.quantize import is_quantized_tree, quantize_lm_params
+    from tests.test_decode import greedy_sampling, make_prompt, tiny_cfg
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+
+    cfg = tiny_cfg()
+    model = AsteroidLM(cfg)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 4, cfg.channels), jnp.int32))
+    qtree = quantize_lm_params(params)
+    assert is_quantized_tree(qtree) and not is_quantized_tree(params)
+
+    rng = np.random.default_rng(0)
+    batch, mask = left_pad_batch([make_prompt(cfg, rng, 6, 4)],
+                                 cfg.pad_token_id, cfg.speech_pad_token)
+    kw = dict(bucket=32, cache_dtype=jnp.float32, step_bucket=16)
+    r_online = GenerationEngine(cfg, params, greedy_sampling(), quant="int8",
+                                **kw).generate(batch, mask, 12, seed=0)
+    r_pre = GenerationEngine(cfg, qtree, greedy_sampling(), quant="int8",
+                             **kw).generate(batch, mask, 12, seed=0)
+    np.testing.assert_array_equal(r_online.tokens, r_pre.tokens)

@@ -95,3 +95,51 @@ def test_bad_request_is_4xx(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{base}/v1/audio/speech", {"not_input": 1})
     assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def continuous_server():
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    pipe = build_tiny_pipeline()
+    srv = SpeechServer(pipe, host="127.0.0.1", port=0, max_batch=2,
+                       scheduler="continuous", pool_base=192,
+                       pool_max_steps=32, segment_steps=4)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_continuous_scheduler_serves_requests(continuous_server):
+    """Continuous pool: concurrent requests with different budgets each get
+    a valid wav; a short request is not held hostage by a longer one."""
+    from moss_ttsd_tpu.utils.profiling import metrics
+    base = f"http://127.0.0.1:{continuous_server.port}"
+    metrics.reset()
+    results = [None] * 3
+
+    def work(i, max_tokens):
+        r = _post(f"{base}/v1/audio/speech",
+                  {"input": f"[S1]req {i}[S2]ok", "max_tokens": max_tokens})
+        results[i] = r.read()
+
+    threads = [threading.Thread(target=work, args=(i, mt))
+               for i, mt in enumerate([10, 24, 16])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for body in results:
+        wav, _ = wav_bytes_to_array(body)
+        assert len(wav) > 0 and np.isfinite(wav).all()
+    snap = metrics.snapshot()
+    assert snap.get("server_continuous_joins", 0) >= 3
+
+
+def test_continuous_scheduler_rejects_oversized_prompt(continuous_server):
+    import urllib.error
+    base = f"http://127.0.0.1:{continuous_server.port}"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]" + "long words here " * 40 + "[S2]ok",
+               "max_tokens": 4})
+    assert e.value.code == 500
