@@ -227,7 +227,10 @@ class XYTokenizer:
         max_len = int(lengths.max())
         max_chunks = max(1, -(-max_len // duration))
 
-        chunks_codes = []
+        # dispatch every chunk before reading any back: JAX dispatch is async,
+        # so chunk i+1 computes on-device while chunk i's codes cross the
+        # (slow) device->host link
+        pending = []
         for ci in range(max_chunks):
             start = ci * duration
             chunk = np.zeros((B, self.chunk_samples), np.float32)
@@ -237,8 +240,11 @@ class XYTokenizer:
                 chunk[b, :len(seg)] = seg
             if chunk_lens.max() == 0:
                 continue
-            out = self._tokenize(self.params, jnp.asarray(chunk),
-                                 jnp.asarray(chunk_lens))
+            pending.append(self._tokenize(self.params, jnp.asarray(chunk),
+                                          jnp.asarray(chunk_lens)))
+
+        chunks_codes = []
+        for out in pending:
             codes = np.asarray(out["codes"])                      # (nq, B, T')
             code_lens = np.clip(np.asarray(out["codes_lengths"]), 0, code_duration)
             valid = np.zeros((self.nq, B, code_duration), codes.dtype)
@@ -283,7 +289,10 @@ class XYTokenizer:
             codes_tensor[:, b, :c.shape[-1]] = np.asarray(c, np.int32)
 
         max_chunks = max(1, -(-max_codes // duration_codes))
-        wav_chunks = []
+        # async dispatch of all chunks first (see encode): overlaps chunk
+        # i+1's vocode with chunk i's device->host audio readback
+        detok = self._detokenize16 if pcm16 else self._detokenize
+        pending = []
         for ci in range(max_chunks):
             start = ci * duration_codes
             chunk = np.zeros((self.nq, B, self.chunk_codes), np.int32)
@@ -292,9 +301,11 @@ class XYTokenizer:
             chunk_lens = np.clip(code_lengths - start, 0, self.chunk_codes)
             if chunk_lens.max() == 0:
                 continue
-            detok = self._detokenize16 if pcm16 else self._detokenize
-            out = detok(self.params, jnp.asarray(chunk),
-                        jnp.asarray(chunk_lens))
+            pending.append(detok(self.params, jnp.asarray(chunk),
+                                 jnp.asarray(chunk_lens)))
+
+        wav_chunks = []
+        for out in pending:
             wav = np.asarray(out["wav"])
             if pcm16:
                 wav = wav.astype(np.float32) / 32768.0
