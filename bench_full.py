@@ -265,10 +265,276 @@ def bench_longform(steps=1500, trials=2, tiny=False):
          decode_rtf=round(rtf, 1), steps=r.steps, kv_quant="int8")
 
 
+def bench_serving(n_requests=24, slots=8, trials=1, tiny=False, seed=0):
+    """Continuous batching vs static batching on a long-tail request mix.
+
+    Workload: 75% short requests (~64-96 decode steps, interactive dialogue
+    turns) + 25% long ones (~224-256 steps, podcast-style), all queued at
+    t=0. The ContinuousBatcher refills slots the moment a row finishes; the
+    static engine (the reference's whole-batch contract,
+    generation_utils.py:341-409) holds every row until the slowest in its
+    batch of ``slots`` finishes — the long tail takes each batch hostage.
+    Metrics: useful generated tokens per wall second, and p95 request
+    completion latency (static latency = when the request's whole batch
+    returns, cumulative over earlier batches).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
+                                           SamplingConfig)
+    from moss_ttsd_tpu.decode.continuous import ContinuousBatcher
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+
+    if tiny:
+        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+    else:
+        cfg = LMConfig()
+    cfg = type(cfg)(**{**cfg.to_dict(),
+                       "speech_token_range": (0, cfg.vocab_size)})
+    log("serving: init LM params (pre-quantized int8)...")
+    import dataclasses
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    params = random_lm_params(AsteroidLM(qcfg), qcfg)
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=50, top_p=0.95)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=256, approx_topk=not tiny)
+
+    base, max_steps = 64, 96 if tiny else 256
+    rng = np.random.default_rng(seed)
+    if tiny:
+        budgets = rng.integers(16, max_steps + 1, n_requests).tolist()
+    else:
+        budgets = [int(rng.integers(224, 257)) if rng.random() < 0.25
+                   else int(rng.integers(64, 97)) for _ in range(n_requests)]
+    prompt_lens = rng.integers(base // 2, base - cfg.channels + 1,
+                               n_requests).tolist()
+
+    def make_prompt(n, length):
+        p = np.full((length, cfg.channels), cfg.speech_pad_token, np.int32)
+        p[:, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), length)
+        return p
+
+    prompts = [make_prompt(i, pl) for i, pl in enumerate(prompt_lens)]
+
+    # --- continuous batching ---------------------------------------------
+    cb = ContinuousBatcher(cfg, params, sampling, slots=slots, base=base,
+                           max_steps=max_steps, quant="int8")
+    log("serving: compile continuous path (prefill + splice + segment)...")
+
+    def run_continuous(segment=40):
+        t_start = time.perf_counter()
+        queue = list(zip(prompts, budgets))
+        done_tokens = 0
+        latencies = []
+        outputs = []
+        while len(latencies) < n_requests:
+            while queue and cb.free_slots:
+                p, b = queue.pop(0)
+                cb.submit(p, max_new_tokens=int(b), seed=len(latencies))
+            cb.run(steps=segment)
+            for j, steps in cb.poll():          # one readback per segment
+                steps, tokens_dev = cb.collect_async(j, steps)
+                outputs.append(tokens_dev)      # materialized below
+                done_tokens += steps
+                latencies.append(time.perf_counter() - t_start)
+        for t in outputs:                       # pipelined output transfers
+            np.asarray(t)
+        return done_tokens, latencies
+
+    run_continuous()                                  # compile + warm
+    best_cont = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        tokens, cont_lat = run_continuous()
+        dt = time.perf_counter() - t0
+        if best_cont is None or dt < best_cont[0]:
+            best_cont = (dt, cont_lat)
+    cont_tps = tokens / best_cont[0]
+    cont_p95 = sorted(best_cont[1])[int(0.95 * (n_requests - 1))]
+
+    # --- static batching (reference contract) ----------------------------
+    engine = GenerationEngine(cfg, params, sampling, bucket=base,
+                              quant="int8", step_bucket=max_steps)
+    log("serving: compile static path...")
+
+    def run_static():
+        t_start = time.perf_counter()
+        done_tokens = 0
+        latencies = []
+        for i in range(0, n_requests, slots):
+            grp = list(range(i, min(i + slots, n_requests)))
+            L = base
+            ids = np.full((len(grp), L, cfg.channels), cfg.speech_pad_token,
+                          np.int64)
+            ids[..., 0] = 0
+            mask = np.zeros((len(grp), L), np.int64)
+            for r, gi in enumerate(grp):
+                p = prompts[gi]
+                ids[r, L - len(p):] = p
+                mask[r, L - len(p):] = 1
+            step_cap = max(budgets[gi] for gi in grp)
+            engine.generate(ids, mask, max_new_tokens=int(step_cap), seed=i)
+            done_tokens += sum(budgets[gi] for gi in grp)
+            latencies += [time.perf_counter() - t_start] * len(grp)
+        return done_tokens, latencies
+
+    run_static()
+    best_stat = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        tokens_s, stat_lat = run_static()
+        dt = time.perf_counter() - t0
+        if best_stat is None or dt < best_stat[0]:
+            best_stat = (dt, stat_lat)
+    stat_tps = tokens_s / best_stat[0]
+    stat_p95 = sorted(best_stat[1])[int(0.95 * (n_requests - 1))]
+
+    log(f"serving: continuous {cont_tps:.1f} useful tok/s, p95 latency "
+        f"{cont_p95:.2f}s vs static {stat_tps:.1f} tok/s, p95 {stat_p95:.2f}s "
+        f"({cont_tps / stat_tps:.2f}x tok/s, {stat_p95 / cont_p95:.2f}x "
+        f"latency) over {n_requests} requests (75% short / 25% long)")
+    emit("serving_useful_tokens_per_s", cont_tps, "tokens_per_sec",
+         static_tokens_per_s=round(stat_tps, 1),
+         speedup_vs_static=round(cont_tps / stat_tps, 3),
+         p95_latency_s=round(cont_p95, 2),
+         static_p95_latency_s=round(stat_p95, 2),
+         n_requests=n_requests, slots=slots)
+
+
+def bench_batch_sweep(batches=(8, 16, 32), decode_steps=256, trials=3,
+                      tiny=False):
+    """Per-chip serving throughput vs batch size. Decode streams the full
+    weight set once per step regardless of B, so aggregate tokens/s scales
+    until the KV-cache stream catches up — the per-chip knob the reference
+    (fixed whole-JSONL batches) never exposes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
+                                           SamplingConfig)
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    import dataclasses
+
+    if tiny:
+        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+        batches, decode_steps = (2, 4), 16
+    else:
+        cfg = LMConfig()
+    cfg = type(cfg)(**{**cfg.to_dict(),
+                       "speech_token_range": (0, cfg.vocab_size)})
+    log("batch_sweep: init LM params (pre-quantized int8)...")
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    params = random_lm_params(AsteroidLM(qcfg), qcfg)
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=50, top_p=0.95)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=decode_steps, approx_topk=not tiny)
+    engine = GenerationEngine(cfg, params, sampling, bucket=64, quant="int8",
+                              step_bucket=decode_steps)
+    del params
+
+    nprng = np.random.default_rng(0)
+    results = {}
+    for B in batches:
+        ids = np.full((B, 64, cfg.channels), cfg.speech_pad_token, np.int64)
+        ids[..., 0] = nprng.integers(1, min(10000, cfg.vocab_size - 1),
+                                     (B, 64))
+        mask = np.ones((B, 64), np.int64)
+        log(f"batch_sweep: B={B} compile + first run...")
+        engine.generate(ids, mask, max_new_tokens=decode_steps, seed=0)
+        best = None
+        for i in range(trials):
+            t0 = time.perf_counter()
+            r = engine.generate(ids, mask, max_new_tokens=decode_steps,
+                                seed=1 + i)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        sps = r.steps / best
+        results[B] = round(sps * B, 1)
+        log(f"batch_sweep: B={B}: {sps:.1f} steps/s = {sps * B:.0f} tok/s "
+            f"aggregate (audio x{sps * B / 12.5:.0f} realtime)")
+    Bmax = max(results)
+    emit("decode_aggregate_tokens_per_s", results[Bmax], "tokens_per_sec",
+         batch=Bmax, per_batch={str(k): v for k, v in results.items()},
+         audio_x_realtime=round(results[Bmax] / 12.5, 1))
+
+
+def bench_finetune(batch=4, seqlen=1024, trials=3, tiny=False):
+    """BASELINE config 5 (training half): LoRA finetune throughput on one
+    chip — full 1.7B geometry, r=16/alpha=32/rslora over attn+MLP kernels
+    (the reference peft config, finetune/finetune.py:165-175), remat +
+    chunked CE, loss weights [8,2,1,...]. Metric: training tokens/sec
+    (batch * seqlen * steps / wall)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_ttsd_tpu.core.config import LMConfig
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.train.lora import init_lora, make_lora_train_step
+    from moss_ttsd_tpu.train.step import TrainState, make_optimizer
+
+    if tiny:
+        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+        batch, seqlen = 2, 64
+    else:
+        cfg = LMConfig(param_dtype="bfloat16")
+    model = AsteroidLM(cfg)
+    log("finetune: init base params (bf16) + LoRA factors...")
+    rng = jax.random.PRNGKey(0)
+    abstract = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)), rng)
+    leaves, treedef = jax.tree.flatten(abstract)
+    keys = list(jax.random.split(rng, len(leaves)))
+    base = jax.tree.unflatten(treedef, [
+        (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
+        for k, s in zip(keys, leaves)])
+    lora = init_lora(base, jax.random.PRNGKey(1), rank=16)
+
+    optimizer = make_optimizer(total_steps=100)
+    opt_state = optimizer.init(lora)
+    state = TrainState(jnp.zeros((), jnp.int32), lora, opt_state)
+    step_fn = jax.jit(make_lora_train_step(cfg, optimizer, base, rank=16,
+                                           alpha=32.0, remat=True,
+                                           ce_chunks=2 if tiny else 8))
+
+    nprng = np.random.default_rng(0)
+    ids = nprng.integers(0, cfg.speech_vocab_size - 1,
+                         (batch, seqlen, cfg.channels)).astype(np.int32)
+    ids[..., 0] = nprng.integers(0, cfg.vocab_size, (batch, seqlen))
+    b = {"input_ids": jnp.asarray(ids),
+         "labels": jnp.asarray(ids),
+         "attention_mask": jnp.ones((batch, seqlen), jnp.int32)}
+
+    log("finetune: compile + first step...")
+    t0 = time.perf_counter()
+    state, m = step_fn(state, b)
+    loss0 = float(m["loss"])
+    log(f"finetune: first step {time.perf_counter() - t0:.1f}s, loss {loss0:.3f}")
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, b)
+        float(m["loss"])                       # force readback
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    tps = batch * seqlen / best
+    log(f"finetune: {best * 1e3:.0f} ms/step -> {tps:.0f} tokens/s "
+        f"(B={batch}, T={seqlen}, LoRA r16)")
+    emit("lora_finetune_tokens_per_s", tps, "tokens_per_sec",
+         batch=batch, seqlen=seqlen, ms_per_step=round(best * 1e3, 1))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="codec,clone,ttfa,longform",
-                    help="comma list of codec,clone,ttfa,longform")
+                    help="comma list of codec,clone,ttfa,longform,serving,"
+                         "batchsweep,finetune")
     ap.add_argument("--steps", type=int, default=256,
                     help="decode steps for the voice-clone config")
     ap.add_argument("--batch", type=int, default=8)
@@ -284,9 +550,11 @@ def main(argv=None):
     from moss_ttsd_tpu.core.config import CodecConfig
     from moss_ttsd_tpu.models.codec.model import XYTokenizer
 
-    log("init codec...")
-    codec_cfg = CodecConfig().tiny() if args.tiny else CodecConfig()
-    spt = XYTokenizer.init_random(codec_cfg, seed=0)
+    spt = None
+    if configs & {"codec", "clone", "ttfa"}:
+        log("init codec...")
+        codec_cfg = CodecConfig().tiny() if args.tiny else CodecConfig()
+        spt = XYTokenizer.init_random(codec_cfg, seed=0)
 
     if "codec" in configs:
         bench_codec_roundtrip(spt)
@@ -301,6 +569,16 @@ def main(argv=None):
 
     if "longform" in configs:
         bench_longform(steps=96 if args.tiny else 1500, tiny=args.tiny)
+
+    if "serving" in configs:
+        bench_serving(n_requests=6 if args.tiny else 24,
+                      slots=2 if args.tiny else 8, tiny=args.tiny)
+
+    if "batchsweep" in configs:
+        bench_batch_sweep(tiny=args.tiny)
+
+    if "finetune" in configs:
+        bench_finetune(tiny=args.tiny)
 
 
 if __name__ == "__main__":

@@ -308,21 +308,42 @@ class ContinuousBatcher:
         """Advance every live row by up to ``steps`` decode steps."""
         self.state = self._segment(self.params, self.state, jnp.int32(steps))
 
+    def poll(self) -> List[tuple]:
+        """[(slot, steps), ...] for completed requests — ONE device->host
+        readback for flags and step counters together (each np.asarray is a
+        full round trip on a remote-tunnelled device)."""
+        packed = jnp.stack([
+            (self.state.active & ~self.state.unfinished).astype(jnp.int32),
+            self.state.step_r])
+        arr = np.asarray(packed)
+        return [(j, int(arr[1, j])) for j in range(self.slots) if arr[0, j]]
+
     def finished(self) -> List[int]:
         """Slot ids holding a completed request (ready to collect)."""
-        active = np.asarray(self.state.active)
-        unfinished = np.asarray(self.state.unfinished)
-        return [j for j in range(self.slots)
-                if active[j] and not unfinished[j]]
+        return [j for j, _ in self.poll()]
 
-    def collect(self, j: int) -> GenerateResult:
-        """Read slot j's output and free the slot."""
+    def collect_async(self, j: int, steps: Optional[int] = None):
+        """Free slot j immediately; return (steps, device_tokens).
+
+        The token-row slice is dispatched on the device stream BEFORE any
+        subsequent splice reuses the slot (single in-order stream), so the
+        returned device array is safe to read back any time later —
+        ``np.asarray`` it when the output is actually consumed. This keeps
+        the serving loop at one blocking readback per segment (poll) with
+        all output transfers pipelined."""
         if self._slot_free[j]:
             raise ValueError(f"slot {j} is free")
-        steps = int(np.asarray(self.state.step_r[j]))
-        tokens = np.asarray(self.state.tokens[j, :self.base + steps])[None]
+        if steps is None:
+            steps = int(np.asarray(self.state.step_r[j]))
+        tokens_dev = self.state.tokens[j, :self.base + steps]
         self.state = self.state._replace(
             active=self.state.active.at[j].set(False),
             unfinished=self.state.unfinished.at[j].set(False))
         self._slot_free[j] = True
-        return GenerateResult(tokens=tokens, steps=steps, base=self.base)
+        return steps, tokens_dev
+
+    def collect(self, j: int, steps: Optional[int] = None) -> GenerateResult:
+        """Read slot j's output and free the slot (blocking)."""
+        steps, tokens_dev = self.collect_async(j, steps)
+        return GenerateResult(tokens=np.asarray(tokens_dev)[None],
+                              steps=steps, base=self.base)

@@ -148,6 +148,29 @@ class Qwen3Block(nn.Module):
                     return jax.lax.dynamic_update_slice(
                         buf, new[None].astype(buf.dtype), start)
 
+                if T == 1:
+                    # per-row decode write as a fused one-hot select over the
+                    # layer's slice: rows sit at different depths (continuous
+                    # batching), and a vmap'd dynamic_update_slice lowers to a
+                    # per-row scatter that measured ~35% slower per decode
+                    # step (149 vs ~200 steps/s at the serving config). The
+                    # where is a single full-slice read+write that XLA fuses
+                    # with the adjacent attention read of the same slice.
+                    onehot = (jnp.arange(S)[None, :] ==
+                              cache_pos[:, None])             # (B, S)
+                    lsl = jax.lax.dynamic_slice(
+                        buf, (layer_idx,) + (0,) * (buf.ndim - 1),
+                        (1,) + buf.shape[1:])[0]              # (B, Hkv, S[, D])
+                    if buf.ndim == 5:
+                        sel = onehot[:, None, :, None]
+                        newb = new.astype(buf.dtype)          # (B, Hkv, 1, D)
+                    else:
+                        sel = onehot[:, None, :]
+                        newb = new.astype(buf.dtype)          # (B, Hkv, 1)
+                    upd = jnp.where(sel, newb, lsl)
+                    return jax.lax.dynamic_update_slice(
+                        buf, upd[None], (layer_idx,) + (0,) * (buf.ndim - 1))
+
                 def row(rbuf, rnew, pos):   # (L, Hkv, S[, D]), (Hkv, T[, D])
                     start = (layer_idx, 0, pos, 0)[:rbuf.ndim]
                     return jax.lax.dynamic_update_slice(
