@@ -201,16 +201,16 @@ class ContinuousWorker:
             metrics.add("server_continuous_joins", 1)
 
     def _drain_finished(self) -> None:
-        done = self.cb.finished()
+        done = self.cb.poll()         # one readback: (slot, steps) pairs
         if not done:
             return
         from ..pipeline import prompt as pp
         spt = self.pipeline.spt
         cfg = self.pipeline.lm_cfg
         reqs, codes_list = [], []
-        for slot in done:
+        for slot, steps in done:
             req = self._live.pop(slot)
-            res = self.cb.collect(slot)
+            res = self.cb.collect(slot, steps)
             speech_ids = pp.unshift_outputs(res.tokens, res.base,
                                             cfg.channels,
                                             cfg.speech_token_range[0])

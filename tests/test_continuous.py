@@ -147,3 +147,37 @@ def test_sampled_mode_runs(setup):
         r = cb.collect(s)
         assert 1 <= r.steps <= 10
         assert r.tokens.shape[1] == r.base + r.steps
+
+
+def test_poll_and_collect_async_match_blocking_collect(setup):
+    """poll() reports (slot, steps) in one readback; collect_async frees the
+    slot immediately and the deferred device slice survives slot reuse (the
+    in-order device stream executes the slice before the next splice
+    overwrites the row)."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(5)
+    pa = make_prompt(cfg, rng, 6, 4)
+    pb = make_prompt(cfg, rng, 9, 2)
+    exp_a = isolated_greedy(cfg, params, pa, 6)
+    exp_b = isolated_greedy(cfg, params, pb, 6)
+
+    cb = make_batcher(cfg, params, slots=1)
+    sa = cb.submit(pa, max_new_tokens=6)
+    cb.run(steps=8)
+    polled = cb.poll()
+    assert [s for s, _ in polled] == [sa]
+    steps_a, tokens_a_dev = cb.collect_async(sa, polled[0][1])
+    # slot freed -> immediately reuse it, overwriting the pool row
+    sb = cb.submit(pb, max_new_tokens=6)
+    assert sb == sa
+    cb.run(steps=8)
+    (slot_b, steps_b), = cb.poll()
+    res_b = cb.collect(slot_b, steps_b)
+
+    # the async slice still holds request A's tokens
+    tokens_a = np.asarray(tokens_a_dev)[None]
+    assert steps_a == exp_a.steps
+    np.testing.assert_array_equal(tokens_a[0, exp_a.base:],
+                                  exp_a.tokens[0, exp_a.base:])
+    np.testing.assert_array_equal(res_b.tokens[0, exp_b.base:],
+                                  exp_b.tokens[0, exp_b.base:])
