@@ -476,32 +476,38 @@ def bench_finetune(batch=4, seqlen=1024, trials=3, tiny=False):
     import numpy as np
     from moss_ttsd_tpu.core.config import LMConfig
     from moss_ttsd_tpu.models.lm import AsteroidLM
-    from moss_ttsd_tpu.train.lora import init_lora, make_lora_train_step
+    from moss_ttsd_tpu.train.lora import make_layerwise_lora_step
     from moss_ttsd_tpu.train.step import TrainState, make_optimizer
+    import dataclasses
 
     if tiny:
         cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
         batch, seqlen = 2, 64
     else:
         cfg = LMConfig(param_dtype="bfloat16")
-    model = AsteroidLM(cfg)
+    # layerwise LoRA (models/lm.py LoRADense): rank-sized backward
+    # cotangents; the merge-based step OOMs at this geometry (31.8 GB)
+    lcfg = dataclasses.replace(cfg, lora_rank=16, lora_alpha=32.0)
+    model = AsteroidLM(lcfg)
     log("finetune: init base params (bf16) + LoRA factors...")
     rng = jax.random.PRNGKey(0)
     abstract = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)), rng)
     leaves, treedef = jax.tree.flatten(abstract)
     keys = list(jax.random.split(rng, len(leaves)))
-    base = jax.tree.unflatten(treedef, [
+    full = jax.tree.unflatten(treedef, [
         (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
         for k, s in zip(keys, leaves)])
-    lora = init_lora(base, jax.random.PRNGKey(1), rank=16)
+    from moss_ttsd_tpu.train.lora import split_lora_tree
+    frozen, trainable = split_lora_tree(full)
+    del full
 
     optimizer = make_optimizer(total_steps=100)
-    opt_state = optimizer.init(lora)
-    state = TrainState(jnp.zeros((), jnp.int32), lora, opt_state)
-    step_fn = jax.jit(make_lora_train_step(cfg, optimizer, base, rank=16,
-                                           alpha=32.0, remat=True,
-                                           ce_chunks=2 if tiny else 8))
+    state = TrainState(jnp.zeros((), jnp.int32), trainable,
+                       optimizer.init(trainable))
+    lora_step = jax.jit(make_layerwise_lora_step(
+        lcfg, optimizer, remat=True, ce_chunks=2 if tiny else 8))
+    step_fn = lambda s, b: lora_step(s, b, frozen)
 
     nprng = np.random.default_rng(0)
     ids = nprng.integers(0, cfg.speech_vocab_size - 1,

@@ -51,8 +51,7 @@ def main(argv=None):
     from ..core.config import LMConfig
     from ..models.lm import AsteroidLM
     from ..train.data import TrainingDataset, collate
-    from ..train.lora import (DEFAULT_TARGETS, init_lora, make_lora_train_step,
-                              merge_lora)
+    from ..train.lora import DEFAULT_TARGETS
     from ..train.step import (TrainState, init_train_state, make_optimizer,
                               make_train_step)
 
@@ -98,11 +97,22 @@ def main(argv=None):
         total_steps=total_steps)
 
     if args.lora:
-        lora = init_lora(params, jax.random.PRNGKey(1), rank=int(lc["r"]))
-        state = TrainState(jnp.zeros((), jnp.int32), lora, optimizer.init(lora))
-        step_fn = jax.jit(make_lora_train_step(
-            cfg, optimizer, params, rank=int(lc["r"]),
-            alpha=float(lc["lora_alpha"]), use_rslora=bool(lc["use_rslora"])))
+        # layerwise adapters (models/lm.py LoRADense): backward cotangents
+        # stay rank-sized, vs the merge-based step's full-tree cotangent
+        # (~2x params in fp32 — an OOM at the 1.7B geometry on one chip)
+        import dataclasses
+        from ..train.lora import (graft_lora_params,
+                                  make_layerwise_lora_step, split_lora_tree)
+        lcfg = dataclasses.replace(
+            cfg, lora_rank=int(lc["r"]), lora_alpha=float(lc["lora_alpha"]),
+            lora_rslora=bool(lc["use_rslora"]))
+        frozen, trainable = split_lora_tree(
+            graft_lora_params(params, lcfg, jax.random.PRNGKey(1)))
+        state = TrainState(jnp.zeros((), jnp.int32), trainable,
+                           optimizer.init(trainable))
+        lora_step = jax.jit(make_layerwise_lora_step(lcfg, optimizer))
+        # frozen tree passed per call (device input, not captured constants)
+        step_fn = lambda s, b: lora_step(s, b, frozen)
     else:
         state = init_train_state(cfg, optimizer, params=params)
         step_fn = jax.jit(make_train_step(cfg, optimizer))
@@ -150,9 +160,9 @@ def main(argv=None):
             print(f"checkpointed step {step} -> {ckpt_dir}")
 
     if args.lora:
-        merged = merge_lora(params, state.params, rank=int(lc["r"]),
-                            alpha=float(lc["lora_alpha"]),
-                            use_rslora=bool(lc["use_rslora"]))
+        from ..train.lora import fold_lora_tree, merge_lora_tree
+        merged = jax.device_get(fold_lora_tree(
+            merge_lora_tree(frozen, state.params), lcfg))
         save_pytree(os.path.join(args.output_dir, "model_merged.npz"), merged)
         save_pytree(os.path.join(args.output_dir, "lora_factors.npz"), state.params)
         print(f"LoRA merged model saved to {args.output_dir}")

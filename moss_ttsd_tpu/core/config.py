@@ -82,6 +82,20 @@ class LMConfig:
     # halves the dominant HBM stream of long-context decode. Set by the
     # engine via kv_quant="int8".
     kv_quant: str = "none"            # "none" | "int8"
+    # layerwise LoRA adapters on the attention/MLP projections (the
+    # reference's peft targets, finetune/finetune.py:153): rank 0 = off.
+    # Adapters add "lora_a"/"lora_b" leaves next to each kernel; the base
+    # "kernel"/"bias" layout is unchanged, so plain checkpoints load as-is.
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_rslora: bool = True
+    # per-layer rematerialization: wrap the scanned decoder block in
+    # nn.remat(policy=nothing_saveable) so backward recomputes each layer
+    # from its (B, T, H) input instead of saving attention/MLP intermediates
+    # (whole-forward jax.checkpoint still stores per-layer scan residuals —
+    # fp32 score matrices alone are ~7.5 GB at B=4, T=1024, 1.7B geometry).
+    # Training-only knob; no effect on an inference forward (no grads).
+    remat_layers: bool = False
 
     @property
     def num_kv_groups(self) -> int:

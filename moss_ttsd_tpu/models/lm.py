@@ -73,6 +73,43 @@ class QDense(nn.Module):
         return y
 
 
+class LoRADense(nn.Module):
+    """Dense with an additive low-rank adapter: y = x W + scale (x A) B.
+
+    The layerwise form (vs merging W + scale A B up front) is what keeps LoRA
+    training memory-light: the backward's cotangents w.r.t. the adapters stay
+    rank-sized, while a merged tree receives a full kernel-sized cotangent per
+    projection (~the whole parameter tree in fp32 — measured 31.8 GB at the
+    1.7B geometry, an OOM on one v5e). Same math as the reference's peft
+    adapters (reference finetune/finetune.py:165-175).
+
+    The base kernel keeps the plain nn.Dense param layout ("kernel"/"bias"
+    under the same module name), so checkpoints load identically whether
+    cfg.lora_rank is 0 or not; "lora_a"/"lora_b" are extra leaves."""
+
+    features: int
+    rank: int
+    scale: float
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        a = self.param("lora_a", nn.initializers.normal(stddev=0.02),
+                       (x.shape[-1], self.rank))
+        b = self.param("lora_b", nn.initializers.zeros,
+                       (self.rank, self.features))
+        y = x @ kernel.astype(self.dtype)
+        y = y + ((x @ a.astype(self.dtype)) @ b.astype(self.dtype)
+                 ) * self.scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Qwen3Block(nn.Module):
     """One decoder layer; scanned over the stacked layer axis.
 
@@ -98,6 +135,12 @@ class Qwen3Block(nn.Module):
         def dense(feat, name, use_bias=False):
             if c.quantized:
                 return QDense(feat, use_bias=use_bias, dtype=dtype, name=name)
+            if c.lora_rank:
+                import math
+                scale = (c.lora_alpha / math.sqrt(c.lora_rank)
+                         if c.lora_rslora else c.lora_alpha / c.lora_rank)
+                return LoRADense(feat, rank=c.lora_rank, scale=scale,
+                                 use_bias=use_bias, dtype=dtype, name=name)
             return nn.Dense(feat, use_bias=use_bias, dtype=dtype, name=name)
 
         h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln")(x)
@@ -280,8 +323,13 @@ class AsteroidLM(nn.Module):
             self.embed_speech = self.param(
                 "embed_speech", emb_init,
                 (c.channels - 1, c.speech_vocab_size, c.hidden_size))
+        block = _ScanBlock
+        if c.remat_layers:
+            block = nn.remat(
+                _ScanBlock, prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable)
         self.blocks = nn.scan(
-            _ScanBlock,
+            block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

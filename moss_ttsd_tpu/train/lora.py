@@ -70,11 +70,149 @@ def merge_lora(params: Dict, lora: Dict, rank: int = 16, alpha: float = 32.0,
     return jax.device_get(apply_lora(params, lora, rank, alpha, use_rslora))
 
 
-def make_lora_train_step(cfg, optimizer, base_params, rank: int = 16,
+# -- layerwise LoRA (models/lm.py LoRADense; cfg.lora_rank > 0) -------------
+#
+# The memory-correct path at production geometry: adapters live INSIDE each
+# projection (y = x W + scale (x A) B), so backward cotangents stay
+# rank-sized. The merge-based helpers above remain for tests/export and for
+# tiny geometries.
+
+def _is_lora_leaf(path: Tuple) -> bool:
+    last = path[-1].key if hasattr(path[-1], "key") else path[-1]
+    return last in ("lora_a", "lora_b")
+
+
+def split_lora_tree(params: Dict) -> Tuple[Dict, Dict]:
+    """Full LoRA-model tree -> (frozen, trainable) nested dicts."""
+    def walk(node, pick_lora):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                sub = walk(v, pick_lora)
+                if sub:
+                    out[k] = sub
+            elif (k in ("lora_a", "lora_b")) == pick_lora:
+                out[k] = v
+        return out
+
+    return walk(params, False), walk(params, True)
+
+
+def merge_lora_tree(frozen: Dict, trainable: Dict) -> Dict:
+    """Inverse of split_lora_tree (deep dict union)."""
+    def walk(a, b):
+        if not isinstance(a, dict):
+            return a
+        out = dict(a)
+        for k, v in (b or {}).items():
+            out[k] = walk(a[k], v) if isinstance(v, dict) and k in a else v
+        return out
+
+    return walk(frozen, trainable)
+
+
+def graft_lora_params(base_params: Dict, cfg, rng: jax.Array) -> Dict:
+    """Plain-checkpoint tree + fresh adapters -> full LoRA-model tree.
+
+    cfg must have lora_rank > 0; the LoRA model's init supplies the
+    lora_a/lora_b leaves while every base leaf comes from the checkpoint."""
+    from ..models.lm import AsteroidLM
+    model = AsteroidLM(cfg)
+    abstract = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)),
+        rng)
+    _, lora_shapes = split_lora_tree(abstract)
+    keys = iter(jax.random.split(rng, 4096))
+
+    def init_leaves(path, spec):
+        last = path[-1].key
+        if last == "lora_a":
+            return jax.random.normal(next(keys), spec.shape,
+                                     jnp.float32) * 0.02
+        return jnp.zeros(spec.shape, jnp.float32)
+
+    lora = jax.tree_util.tree_map_with_path(init_leaves, lora_shapes)
+    return merge_lora_tree(base_params, lora)
+
+
+def fold_lora_tree(params: Dict, cfg) -> Dict:
+    """Fold adapters into kernels and drop the lora leaves: the layerwise
+    equivalent of merge_lora (reference merge_and_unload)."""
+    scale = lora_scale(cfg.lora_rank, cfg.lora_alpha, cfg.lora_rslora)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if "kernel" in node and "lora_a" in node:
+            out = {k: v for k, v in node.items()
+                   if k not in ("lora_a", "lora_b")}
+            delta = jnp.einsum("...ir,...ro->...io",
+                               node["lora_a"], node["lora_b"]) * scale
+            out["kernel"] = (node["kernel"].astype(jnp.float32) + delta
+                             ).astype(node["kernel"].dtype)
+            return out
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
+
+
+def make_layerwise_lora_step(cfg, optimizer, loss_weights=None,
+                             remat: bool = True, ce_chunks: int = 8):
+    """train_step(state, batch, frozen) for a cfg with lora_rank > 0.
+
+    state.params is the TRAINABLE subtree (lora_a/lora_b leaves only);
+    ``frozen`` is the base subtree passed as a runtime device input."""
+    from .step import DEFAULT_LOSS_WEIGHTS, TrainState
+    from ..models.lm import AsteroidLM
+    from ..ops.chunked_ce import asteroid_loss
+
+    assert cfg.lora_rank > 0, "cfg.lora_rank must be set for layerwise LoRA"
+    if remat:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, remat_layers=True)
+    model = AsteroidLM(cfg)
+    weights = loss_weights or DEFAULT_LOSS_WEIGHTS
+
+    def loss_fn(trainable, batch, frozen):
+        full = merge_lora_tree(frozen, trainable)
+        mask = batch["attention_mask"]
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        hidden, _ = model.apply(full, batch["input_ids"], positions,
+                                mask.astype(bool), None, 0,
+                                method=AsteroidLM.backbone)
+        total, per = asteroid_loss(
+            hidden, batch["labels"], frozen["params"]["embed_text"],
+            frozen["params"]["embed_speech"], weights, num_chunks=ce_chunks)
+        return total, per
+
+    def train_step(state: TrainState, batch, frozen):
+        import optax
+        (loss, per), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, frozen)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        new_tr = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "loss_per_channel": per,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(state.step + 1, new_tr, opt_state), metrics
+
+    return train_step
+
+
+def make_lora_train_step(cfg, optimizer, base_params=None, rank: int = 16,
                          alpha: float = 32.0, use_rslora: bool = True,
                          loss_weights=None, remat: bool = True,
                          ce_chunks: int = 8):
-    """train_step over the LoRA factors only; base weights stay frozen."""
+    """train_step over the LoRA factors only; base weights stay frozen.
+
+    The returned ``train_step(state, batch, base=None)`` takes the frozen
+    base tree as a runtime argument — pass it on every call so jit treats it
+    as a device-resident input. Closing over it (the ``base_params``
+    default, kept for convenience at tiny geometry) embeds the full tree as
+    compile-time constants: at 1.7B that is ~7 GB captured during lowering
+    and a correspondingly huge program upload on remote backends."""
     from .step import DEFAULT_LOSS_WEIGHTS, TrainState, make_train_step
     from ..models.lm import AsteroidLM
     from ..ops.chunked_ce import asteroid_loss
@@ -82,8 +220,8 @@ def make_lora_train_step(cfg, optimizer, base_params, rank: int = 16,
     model = AsteroidLM(cfg)
     weights = loss_weights or DEFAULT_LOSS_WEIGHTS
 
-    def loss_fn(lora, batch):
-        merged = apply_lora(base_params, lora, rank, alpha, use_rslora)
+    def loss_fn(lora, batch, base):
+        merged = apply_lora(base, lora, rank, alpha, use_rslora)
 
         def forward(p):
             mask = batch["attention_mask"]
@@ -99,9 +237,10 @@ def make_lora_train_step(cfg, optimizer, base_params, rank: int = 16,
             merged["params"]["embed_speech"], weights, num_chunks=ce_chunks)
         return total, per
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, base=None):
+        base = base_params if base is None else base
         (loss, per), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, base)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         import optax
         new_lora = optax.apply_updates(state.params, updates)

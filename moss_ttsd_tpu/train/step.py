@@ -49,18 +49,20 @@ def make_train_step(cfg: LMConfig, optimizer,
 
     batch: {"input_ids": (B, T, C), "labels": (B, T, C), "attention_mask": (B, T)}.
     """
+    if remat:
+        # per-layer remat (models/lm.py nn.remat'd scan block): backward
+        # recomputes each layer from its input; a whole-forward
+        # jax.checkpoint would still save per-layer scan residuals
+        import dataclasses
+        cfg = dataclasses.replace(cfg, remat_layers=True)
     model = AsteroidLM(cfg)
 
     def loss_fn(params, batch):
-        def forward(p):
-            ids = batch["input_ids"]
-            mask = batch["attention_mask"]
-            positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-            hidden, _ = model.apply(p, ids, positions, mask.astype(bool),
-                                    None, 0, method=AsteroidLM.backbone)
-            return hidden
-        fwd = jax.checkpoint(forward) if remat else forward
-        hidden = fwd(params)
+        ids = batch["input_ids"]
+        mask = batch["attention_mask"]
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        hidden, _ = model.apply(params, ids, positions, mask.astype(bool),
+                                None, 0, method=AsteroidLM.backbone)
         embed_text = params["params"]["embed_text"]
         embed_speech = params["params"]["embed_speech"]
         total, per_channel = asteroid_loss(

@@ -180,3 +180,76 @@ def test_opt_state_sharded_like_params():
                        placed_adam[0].mu, param_specs,
                        is_leaf=lambda x: isinstance(x, P))
     assert all(jax.tree.leaves(got))
+
+
+def test_layerwise_lora_matches_merge_based_step():
+    """The layerwise LoRADense path (cfg.lora_rank>0, rank-sized cotangents)
+    computes the same function as the merge-based make_lora_train_step:
+    identical losses and identical updated factors over two steps."""
+    import dataclasses
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.train.lora import (graft_lora_params, init_lora,
+                                          make_layerwise_lora_step,
+                                          make_lora_train_step,
+                                          merge_lora_tree, split_lora_tree,
+                                          fold_lora_tree)
+
+    cfg = tiny_cfg()
+    rank, alpha = 2, 4.0
+    base = AsteroidLM(cfg).init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 6, cfg.channels), jnp.int32))
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 12
+    ids = rng.integers(0, 30, (B, T, cfg.channels)).astype(np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (B, T))
+    batch = {"input_ids": jnp.asarray(ids),
+             "labels": jnp.asarray(ids),
+             "attention_mask": jnp.ones((B, T), jnp.int32)}
+
+    # merge-based path
+    lora = init_lora(base, jax.random.PRNGKey(1), rank=rank)
+    opt = make_optimizer(total_steps=10)
+    st_m = TrainState(jnp.zeros((), jnp.int32), lora, opt.init(lora))
+    step_m = jax.jit(make_lora_train_step(cfg, opt, rank=rank, alpha=alpha,
+                                          remat=False, ce_chunks=2))
+
+    # layerwise path: same factor values grafted into the LoRA model tree
+    lcfg = dataclasses.replace(cfg, lora_rank=rank, lora_alpha=alpha)
+    full = graft_lora_params(base, lcfg, jax.random.PRNGKey(1))
+    frozen, trainable = split_lora_tree(full)
+    # overwrite fresh lora_a with the merge-path values for exact comparison
+    flat_tr = jax.tree_util.tree_flatten_with_path(trainable)[0]
+    mapping = {}
+    for path, _ in flat_tr:
+        names = [k.key for k in path]
+        proj = names[-2]
+        key = next(k for k in lora if k.endswith("/" + proj + "/kernel"))
+        mapping[tuple(names)] = lora[key]["a" if names[-1] == "lora_a" else "b"]
+    trainable = jax.tree_util.tree_map_with_path(
+        lambda p, leaf: mapping[tuple(k.key for k in p)], trainable)
+
+    st_l = TrainState(jnp.zeros((), jnp.int32), trainable,
+                      opt.init(trainable))
+    step_l = jax.jit(make_layerwise_lora_step(lcfg, opt, remat=False,
+                                              ce_chunks=2))
+
+    for _ in range(2):
+        st_m, m_m = step_m(st_m, batch, base)
+        st_l, m_l = step_l(st_l, batch, frozen)
+        np.testing.assert_allclose(float(m_m["loss"]), float(m_l["loss"]),
+                                   rtol=1e-5)
+
+    # updated factors match leaf-for-leaf
+    flat_l = {tuple(k.key for k in p): np.asarray(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(st_l.params)[0]}
+    for path, leaf in flat_l.items():
+        proj = path[-2]
+        key = next(k for k in st_m.params if k.endswith("/" + proj + "/kernel"))
+        ref = np.asarray(st_m.params[key]["a" if path[-1] == "lora_a" else "b"])
+        np.testing.assert_allclose(leaf, ref, rtol=2e-4, atol=1e-6)
+
+    # folding the adapters reproduces the merge-based merged weights
+    folded = fold_lora_tree(merge_lora_tree(frozen, st_l.params), lcfg)
+    flat_f = jax.tree_util.tree_flatten_with_path(folded)[0]
+    assert not any(p[-1].key in ("lora_a", "lora_b") for p, _ in flat_f)
