@@ -18,6 +18,13 @@ defines but never measures (BASELINE.md: the reference publishes no RTF/TTFA):
     minutes of audio with the int8 KV cache (the serving config for long
     buffers — see decode/engine.py docstring), decode steps/s + decode-only
     RTF. Vocode throughput is covered by the codec config above.
+  * serving — BASELINE config 5 (serving half): continuous batching vs the
+    reference's static whole-batch contract on a long-tail request mix;
+    useful tokens/s + p95 request latency for both schedulers.
+  * batchsweep — per-chip aggregate decode tokens/s at batch 8/16/32 (weight
+    streaming amortizes across rows; the KV stream eventually dominates).
+  * finetune — BASELINE config 5 (training half): LoRA r16 training
+    tokens/s at full geometry (layerwise adapters + per-layer remat).
 
 All models run at full production geometry with random weights (no public
 checkpoint ships here; compute cost is weight-independent). As in bench.py,

@@ -20,7 +20,7 @@ SPT_CONFIG_PATH = "XY_Tokenizer/config/xy_tokenizer_config.yaml"
 SPT_CHECKPOINT_PATH = "XY_Tokenizer/weights/xy_tokenizer.ckpt"
 
 
-def build_tiny_pipeline(seed: int = 0, bucket: int = 64):
+def build_tiny_pipeline(seed: int = 0, bucket: int = 64, mesh=None):
     """Random tiny LM + codec + mock tokenizer wired into the real pipeline."""
     import jax
     import jax.numpy as jnp
@@ -46,7 +46,8 @@ def build_tiny_pipeline(seed: int = 0, bucket: int = 64):
                                         top_k=30, top_p=0.95)
                   for _ in range(lm_cfg.channels)],
         max_new_tokens=64)
-    pipe = TTSPipeline(tokenizer, lm_cfg, params, spt, sampling, bucket=bucket)
+    pipe = TTSPipeline(tokenizer, lm_cfg, params, spt, sampling, bucket=bucket,
+                       mesh=mesh)
     return pipe
 
 
@@ -72,6 +73,10 @@ def main(argv=None):
                         help="start a live jax.profiler server on this port")
     parser.add_argument("--quant", choices=["int8"], default=None,
                         help="weight-only int8 serving (w8a16): ~1.5x faster decode")
+    parser.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                        help="multi-chip (data, model) mesh, e.g. 4x2: batch "
+                             "data-parallel over 4 chips, weights tensor-"
+                             "parallel over 2 (XLA inserts ICI collectives)")
     args = parser.parse_args(argv)
 
     if args.platform == "cpu":
@@ -82,13 +87,21 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
 
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+        import jax
+        data, model_par = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(data=data, model=model_par,
+                         devices=jax.devices()[:data * model_par])
+
     from ..utils.audio_io import write_wav
     if args.tiny:
-        pipe = build_tiny_pipeline(seed=args.seed or 0)
+        pipe = build_tiny_pipeline(seed=args.seed or 0, mesh=mesh)
     else:
         from ..pipeline.batch import TTSPipeline
         pipe = TTSPipeline.load(args.model_path, args.spt_config, args.spt_ckpt,
-                                quant=args.quant)
+                                quant=args.quant, mesh=mesh)
 
     with open(args.jsonl) as f:
         items = [json.loads(line) for line in f if line.strip()]

@@ -192,12 +192,19 @@ class ContinuousBatcher:
                  sampling: Optional[SamplingConfig] = None, slots: int = 8,
                  base: int = 128, max_steps: int = 512,
                  cache_dtype=jnp.bfloat16, quant: Optional[str] = None,
-                 kv_quant: Optional[str] = None, seed: int = 0):
-        # reuse the engine's param handling (dtype cast / int8 quantization)
+                 kv_quant: Optional[str] = None, seed: int = 0, mesh=None):
+        """mesh: a ("data", "model") Mesh (parallel.mesh.make_mesh) shards
+        the weights tensor-parallel over the "model" axis for multi-chip
+        serving latency. The pool state stays replicated (per-slot decode
+        state is tiny next to the weights), so any data-axis size works —
+        batch-1 prefills could not shard over "data" anyway."""
+        # reuse the engine's param handling (dtype cast / int8 quantization
+        # / TP sharding over the mesh)
         from .engine import GenerationEngine
         eng = GenerationEngine(cfg, params, sampling, bucket=base,
                                cache_dtype=cache_dtype, quant=quant,
-                               step_bucket=max_steps, kv_quant=kv_quant)
+                               step_bucket=max_steps, kv_quant=kv_quant,
+                               mesh=mesh)
         self.cfg = eng.cfg
         self.params = eng.params
         self.sampling = eng.sampling
@@ -206,6 +213,7 @@ class ContinuousBatcher:
         self.max_steps = max_steps
         self.slots = slots
         self.cache_dtype = cache_dtype
+        self.mesh = mesh
         C = self.cfg.channels
         self.S = base + max_steps
         self.L = base + C - 1
@@ -214,10 +222,20 @@ class ContinuousBatcher:
         # row splice, and the pooled decode segment
         self._prefill1, _ = _build_generate_fn(
             self.model, self.cfg, self.sampling, base, max_steps, cache_dtype)
-        self._prefill1 = jax.jit(self._prefill1)
-        self._segment = jax.jit(_build_segment_fn(
-            self.model, self.cfg, self.sampling, base),
-            donate_argnums=(1,))
+        psh = eng._param_shardings
+        if mesh is not None:
+            self._prefill1 = jax.jit(
+                self._prefill1,
+                in_shardings=(psh, eng._repl_sharding, eng._repl_sharding,
+                              eng._repl_sharding))
+            self._segment = jax.jit(_build_segment_fn(
+                self.model, self.cfg, self.sampling, base),
+                donate_argnums=(1,), in_shardings=(psh, None, None))
+        else:
+            self._prefill1 = jax.jit(self._prefill1)
+            self._segment = jax.jit(_build_segment_fn(
+                self.model, self.cfg, self.sampling, base),
+                donate_argnums=(1,))
         self._splice = jax.jit(self._splice_impl, donate_argnums=(0,),
                                static_argnames=())
 

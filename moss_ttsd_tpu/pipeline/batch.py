@@ -183,8 +183,21 @@ class TTSPipeline:
 
         batch, mask = pp.left_pad_batch(shifted_list, self.tokenizer.pad_token_id,
                                         self.lm_cfg.speech_pad_token)
+        # a (data, model) mesh shards the batch over the data axis: pad with
+        # repeated rows to a data-axis multiple (extra rows are dropped below)
+        n_real = batch.shape[0]
+        if self.engine.mesh is not None:
+            dp = self.engine.mesh.shape["data"]
+            pad_rows = -n_real % dp
+            if pad_rows:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], pad_rows, axis=0)], axis=0)
+                mask = np.concatenate(
+                    [mask, np.repeat(mask[-1:], pad_rows, axis=0)], axis=0)
         t0 = time.perf_counter()
         result = self.engine.generate(batch, mask, max_new_tokens, seed=seed)
+        if result.tokens.shape[0] != n_real:
+            result = result._replace(tokens=result.tokens[:n_real])
         dt = time.perf_counter() - t0
         self.timings.prefill_decode_s += dt
         self.timings.generated_steps += result.steps

@@ -158,7 +158,7 @@ class ContinuousWorker:
         self.cb = ContinuousBatcher(
             eng.cfg, eng.params, eng.sampling, slots=slots, base=base,
             max_steps=max_steps, cache_dtype=eng.cache_dtype,
-            quant=eng.quant, kv_quant=kv_quant)
+            quant=eng.quant, kv_quant=kv_quant, mesh=eng.mesh)
         self.segment_steps = segment_steps
         self._queue: List[_Request] = []
         self._live: Dict[int, _Request] = {}        # slot -> request
@@ -399,6 +399,9 @@ def main(argv=None):
                    help="tiny random models (smoke test)")
     p.add_argument("--quant", choices=["int8"], default=None,
                    help="weight-only int8 serving (w8a16)")
+    p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                   help="multi-chip (data, model) serving mesh, e.g. 1x4 "
+                        "(weights tensor-parallel over 4 chips)")
     p.add_argument("--scheduler", choices=["window", "continuous"],
                    default="window",
                    help="window = micro-batched static generate; continuous "
@@ -411,13 +414,21 @@ def main(argv=None):
                    help="continuous: decode steps between join/evict points")
     args = p.parse_args(argv)
 
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+        import jax
+        data, model_par = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(data=data, model=model_par,
+                         devices=jax.devices()[:data * model_par])
     if args.tiny or not args.model_path:
         from ..cli.inference import build_tiny_pipeline
-        pipeline = build_tiny_pipeline()
+        pipeline = build_tiny_pipeline(mesh=mesh)
     else:
         from ..pipeline.batch import TTSPipeline
         pipeline = TTSPipeline.load(args.model_path, args.spt_config,
-                                    args.spt_ckpt, quant=args.quant)
+                                    args.spt_ckpt, quant=args.quant,
+                                    mesh=mesh)
     server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
                           args.batch_window_ms / 1000.0,
                           scheduler=args.scheduler, pool_base=args.pool_base,

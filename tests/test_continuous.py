@@ -181,3 +181,34 @@ def test_poll_and_collect_async_match_blocking_collect(setup):
                                   exp_a.tokens[0, exp_a.base:])
     np.testing.assert_array_equal(res_b.tokens[0, exp_b.base:],
                                   exp_b.tokens[0, exp_b.base:])
+
+
+def test_mesh_tp_pool_matches_unmeshed(setup):
+    """A TP-sharded pool ((1, model) mesh: weights sharded, pool state
+    replicated) reproduces the unmeshed batcher's tokens exactly for
+    staggered joins (greedy, fp32)."""
+    from moss_ttsd_tpu.parallel.mesh import make_mesh
+    cfg, model, params = setup
+    rng = np.random.default_rng(6)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 9, 2)]
+    budgets = [10, 8]
+
+    def drive(mesh):
+        cb = ContinuousBatcher(cfg, params, greedy_sampling(cfg.channels),
+                               slots=2, base=BASE, max_steps=16,
+                               cache_dtype=jnp.float32, mesh=mesh)
+        s0 = cb.submit(prompts[0], max_new_tokens=budgets[0])
+        cb.run(steps=3)                 # stagger the second join
+        s1 = cb.submit(prompts[1], max_new_tokens=budgets[1])
+        for _ in range(8):
+            cb.run(steps=4)
+            if len(cb.finished()) == 2:
+                break
+        return [cb.collect(s) for s in (s0, s1)]
+
+    ref = drive(None)
+    got = drive(make_mesh(data=1, model=2,
+                          devices=jax.devices()[:2]))
+    for r, g in zip(ref, got):
+        assert r.steps == g.steps
+        np.testing.assert_array_equal(r.tokens, g.tokens)
