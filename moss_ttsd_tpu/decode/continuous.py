@@ -10,11 +10,12 @@ with fully static shapes so XLA compiles exactly three programs (prefill,
 splice, segment) regardless of the request mix.
 
 Per-row state is the key difference from decode/engine.py: every slot
-carries its own decode-step counter, cache depth, RoPE position, EOS-flush
-countdown and repetition-penalty presence sets. The decode body indexes the
-KV cache and token buffer with per-row positions (models/lm.py cache_write
-vector path), so a row that joined 400 steps after its neighbour still
-writes cache slot ``base + its_own_step``.
+carries its own decode-step counter, RoPE position, EOS-flush countdown and
+repetition-penalty presence sets. The KV cache is RING-addressed: all rows
+write the same scalar slot each pool step (in-place on the loop carry —
+per-row write positions would copy the whole cache every step), and per-row
+``key_valid`` masks carry time order; the token buffer stays in per-row
+coordinates (``base + own_step``) for teacher forcing and unshifting.
 
 Numerics per row are identical to the static engine: a greedy request
 joined mid-flight yields token-for-token the same output as an isolated
@@ -41,6 +42,7 @@ logger = logging.getLogger(__name__)
 
 
 class PoolState(NamedTuple):
+    gstep: jnp.ndarray           # scalar int32 — global pool step (ring clock)
     active: jnp.ndarray          # (B,) bool — slot holds a live request
     step_r: jnp.ndarray          # (B,) int32 — decode steps done per row
     max_r: jnp.ndarray           # (B,) int32 — per-row step budget
@@ -57,9 +59,19 @@ class PoolState(NamedTuple):
 
 
 def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
-                      sampling: SamplingConfig, base: int):
+                      sampling: SamplingConfig, base: int, max_steps: int):
     """Compiled ``segment(params, state, k)``: advance every live row by up
-    to ``k`` decode steps (rows stop individually at EOS or their budget)."""
+    to ``k`` decode steps (rows stop individually at EOS or their budget).
+
+    Cache writes use RING addressing: every pool step writes all rows at the
+    SAME scalar slot ``base + gstep % max_steps`` (frozen rows gated to keep
+    their sliver), so the update is an in-place scalar dynamic_update_slice
+    on the loop carry. Per-row write positions — however phrased (vmap'd
+    scatter, one-hot select) — force XLA to copy the full cache every step
+    (~1 ms per cache array at the serving geometry). Slot index therefore
+    does NOT encode time order; per-row key_valid masks carry causality, and
+    a live row can never collide with its own history (its budget is capped
+    at max_steps, and it writes every pool step while unfinished)."""
     C = cfg.channels
     ch_params: List[ChannelParams] = [ChannelParams.from_config(c)
                                       for c in sampling.channels]
@@ -74,7 +86,8 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
 
     def body(params, state: PoolState) -> PoolState:
         srow = state.step_r                              # (B,)
-        cur_r = base + srow                              # (B,) per-row write pos
+        cur_r = base + srow                  # (B,) per-row TOKEN buffer pos
+        slot = base + jnp.mod(state.gstep, max_steps)    # shared cache slot
         S = state.tokens.shape[1]
         adv = state.active & state.unfinished            # rows that advance
 
@@ -134,17 +147,18 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         unfinished = unfinished & (srow + 1 < state.max_r)
 
         # forward the new token; frozen rows run too (lockstep) but their
-        # cache write lands on an invalid slot (key_valid gated on adv) and
-        # their sampled tokens are discarded above
+        # cache write is gated (write_gate) and their sampled tokens are
+        # discarded above
         iota = jnp.arange(S)
-        key_valid = state.key_valid | (adv[:, None] & (iota[None, :] == cur_r[:, None]))
+        key_valid = state.key_valid | (adv[:, None] & (iota[None, :] == slot))
         positions = (state.last_pos + 1)[:, None]
         hidden, new_cache = model.apply(
             params, next_tokens[:, None, :], positions, key_valid,
-            state.cache, cur_r, method=AsteroidLM.backbone)
+            state.cache, slot, adv, method=AsteroidLM.backbone)
         hidden = jnp.where(adv[:, None, None], hidden, state.hidden_last)
 
         return PoolState(
+            gstep=state.gstep + 1,
             active=state.active,
             step_r=state.step_r + adv.astype(jnp.int32),
             max_r=state.max_r,
@@ -229,12 +243,12 @@ class ContinuousBatcher:
                 in_shardings=(psh, eng._repl_sharding, eng._repl_sharding,
                               eng._repl_sharding))
             self._segment = jax.jit(_build_segment_fn(
-                self.model, self.cfg, self.sampling, base),
+                self.model, self.cfg, self.sampling, base, max_steps),
                 donate_argnums=(1,), in_shardings=(psh, None, None))
         else:
             self._prefill1 = jax.jit(self._prefill1)
             self._segment = jax.jit(_build_segment_fn(
-                self.model, self.cfg, self.sampling, base),
+                self.model, self.cfg, self.sampling, base, max_steps),
                 donate_argnums=(1,))
         self._splice = jax.jit(self._splice_impl, donate_argnums=(0,),
                                static_argnames=())
@@ -247,6 +261,7 @@ class ContinuousBatcher:
     def _init_state(self, seed: int) -> PoolState:
         cfg, B, S, C = self.cfg, self.slots, self.S, self.cfg.channels
         return PoolState(
+            gstep=jnp.zeros((), jnp.int32),
             active=jnp.zeros((B,), bool),
             step_r=jnp.zeros((B,), jnp.int32),
             max_r=jnp.full((B,), self.max_steps, jnp.int32),
@@ -270,6 +285,7 @@ class ContinuousBatcher:
         cache = {k: pool.cache[k].at[:, j].set(v[:, 0])
                  for k, v in s1.cache.items()}
         return PoolState(
+            gstep=pool.gstep,
             active=pool.active.at[j].set(True),
             step_r=pool.step_r.at[j].set(0),
             max_r=pool.max_r.at[j].set(max_new),

@@ -123,7 +123,8 @@ class Qwen3Block(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, x, cache, layer_idx, cos, sin, mask, cache_pos):
+    def __call__(self, x, cache, layer_idx, cos, sin, mask, cache_pos,
+                 write_gate=None):
         c = self.cfg
         dtype = x.dtype
         H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -155,6 +156,14 @@ class Qwen3Block(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        # write_gate (continuous batching, decode/continuous.py): rows share
+        # ONE scalar write slot per pool step (ring addressing), so the cache
+        # update stays a scalar-start dynamic_update_slice that XLA performs
+        # in place on the loop carry. Per-row write positions (a vmap'd
+        # scatter or a one-hot select) force a full-cache copy every decode
+        # step — measured ~1 ms per cache array per step at the serving
+        # geometry, whichever way it is phrased. Frozen rows keep their old
+        # sliver via the gate select (sliver-sized read, not full-slice).
         # pallas kernels only lower on TPU; elsewhere fall back to the XLA
         # path unless interpret mode is explicitly requested (CPU tests).
         # "mixed" picks by measured v5e crossover: pallas flash prefill
@@ -178,48 +187,22 @@ class Qwen3Block(nn.Module):
         if S > 0:                      # decode/prefill path: write into cache
             # cache is head-major (L, B, Hkv, S, D): attention reads it with
             # zero transposes; the per-step write transposes only the new
-            # (B, T, Hkv, D) token slice (tiny).
-            # cache_pos may be a (B,) vector (continuous batching: rows sit at
-            # different depths) — then the write is a per-row scatter of the
-            # same tiny slice.
-            vec_pos = jnp.ndim(cache_pos) > 0
+            # (B, T, Hkv, D) token slice (tiny). cache_pos is a SCALAR slot
+            # shared by all rows (ring addressing for continuous batching —
+            # see the note above); write_gate masks rows that must keep
+            # their old sliver.
 
             def cache_write(buf, new):
                 """buf (L, B, Hkv, S[, D]); new (B, Hkv, T[, D])."""
-                if not vec_pos:
-                    start = (layer_idx, 0, 0, cache_pos, 0)[:buf.ndim]
-                    return jax.lax.dynamic_update_slice(
-                        buf, new[None].astype(buf.dtype), start)
-
-                if T == 1:
-                    # per-row decode write as a fused one-hot select over the
-                    # layer's slice: rows sit at different depths (continuous
-                    # batching), and a vmap'd dynamic_update_slice lowers to a
-                    # per-row scatter that measured ~35% slower per decode
-                    # step (149 vs ~200 steps/s at the serving config). The
-                    # where is a single full-slice read+write that XLA fuses
-                    # with the adjacent attention read of the same slice.
-                    onehot = (jnp.arange(S)[None, :] ==
-                              cache_pos[:, None])             # (B, S)
-                    lsl = jax.lax.dynamic_slice(
-                        buf, (layer_idx,) + (0,) * (buf.ndim - 1),
-                        (1,) + buf.shape[1:])[0]              # (B, Hkv, S[, D])
-                    if buf.ndim == 5:
-                        sel = onehot[:, None, :, None]
-                        newb = new.astype(buf.dtype)          # (B, Hkv, 1, D)
-                    else:
-                        sel = onehot[:, None, :]
-                        newb = new.astype(buf.dtype)          # (B, Hkv, 1)
-                    upd = jnp.where(sel, newb, lsl)
-                    return jax.lax.dynamic_update_slice(
-                        buf, upd[None], (layer_idx,) + (0,) * (buf.ndim - 1))
-
-                def row(rbuf, rnew, pos):   # (L, Hkv, S[, D]), (Hkv, T[, D])
-                    start = (layer_idx, 0, pos, 0)[:rbuf.ndim]
-                    return jax.lax.dynamic_update_slice(
-                        rbuf, rnew[None].astype(rbuf.dtype), start)
-                return jax.vmap(row, in_axes=(1, 0, 0), out_axes=1)(
-                    buf, new, cache_pos)
+                start = (layer_idx, 0, 0, cache_pos, 0)[:buf.ndim]
+                upd = new[None].astype(buf.dtype)
+                if write_gate is not None:
+                    old = jax.lax.dynamic_slice(
+                        buf, start, upd.shape)            # sliver-sized read
+                    sel = write_gate.reshape(
+                        (1, -1) + (1,) * (buf.ndim - 2))
+                    upd = jnp.where(sel, upd, old)
+                return jax.lax.dynamic_update_slice(buf, upd, start)
 
             k_hs = jnp.moveaxis(k, 2, 1)               # (B, Hkv, T, D)
             v_hs = jnp.moveaxis(v, 2, 1)
@@ -289,10 +272,10 @@ class _ScanBlock(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, carry, cos, sin, mask):
+    def __call__(self, carry, cos, sin, mask, write_gate):
         x, cache, layer_idx, cache_pos = carry
         x, cache = Qwen3Block(self.cfg, name="block")(
-            x, cache, layer_idx, cos, sin, mask, cache_pos)
+            x, cache, layer_idx, cos, sin, mask, cache_pos, write_gate)
         return (x, cache, layer_idx + 1, cache_pos), None
 
 
@@ -332,7 +315,7 @@ class AsteroidLM(nn.Module):
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=c.num_hidden_layers,
         )(c, name="layers")
@@ -367,16 +350,20 @@ class AsteroidLM(nn.Module):
 
     def backbone(self, input_ids: jnp.ndarray, positions: jnp.ndarray,
                  key_valid: Optional[jnp.ndarray], cache: Optional[dict],
-                 cache_pos) -> Tuple[jnp.ndarray, Optional[dict]]:
+                 cache_pos, write_gate: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[dict]]:
         """Run the decoder stack.
 
         input_ids: (B, T, C); positions: (B, T) absolute positions (RoPE);
         key_valid: (B, S) cache-slot validity (left-padding + unwritten slots)
                    or (B, T) for the cache-free path;
         cache: {"k","v": (L, B, Hkv, S, D)} or None (training);
-        cache_pos: write offset of this segment in the cache — a scalar, or
-                   a (B,) vector of per-row offsets (continuous batching,
-                   decode/continuous.py).
+        cache_pos: SCALAR write slot of this segment in the cache;
+        write_gate: optional (B,) bool — ring-addressed decode (continuous
+                   batching): every row writes the same scalar slot; gated-off
+                   rows keep their old sliver, and causality/ordering is
+                   carried entirely by key_valid (slot index != time order),
+                   so the attention mask is the validity mask alone.
         Returns (hidden (B, T, hidden), new_cache).
         """
         c = self.cfg
@@ -393,10 +380,15 @@ class AsteroidLM(nn.Module):
         else:
             S = cache["k"].shape[3]
             cache_in = cache
-            mask = causal_mask(cache_pos, T, S, key_valid)
+            if write_gate is not None:
+                assert T == 1, "ring-addressed writes are decode-only"
+                mask = jnp.broadcast_to(key_valid[:, None, :], (B, 1, S))
+            else:
+                mask = causal_mask(cache_pos, T, S, key_valid)
 
         carry = (x, cache_in, jnp.int32(0), jnp.asarray(cache_pos, jnp.int32))
-        (x, new_cache, _, _), _ = self.blocks(carry, cos, sin, mask)
+        (x, new_cache, _, _), _ = self.blocks(carry, cos, sin, mask,
+                                              write_gate)
         x = self.final_norm(x)
         return x, (None if cache is None else new_cache)
 
