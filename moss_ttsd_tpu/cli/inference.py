@@ -89,11 +89,8 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        from ..parallel.mesh import make_mesh
-        import jax
-        data, model_par = (int(x) for x in args.mesh.lower().split("x"))
-        mesh = make_mesh(data=data, model=model_par,
-                         devices=jax.devices()[:data * model_par])
+        from ..parallel.mesh import parse_mesh_arg
+        mesh = parse_mesh_arg(args.mesh)
 
     from ..utils.audio_io import write_wav
     if args.tiny:

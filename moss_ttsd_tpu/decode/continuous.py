@@ -329,8 +329,19 @@ class ContinuousBatcher:
         mask = np.zeros((1, self.L), np.int32)
         mask[0, self.L - Lp:] = 1
 
-        steps = max_new_tokens or self.sampling.max_new_tokens
-        steps = min(steps, self.max_steps)
+        if max_new_tokens is not None and max_new_tokens > self.max_steps:
+            # an EXPLICIT budget above pool capacity is an error (silently
+            # truncating it would cut the audio mid-sentence while the
+            # static scheduler honours the same request in full); the
+            # config-default budget merely clamps — it is an upper bound,
+            # not a requested length
+            raise ValueError(
+                f"max_new_tokens={max_new_tokens} exceeds the pool's "
+                f"per-slot capacity ({self.max_steps}); raise max_steps= "
+                f"or route the request to the static engine (window "
+                f"scheduler)")
+        steps = min(max_new_tokens or self.sampling.max_new_tokens,
+                    self.max_steps)
         s1 = self._prefill1(self.params, jnp.asarray(ids), jnp.asarray(mask),
                             jax.random.PRNGKey(seed))
         self.state = self._splice(self.state, s1, jnp.int32(j),
@@ -381,3 +392,17 @@ class ContinuousBatcher:
         steps, tokens_dev = self.collect_async(j, steps)
         return GenerateResult(tokens=np.asarray(tokens_dev)[None],
                               steps=steps, base=self.base)
+
+    def release(self, j: int) -> None:
+        """Free slot j WITHOUT reading its output (error-path cleanup).
+
+        Host-side slot bookkeeping is restored even if the device state is
+        unusable, so a serving loop can always reclaim its pool after an
+        exception."""
+        self._slot_free[j] = True
+        try:
+            self.state = self.state._replace(
+                active=self.state.active.at[j].set(False),
+                unfinished=self.state.unfinished.at[j].set(False))
+        except Exception:                       # noqa: BLE001 — device dead
+            logger.exception("release(%d): device state update failed", j)

@@ -340,14 +340,18 @@ class GenerationEngine:
     def _step_budget(self, max_new_tokens: Optional[int], prompt_len: int):
         """Resolve (steps to run, buffer capacity) for a request.
 
-        HF max_length semantics (reference MaxLengthCriteria): the config's
-        max_length caps prompt+generated total, so the per-request step count
-        is max_length - prompt_len. Buffer capacity is bucketed upward so the
-        number of distinct compiled programs stays bounded.
+        HF max_length semantics: the reference drops the last channels-1
+        teacher-forcing rows of the shifted prompt before its loop
+        (modeling_asteroid.py:88-89), and MaxLengthCriteria counts from that
+        truncated length — so the step budget is
+        max_length - (prompt_len - channels + 1), NOT max_length - prompt_len.
+        Buffer capacity is bucketed upward so the number of distinct compiled
+        programs stays bounded.
         """
         steps = max_new_tokens or self.sampling.max_new_tokens
         if self.sampling.max_length is not None and max_new_tokens is None:
-            steps = min(steps, max(1, self.sampling.max_length - prompt_len))
+            counted = prompt_len - (self.cfg.channels - 1)
+            steps = min(steps, max(1, self.sampling.max_length - counted))
         sb = self.step_bucket
         buf = max(sb, -(-steps // sb) * sb)
         return steps, buf

@@ -31,6 +31,18 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def parse_mesh_arg(spec: str) -> Mesh:
+    """CLI "DATAxMODEL" string (e.g. "4x2") -> mesh over the first
+    data*model devices. Shared by the inference CLI and the server."""
+    data, model = (int(x) for x in spec.lower().split("x"))
+    n = data * model
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"--mesh {spec} needs {n} devices, "
+                         f"have {len(devices)}")
+    return make_mesh(data=data, model=model, devices=devices[:n])
+
+
 def lm_param_specs(params: dict, model_size: Optional[int] = None) -> dict:
     """PartitionSpecs for AsteroidLM params (tensor parallel over "model").
 

@@ -204,25 +204,14 @@ class TTSPipeline:
         metrics.add("prefill_decode_s", dt)
         metrics.add("generated_steps", result.steps)
 
-        speech_ids = pp.unshift_outputs(result.tokens, result.base,
-                                        self.lm_cfg.channels,
-                                        self.lm_cfg.speech_token_range[0])
-        li = pp.find_max_valid_positions(speech_ids,
-                                         self.lm_cfg.speech_pad_token)
-
         # ONE batched vocode call for all valid items (variable lengths are
         # masked inside the codec's 30 s chunking) — per-item calls would
         # leave the batch dimension of the compiled codec idle
         valid_idx, valid_codes = [], []
-        for row, i in enumerate(ok_idx):
-            end = int(li[row]) + 1
-            if end <= 0:
+        for row, codes in enumerate(self.extract_codes(result)):
+            if codes is None:
                 continue
-            codes = speech_ids[row, :end].T.astype(np.int32)    # (nq, T)
-            # clip safety: a malformed ch0 row outside the speech range would
-            # otherwise index out of the codebook
-            codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
-            valid_idx.append(i)
+            valid_idx.append(ok_idx[row])
             valid_codes.append(codes)
 
         wavs = []
@@ -242,6 +231,30 @@ class TTSPipeline:
                 "index": start_idx + i,
             }
         return texts_data, audio_results
+
+    def extract_codes(self, result) -> List[Optional[np.ndarray]]:
+        """GenerateResult -> per-row codec codes (nq, T) int32 or None.
+
+        The single post-generation contract (unshift -> last-valid-row scan
+        -> codebook clip), shared by process_batch and the serving workers
+        (serve/server.py) so the two paths cannot drift. The clip guards a
+        malformed channel-0 row outside the speech range from indexing out
+        of the codebook."""
+        speech_ids = pp.unshift_outputs(result.tokens, result.base,
+                                        self.lm_cfg.channels,
+                                        self.lm_cfg.speech_token_range[0])
+        li = pp.find_max_valid_positions(speech_ids,
+                                         self.lm_cfg.speech_pad_token)
+        out: List[Optional[np.ndarray]] = []
+        for row in range(speech_ids.shape[0]):
+            end = int(li[row]) + 1
+            if end <= 0:
+                out.append(None)
+                continue
+            codes = speech_ids[row, :end].T.astype(np.int32)    # (nq, T)
+            out.append(np.clip(codes, 0,
+                               self.spt.cfg.quantizer.codebook_size - 1))
+        return out
 
     def stream_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
                     use_normalize: bool = False,

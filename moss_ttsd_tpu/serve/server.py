@@ -204,24 +204,19 @@ class ContinuousWorker:
         done = self.cb.poll()         # one readback: (slot, steps) pairs
         if not done:
             return
-        from ..pipeline import prompt as pp
         spt = self.pipeline.spt
-        cfg = self.pipeline.lm_cfg
         reqs, codes_list = [], []
         for slot, steps in done:
-            req = self._live.pop(slot)
+            req = self._live.pop(slot, None)
+            if req is None:                   # orphan (shouldn't happen):
+                self.cb.release(slot)         # reclaim defensively
+                continue
             res = self.cb.collect(slot, steps)
-            speech_ids = pp.unshift_outputs(res.tokens, res.base,
-                                            cfg.channels,
-                                            cfg.speech_token_range[0])
-            end = int(pp.find_max_valid_positions(
-                speech_ids, cfg.speech_pad_token)[0]) + 1
-            if end <= 0:
+            codes = self.pipeline.extract_codes(res)[0]
+            if codes is None:
                 req.error = "generation produced no speech tokens"
                 req.event.set()
                 continue
-            codes = speech_ids[0, :end].T.astype(np.int32)
-            codes = np.clip(codes, 0, spt.cfg.quantizer.codebook_size - 1)
             reqs.append(req)
             codes_list.append(codes)
         if not codes_list:
@@ -258,9 +253,14 @@ class ContinuousWorker:
                     metrics.add("server_continuous_segments", 1)
                     self._drain_finished()
             except Exception as e:                  # noqa: BLE001
+                # fail every in-flight request AND reclaim its pool slot —
+                # clearing _live alone would leak the slots (active rows
+                # with no owner: poll() reports them forever, _admit can
+                # never place new requests, the worker busy-spins dead)
                 for slot, r in list(self._live.items()):
                     r.error = f"server error: {e}"
                     r.event.set()
+                    self.cb.release(slot)
                 self._live.clear()
 
 
@@ -356,11 +356,13 @@ class SpeechServer:
     def __init__(self, pipeline, host: str = "0.0.0.0", port: int = 8000,
                  max_batch: int = 8, batch_window_s: float = 0.05,
                  scheduler: str = "window", pool_base: int = 512,
-                 pool_max_steps: int = 2048, segment_steps: int = 25):
+                 pool_max_steps: int = 2048, segment_steps: int = 25,
+                 pool_kv_quant: Optional[str] = None):
         if scheduler == "continuous":
             self.worker = ContinuousWorker(
                 pipeline, slots=max_batch, base=pool_base,
-                max_steps=pool_max_steps, segment_steps=segment_steps)
+                max_steps=pool_max_steps, segment_steps=segment_steps,
+                kv_quant=pool_kv_quant)
         elif scheduler == "window":
             self.worker = BatchingWorker(pipeline, max_batch, batch_window_s)
         else:
@@ -412,15 +414,15 @@ def main(argv=None):
                    help="continuous: per-slot decode capacity")
     p.add_argument("--segment_steps", type=int, default=25,
                    help="continuous: decode steps between join/evict points")
+    p.add_argument("--pool_kv_quant", choices=["int8"], default=None,
+                   help="continuous: int8 KV cache (wins at the default "
+                        ">=512-slot pool; see decode/engine.py docstring)")
     args = p.parse_args(argv)
 
     mesh = None
     if args.mesh:
-        from ..parallel.mesh import make_mesh
-        import jax
-        data, model_par = (int(x) for x in args.mesh.lower().split("x"))
-        mesh = make_mesh(data=data, model=model_par,
-                         devices=jax.devices()[:data * model_par])
+        from ..parallel.mesh import parse_mesh_arg
+        mesh = parse_mesh_arg(args.mesh)
     if args.tiny or not args.model_path:
         from ..cli.inference import build_tiny_pipeline
         pipeline = build_tiny_pipeline(mesh=mesh)
@@ -433,7 +435,8 @@ def main(argv=None):
                           args.batch_window_ms / 1000.0,
                           scheduler=args.scheduler, pool_base=args.pool_base,
                           pool_max_steps=args.pool_max_steps,
-                          segment_steps=args.segment_steps)
+                          segment_steps=args.segment_steps,
+                          pool_kv_quant=args.pool_kv_quant)
     print(f"serving on {args.host}:{server.port} "
           f"(scheduler={args.scheduler}, max_batch={args.max_batch})")
     server.start()

@@ -124,6 +124,20 @@ def test_oversized_prompt_rejected(setup):
         cb.submit(big)
 
 
+def test_explicit_budget_over_capacity_rejected(setup):
+    """An explicit max_new_tokens above pool capacity raises (silent
+    truncation would cut audio mid-sentence); the config-default budget
+    merely clamps to capacity."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(3)
+    cb = make_batcher(cfg, params, slots=1, max_steps=16)
+    p = make_prompt(cfg, rng, 5, 3)
+    with pytest.raises(ValueError, match="per-slot capacity"):
+        cb.submit(p, max_new_tokens=17)
+    assert cb.free_slots == 1                 # nothing was consumed
+    assert cb.submit(p) is not None           # default budget clamps fine
+
+
 def test_sampled_mode_runs(setup):
     """Sampled (non-greedy) pool smoke: rows produce speech-range tokens."""
     from moss_ttsd_tpu.core.config import ChannelSamplingConfig, SamplingConfig

@@ -175,16 +175,19 @@ def test_compile_cache_bounded_mixed_workload(setup):
 
 
 def test_max_length_total_cap(setup):
-    """SamplingConfig.max_length is a TOTAL length cap (HF MaxLengthCriteria):
-    steps run = max_length - prompt_len, not max_length."""
+    """SamplingConfig.max_length is a TOTAL length cap with the reference's
+    counting: the loop starts from the shifted prompt MINUS its channels-1
+    teacher-forcing rows (modeling_asteroid.py:88-89), so steps run =
+    max_length - (prompt_len - channels + 1)."""
     cfg, model, params = setup
     rng = np.random.default_rng(6)
     prompts = [make_prompt(cfg, rng, 6, 4)]
     batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
                                  cfg.speech_pad_token)
     L = batch.shape[1]
+    counted = L - cfg.channels + 1           # reference's starting cur_len
     sampling = greedy_sampling()
-    sampling.max_length = L + 5
+    sampling.max_length = counted + 5
     sampling.max_new_tokens = 100
     engine = GenerationEngine(cfg, params, sampling, bucket=L,
                               cache_dtype=jnp.float32, step_bucket=64)
