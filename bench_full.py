@@ -25,6 +25,9 @@ defines but never measures (BASELINE.md: the reference publishes no RTF/TTFA):
     streaming amortizes across rows; the KV stream eventually dominates).
   * finetune — BASELINE config 5 (training half): LoRA r16 training
     tokens/s at full geometry (layerwise adapters + per-layer remat).
+  * codectrain — codec training throughput (full XY geometry): round-trip
+    reconstruction loss + EMA codebooks + dead-code replacement,
+    audio-seconds per wall-second.
 
 All models run at full production geometry with random weights (no public
 checkpoint ships here; compute cost is weight-independent). As in bench.py,
@@ -543,11 +546,56 @@ def bench_finetune(batch=4, seqlen=1024, trials=3, tiny=False):
          batch=batch, seqlen=seqlen, ms_per_step=round(best * 1e3, 1))
 
 
+def bench_codec_train(batch=2, secs=10, trials=3, tiny=False):
+    """Codec training throughput: full XY-codec geometry, self-supervised
+    round-trip loss + EMA codebooks + dead-code replacement (the train-mode
+    machinery of reference quantizer.py that ships with no train script).
+    Metric: training audio-seconds per wall-second."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_ttsd_tpu.core.config import CodecConfig
+    from moss_ttsd_tpu.train.codec_step import (init_codec_train_state,
+                                                make_codec_train_step)
+    from moss_ttsd_tpu.train.step import make_optimizer
+
+    cfg = CodecConfig().tiny() if tiny else CodecConfig()
+    if tiny:
+        batch, secs = 2, 1
+    log("codec_train: init codec params + train state...")
+    optimizer = make_optimizer(learning_rate=1e-4, total_steps=100)
+    state = init_codec_train_state(cfg, optimizer, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_codec_train_step(cfg, optimizer))
+
+    T = secs * cfg.input_sample_rate
+    rng = np.random.default_rng(0)
+    b = {"wav": jnp.asarray(rng.standard_normal((batch, T)),
+                            jnp.float32) * 0.1,
+         "lengths": jnp.full((batch,), T, jnp.int32)}
+    log("codec_train: compile + first step...")
+    t0 = time.perf_counter()
+    state, m = step_fn(state, b, jax.random.PRNGKey(1))
+    log(f"codec_train: first step {time.perf_counter() - t0:.1f}s, "
+        f"loss {float(m['loss']):.3f}")
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, b, jax.random.PRNGKey(2))
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    aps = batch * secs / best
+    log(f"codec_train: {best * 1e3:.0f} ms/step -> {aps:.1f} audio-sec/s "
+        f"(B={batch} x {secs}s clips)")
+    emit("codec_train_audio_sec_per_s", aps, "audio_sec_per_wall_sec",
+         batch=batch, clip_secs=secs, ms_per_step=round(best * 1e3, 1))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="codec,clone,ttfa,longform",
                     help="comma list of codec,clone,ttfa,longform,serving,"
-                         "batchsweep,finetune")
+                         "batchsweep,finetune,codectrain")
     ap.add_argument("--steps", type=int, default=256,
                     help="decode steps for the voice-clone config")
     ap.add_argument("--batch", type=int, default=8)
@@ -592,6 +640,9 @@ def main(argv=None):
 
     if "finetune" in configs:
         bench_finetune(tiny=args.tiny)
+
+    if "codectrain" in configs:
+        bench_codec_train(tiny=args.tiny)
 
 
 if __name__ == "__main__":

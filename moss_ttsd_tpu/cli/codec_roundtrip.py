@@ -24,7 +24,15 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="random tiny codec (smoke test)")
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    # remote-attach debug flags (reference XY_Tokenizer/inference.py:21-28)
+    p.add_argument("--debug", type=int, default=0, nargs="?")
+    p.add_argument("--debug_ip", default="localhost")
+    p.add_argument("--debug_port", type=int, default=5678)
     args = p.parse_args(argv)
+
+    if args.debug == 1:
+        from ..utils.helpers import waiting_for_debug
+        waiting_for_debug(args.debug_ip, args.debug_port)
 
     if args.platform == "cpu":
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
