@@ -323,14 +323,18 @@ class GenerationEngine:
         prefill, run = _build_generate_fn(
             self.model, self.cfg, self.sampling, base, buf_steps,
             self.cache_dtype)
+        # donate the carried DecodeState: without it every segmented run call
+        # (generate_stream / continuous splice) copies the full KV cache in
         if self.mesh is not None:
             io_sh = (self._param_shardings, self._data_sharding,
                      self._data_sharding, self._repl_sharding)
             prefill = jax.jit(prefill, in_shardings=io_sh)
             run = jax.jit(run, in_shardings=(self._param_shardings,
-                                             None, None))
+                                             None, None),
+                          donate_argnums=(1,))
         else:
-            prefill, run = jax.jit(prefill), jax.jit(run)
+            prefill = jax.jit(prefill)
+            run = jax.jit(run, donate_argnums=(1,))
         self._compiled[key] = (prefill, run)
         while len(self._compiled) > self.max_cached_programs:
             old_key, _ = self._compiled.popitem(last=False)
