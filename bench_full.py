@@ -414,6 +414,86 @@ def bench_serving(n_requests=24, slots=8, trials=1, tiny=False, seed=0):
          static_p95_latency_s=round(stat_p95, 2),
          n_requests=n_requests, slots=slots)
 
+    # --- ONLINE arrivals: the scenario continuous batching exists for ----
+    # Poisson arrivals at ~70% of the static scheduler's offline capacity.
+    # Static must run whatever has arrived as one whole batch (padded to
+    # ``slots`` rows — the compiled program is fixed-batch) and hold it to
+    # the group's max budget; continuous admits each request at the next
+    # segment boundary. Latency = completion - arrival.
+    avg_budget = sum(budgets) / n_requests
+    rate = 0.7 * stat_tps / avg_budget
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, n_requests))
+    log(f"serving online: Poisson rate {rate:.2f} req/s "
+        f"(span {arrivals[-1]:.1f}s)")
+
+    def run_online_continuous(segment=25):
+        t0 = time.perf_counter()
+        owner = {}
+        next_i = done = 0
+        lat = []
+        while done < n_requests:
+            now = time.perf_counter() - t0
+            while (next_i < n_requests and arrivals[next_i] <= now
+                   and cb.free_slots):
+                j = cb.submit(prompts[next_i],
+                              max_new_tokens=int(budgets[next_i]),
+                              seed=next_i)
+                owner[j] = next_i
+                next_i += 1
+            if cb.free_slots == slots:          # idle: wait for next arrival
+                time.sleep(max(0.0, arrivals[next_i] - now))
+                continue
+            cb.run(steps=segment)
+            for j, steps in cb.poll():
+                cb.collect_async(j, steps)
+                lat.append(time.perf_counter() - t0 - arrivals[owner.pop(j)])
+                done += 1
+        return lat
+
+    def run_online_static():
+        t0 = time.perf_counter()
+        next_done = 0
+        lat = []
+        while next_done < n_requests:
+            now = time.perf_counter() - t0
+            if arrivals[next_done] > now:       # nothing waiting yet
+                time.sleep(arrivals[next_done] - now)
+                continue
+            now = time.perf_counter() - t0
+            grp = [i for i in range(next_done, n_requests)
+                   if arrivals[i] <= now][:slots]
+            ids = np.full((slots, base, cfg.channels), cfg.speech_pad_token,
+                          np.int64)
+            ids[..., 0] = 0
+            mask = np.zeros((slots, base), np.int64)
+            for r in range(slots):              # pad with repeats of row 0
+                p = prompts[grp[r % len(grp)]]
+                ids[r, base - len(p):] = p
+                mask[r, base - len(p):] = 1
+            step_cap = max(budgets[i] for i in grp)
+            engine.generate(ids, mask, max_new_tokens=int(step_cap),
+                            seed=next_done)
+            t_done = time.perf_counter() - t0
+            lat += [t_done - arrivals[i] for i in grp]
+            next_done += len(grp)
+        return lat
+
+    run_online_continuous()                     # warm scheduling path
+    lat_c = run_online_continuous()
+    lat_s = run_online_static()
+    c_p50, c_p95 = (sorted(lat_c)[len(lat_c) // 2],
+                    sorted(lat_c)[int(0.95 * (len(lat_c) - 1))])
+    s_p50, s_p95 = (sorted(lat_s)[len(lat_s) // 2],
+                    sorted(lat_s)[int(0.95 * (len(lat_s) - 1))])
+    log(f"serving online: continuous p50/p95 {c_p50:.2f}/{c_p95:.2f}s vs "
+        f"static {s_p50:.2f}/{s_p95:.2f}s at {rate:.2f} req/s")
+    emit("serving_online_p95_latency_s", c_p95, "seconds",
+         p50_latency_s=round(c_p50, 2),
+         static_p95_latency_s=round(s_p95, 2),
+         static_p50_latency_s=round(s_p50, 2),
+         arrival_rate_req_s=round(rate, 2), n_requests=n_requests,
+         slots=slots)
+
 
 def bench_batch_sweep(batches=(8, 16, 32), decode_steps=256, trials=3,
                       tiny=False):
