@@ -226,3 +226,42 @@ def test_mesh_tp_pool_matches_unmeshed(setup):
     for r, g in zip(ref, got):
         assert r.steps == g.steps
         np.testing.assert_array_equal(r.tokens, g.tokens)
+
+
+def test_int8_kv_pool_matches_int8_kv_static(setup):
+    """The pool with kv_quant="int8" (ring-gated writes over all four cache
+    arrays: int8 k/v + their 4-dim scale buffers) reproduces the static
+    engine's int8-KV output token-for-token for staggered joins (greedy,
+    fp32 compute)."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(7)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 9, 2)]
+    budgets = [10, 8]
+
+    def isolated_kv8(prompt, steps):
+        from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+        batch, mask = left_pad_batch([prompt], cfg.pad_token_id,
+                                     cfg.speech_pad_token)
+        eng = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                               bucket=BASE + cfg.channels - 1,
+                               cache_dtype=jnp.float32, step_bucket=16,
+                               kv_quant="int8")
+        return eng.generate(batch, mask, max_new_tokens=steps, seed=0)
+
+    expected = [isolated_kv8(p, b) for p, b in zip(prompts, budgets)]
+
+    cb = ContinuousBatcher(cfg, params, greedy_sampling(cfg.channels),
+                           slots=2, base=BASE, max_steps=16,
+                           cache_dtype=jnp.float32, kv_quant="int8")
+    s0 = cb.submit(prompts[0], max_new_tokens=budgets[0])
+    cb.run(steps=3)
+    s1 = cb.submit(prompts[1], max_new_tokens=budgets[1])
+    for _ in range(8):
+        cb.run(steps=4)
+        if len(cb.finished()) == 2:
+            break
+    for slot, exp in zip((s0, s1), expected):
+        got = cb.collect(slot)
+        assert got.steps == exp.steps
+        np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                      exp.tokens[0, exp.base:])
