@@ -102,8 +102,11 @@ def main():
     codes = [nprng.integers(0, 1024, (8, steps)).astype(np.int32)
              for _ in range(B)]
     spt.decode(codes, overlap_seconds=10, pcm16=True)   # compile
+    # best-of-5: vocode wall time is dominated by the device->host audio
+    # readback, whose bandwidth through the axon tunnel swings 4-60 MB/s
+    # run-to-run (measured 0.89-1.97 s for the same call within one hour)
     vocode_s = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = spt.decode(codes, overlap_seconds=10, pcm16=True)
         dt = time.perf_counter() - t0
@@ -111,12 +114,36 @@ def main():
     audio_sec = sum(len(w) for w in out["syn_wav_list"]) / spt.output_sample_rate
     print(f"vocode: {audio_sec:.1f}s audio in {vocode_s:.2f}s", file=sys.stderr)
 
+    # calibrate the pure device->host transfer share of the vocode phase:
+    # through the axon tunnel the audio readback runs at 3-60 MB/s depending
+    # on the moment, swinging the e2e number ~2x for identical compute. The
+    # headline stays the honest wall-clock e2e; the extra fields record the
+    # transfer tax so runs are comparable across tunnel conditions.
+    # fresh RANDOM payload per trial: constant/repeated buffers get
+    # compressed or relay-cached by the tunnel and measure ~0 s
+    n_samp = int(audio_sec / B * spt.output_sample_rate)
+    transfer_s = None
+    for i in range(3):
+        pcm = jax.random.randint(jax.random.PRNGKey(i), (B, n_samp),
+                                 -32768, 32767, jnp.int32).astype(jnp.int16)
+        pcm.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(pcm)
+        dt = time.perf_counter() - t0
+        transfer_s = dt if transfer_s is None else min(transfer_s, dt)
+    print(f"transfer calibration: {audio_sec:.0f}s of int16 audio in "
+          f"{transfer_s:.2f}s", file=sys.stderr)
+
     rtf = audio_sec / (decode_s + vocode_s)
+    rtf_excl = audio_sec / (decode_s + max(vocode_s - transfer_s, 0.01))
     print(json.dumps({
         "metric": "e2e_synthesis_rtf_batch8_per_chip",
         "value": round(rtf, 2),
         "unit": "audio_sec_per_wall_sec",
         "vs_baseline": round(rtf / NORTH_STAR_RTF, 2),
+        "decode_steps_per_s": round(steps / decode_s, 1),
+        "transfer_tax_s": round(transfer_s, 2),
+        "rtf_excl_host_transfer": round(rtf_excl, 2),
     }))
 
 
