@@ -335,7 +335,8 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             if not req.event.wait(request_timeout_s):
                 return self._json_error(504, "generation timed out")
             if req.error:
-                return self._json_error(500, req.error)
+                code = 400 if req.error.startswith("bad request") else 500
+                return self._json_error(code, req.error)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(req.wav_bytes)))
