@@ -142,4 +142,4 @@ def test_continuous_scheduler_rejects_oversized_prompt(continuous_server):
         _post(f"{base}/v1/audio/speech",
               {"input": "[S1]" + "long words here " * 40 + "[S2]ok",
                "max_tokens": 4})
-    assert e.value.code == 500
+    assert e.value.code == 400      # client error, not server fault
