@@ -97,6 +97,35 @@ def random_lm_params(model, cfg, seed=0):
         treedef, [fill(p, s, k) for (p, s), k in zip(flat, keys)])
 
 
+
+def make_bench_lm(tiny, max_new_tokens, approx_topk=None):
+    """Shared full/tiny LM setup for the serving-side benches: production
+    geometry with the whole vocab counted as "speech" (random channel-0
+    samples never hit the EOS flush, so decode runs full length),
+    pre-quantized int8 random params, and the standard sampled config.
+    Returns (cfg, params, sampling)."""
+    import dataclasses
+    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
+                                           SamplingConfig)
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+
+    if tiny:
+        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+    else:
+        cfg = LMConfig()
+    cfg = type(cfg)(**{**cfg.to_dict(),
+                       "speech_token_range": (0, cfg.vocab_size)})
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    params = random_lm_params(AsteroidLM(qcfg), qcfg)
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=50, top_p=0.95)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=max_new_tokens,
+        approx_topk=not tiny if approx_topk is None else approx_topk)
+    return cfg, params, sampling
+
+
 def bench_codec_roundtrip(spt, trials=3):
     """BASELINE config 1: encode+decode of batch-8 30 s clips."""
     import numpy as np
@@ -129,31 +158,13 @@ def bench_codec_roundtrip(spt, trials=3):
          decode_xrt=round(audio_sec / dec_s, 1))
 
 
-def build_pipeline(spt, decode_steps, batch, tiny=False):
+def build_pipeline(spt, decode_steps, tiny=False):
     """Production TTSPipeline at full LM geometry, int8 serving config."""
-    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
-                                           SamplingConfig)
-    from moss_ttsd_tpu.models.lm import AsteroidLM
     from moss_ttsd_tpu.pipeline.batch import TTSPipeline
     from moss_ttsd_tpu.utils.mock_tokenizer import MockTokenizer
 
-    if tiny:
-        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
-    else:
-        cfg = LMConfig()
-    # full vocab counts as speech => random weights never hit the EOS flush
-    cfg = type(cfg)(**{**cfg.to_dict(),
-                       "speech_token_range": (0, cfg.vocab_size)})
     log("voice_clone: init LM params (pre-quantized int8)...")
-    import dataclasses
-    qcfg = dataclasses.replace(cfg, quantized=True)
-    params = random_lm_params(AsteroidLM(qcfg), qcfg)
-    sampling = SamplingConfig(
-        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
-                                        top_k=50, top_p=0.95)
-                  for _ in range(cfg.channels)],
-        max_new_tokens=decode_steps,
-        approx_topk=not tiny)
+    cfg, params, sampling = make_bench_lm(tiny, decode_steps)
     return TTSPipeline(MockTokenizer(), cfg, params, spt, sampling,
                        bucket=128, quant="int8")
 
@@ -225,29 +236,11 @@ def bench_ttfa(pipe, trials=5, chunk_steps=25):
 
 def bench_longform(steps=1500, trials=2, tiny=False):
     """BASELINE config 4: single-stream long-form decode (podcast path)."""
-    import jax
-    import jax.numpy as jnp
     import numpy as np
-    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
-                                           SamplingConfig)
     from moss_ttsd_tpu.decode.engine import GenerationEngine
-    from moss_ttsd_tpu.models.lm import AsteroidLM
 
-    if tiny:
-        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
-    else:
-        cfg = LMConfig()
-    cfg = type(cfg)(**{**cfg.to_dict(),
-                       "speech_token_range": (0, cfg.vocab_size)})
     log("longform: init LM params (pre-quantized int8)...")
-    import dataclasses
-    qcfg = dataclasses.replace(cfg, quantized=True)
-    params = random_lm_params(AsteroidLM(qcfg), qcfg)
-    sampling = SamplingConfig(
-        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
-                                        top_k=50, top_p=0.95)
-                  for _ in range(cfg.channels)],
-        max_new_tokens=steps, approx_topk=not tiny)
+    cfg, params, sampling = make_bench_lm(tiny, steps)
     engine = GenerationEngine(cfg, params, sampling, bucket=64, quant="int8",
                               kv_quant="int8", step_bucket=steps)
     del params
@@ -288,30 +281,12 @@ def bench_serving(n_requests=24, slots=8, trials=1, tiny=False, seed=0):
     completion latency (static latency = when the request's whole batch
     returns, cumulative over earlier batches).
     """
-    import jax
-    import jax.numpy as jnp
     import numpy as np
-    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
-                                           SamplingConfig)
     from moss_ttsd_tpu.decode.continuous import ContinuousBatcher
     from moss_ttsd_tpu.decode.engine import GenerationEngine
-    from moss_ttsd_tpu.models.lm import AsteroidLM
 
-    if tiny:
-        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
-    else:
-        cfg = LMConfig()
-    cfg = type(cfg)(**{**cfg.to_dict(),
-                       "speech_token_range": (0, cfg.vocab_size)})
     log("serving: init LM params (pre-quantized int8)...")
-    import dataclasses
-    qcfg = dataclasses.replace(cfg, quantized=True)
-    params = random_lm_params(AsteroidLM(qcfg), qcfg)
-    sampling = SamplingConfig(
-        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
-                                        top_k=50, top_p=0.95)
-                  for _ in range(cfg.channels)],
-        max_new_tokens=256, approx_topk=not tiny)
+    cfg, params, sampling = make_bench_lm(tiny, 256)
 
     base, max_steps = 64, 96 if tiny else 256
     rng = np.random.default_rng(seed)
@@ -501,30 +476,13 @@ def bench_batch_sweep(batches=(8, 16, 32), decode_steps=256, trials=3,
     weight set once per step regardless of B, so aggregate tokens/s scales
     until the KV-cache stream catches up — the per-chip knob the reference
     (fixed whole-JSONL batches) never exposes."""
-    import jax
-    import jax.numpy as jnp
     import numpy as np
-    from moss_ttsd_tpu.core.config import (ChannelSamplingConfig, LMConfig,
-                                           SamplingConfig)
     from moss_ttsd_tpu.decode.engine import GenerationEngine
-    from moss_ttsd_tpu.models.lm import AsteroidLM
-    import dataclasses
 
     if tiny:
-        cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
         batches, decode_steps = (2, 4), 16
-    else:
-        cfg = LMConfig()
-    cfg = type(cfg)(**{**cfg.to_dict(),
-                       "speech_token_range": (0, cfg.vocab_size)})
     log("batch_sweep: init LM params (pre-quantized int8)...")
-    qcfg = dataclasses.replace(cfg, quantized=True)
-    params = random_lm_params(AsteroidLM(qcfg), qcfg)
-    sampling = SamplingConfig(
-        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
-                                        top_k=50, top_p=0.95)
-                  for _ in range(cfg.channels)],
-        max_new_tokens=decode_steps, approx_topk=not tiny)
+    cfg, params, sampling = make_bench_lm(tiny, decode_steps)
     engine = GenerationEngine(cfg, params, sampling, bucket=64, quant="int8",
                               step_bucket=decode_steps)
     del params
@@ -701,7 +659,7 @@ def main(argv=None):
         bench_codec_roundtrip(spt)
 
     if configs & {"clone", "ttfa"}:
-        pipe = build_pipeline(spt, args.steps, args.batch, tiny=args.tiny)
+        pipe = build_pipeline(spt, args.steps, tiny=args.tiny)
         if "clone" in configs:
             bench_voice_clone(pipe, args.steps, args.batch)
         if "ttfa" in configs:

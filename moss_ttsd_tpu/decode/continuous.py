@@ -33,9 +33,7 @@ import numpy as np
 
 from ..core.config import LMConfig, SamplingConfig
 from ..models.lm import AsteroidLM, init_cache
-from ..ops.attention import NEG_INF
-from ..ops.sampling import (ChannelParams, presence_from_history,
-                            scatter_presence)
+from ..ops.sampling import ChannelParams, scatter_presence
 from .engine import GenerateResult, _build_generate_fn, sample_channels
 
 logger = logging.getLogger(__name__)
@@ -87,7 +85,8 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
     def body(params, state: PoolState) -> PoolState:
         srow = state.step_r                              # (B,)
         cur_r = base + srow                  # (B,) per-row TOKEN buffer pos
-        slot = base + jnp.mod(state.gstep, max_steps)    # shared cache slot
+        slot = base + state.gstep            # shared cache slot (ring clock
+        #                                      is stored pre-wrapped below)
         S = state.tokens.shape[1]
         adv = state.active & state.unfinished            # rows that advance
 
@@ -158,7 +157,10 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         hidden = jnp.where(adv[:, None, None], hidden, state.hidden_last)
 
         return PoolState(
-            gstep=state.gstep + 1,
+            # keep the ring clock pre-wrapped: a monotonically growing int32
+            # would jump discontinuously at 2^31 for non-power-of-two
+            # max_steps, landing writes inside live rows' valid history
+            gstep=jnp.mod(state.gstep + 1, max_steps),
             active=state.active,
             step_r=state.step_r + adv.astype(jnp.int32),
             max_r=state.max_r,
@@ -329,6 +331,14 @@ class ContinuousBatcher:
         mask = np.zeros((1, self.L), np.int32)
         mask[0, self.L - Lp:] = 1
 
+        if max_new_tokens is None and self.sampling.max_length is not None:
+            # HF max_length total cap, counted like the static engine
+            # (decode/engine.py _step_budget: the reference loop starts from
+            # the shifted prompt minus its channels-1 teacher-forcing rows)
+            counted = shifted_prompt.shape[0] - (self.cfg.channels - 1)
+            cap = max(1, self.sampling.max_length - counted)
+            max_new_tokens = min(self.sampling.max_new_tokens, cap,
+                                 self.max_steps)
         if max_new_tokens is not None and max_new_tokens > self.max_steps:
             # an EXPLICIT budget above pool capacity is an error (silently
             # truncating it would cut the audio mid-sentence while the

@@ -32,6 +32,11 @@ import numpy as np
 from ..utils.profiling import metrics
 from .api_client import wav_bytes_to_array
 
+# per-request generation cap (the reference hosted API caps max_tokens at
+# 16384, use_api.py:184); an unbounded value would size a KV cache/compiled
+# program to the request and fail the whole micro-batch
+MAX_TOKENS_CAP = 16384
+
 
 def wav_array_to_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     """float32 (T,) -> 16-bit PCM wav bytes."""
@@ -85,13 +90,21 @@ class BatchingWorker:
         self._thread.join(timeout=5)
 
     def _take_batch(self) -> List[_Request]:
+        import time as _time
         with self._cv:
             while not self._queue and not self._stop:
                 self._cv.wait()
             if self._stop and not self._queue:
                 return []
-            # batching window: let more requests arrive
-            self._cv.wait(self.batch_window_s)
+            # batching window: keep gathering until the deadline or a full
+            # batch (a single wait() would end on the FIRST submit notify,
+            # closing the window after one extra request)
+            deadline = _time.monotonic() + self.batch_window_s
+            while (len(self._queue) < self.max_batch and not self._stop):
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(remaining)
             batch = self._queue[:self.max_batch]
             del self._queue[:len(batch)]
             return batch
@@ -193,8 +206,15 @@ class ContinuousWorker:
                 slot = self.cb.submit(shifted,
                                       max_new_tokens=req.max_new_tokens,
                                       seed=req.seed)
-            except Exception as e:                  # noqa: BLE001
+            except ValueError as e:
+                # deliberate rejections (oversized prompt, over-capacity
+                # budget) are client errors
                 req.error = f"bad request: {e}"
+                req.event.set()
+                continue
+            except Exception as e:                  # noqa: BLE001
+                # device/compile/runtime failures are NOT the client's fault
+                req.error = f"server error: {e}"
                 req.event.set()
                 continue
             self._live[slot] = req
@@ -319,7 +339,16 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
                     return self._json_error(400, "bad request: body must be "
                                                  "a JSON object")
                 text = payload["input"]
-            except (KeyError, json.JSONDecodeError) as e:
+                seed = int(payload.get("seed", 0))
+                max_tokens = payload.get("max_tokens")
+                if max_tokens is not None and not (
+                        isinstance(max_tokens, int)
+                        and 0 < max_tokens <= MAX_TOKENS_CAP):
+                    return self._json_error(
+                        400, f"bad request: max_tokens must be an int in "
+                             f"[1, {MAX_TOKENS_CAP}]")
+            except (KeyError, json.JSONDecodeError, ValueError,
+                    TypeError) as e:
                 return self._json_error(400, f"bad request: {e}")
             if payload.get("response_format", "wav") != "wav":
                 return self._json_error(400, "only response_format=wav supported")
@@ -328,8 +357,7 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             except Exception as e:                  # noqa: BLE001
                 return self._json_error(400, f"bad reference audio: {e}")
 
-            max_tokens = payload.get("max_tokens")
-            req = _Request(item, max_tokens, int(payload.get("seed", 0)),
+            req = _Request(item, max_tokens, seed,
                            bool(payload.get("normalize", False)))
             worker.submit(req)
             if not req.event.wait(request_timeout_s):

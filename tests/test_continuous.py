@@ -265,3 +265,41 @@ def test_int8_kv_pool_matches_int8_kv_static(setup):
         assert got.steps == exp.steps
         np.testing.assert_array_equal(got.tokens[0, got.base:],
                                       exp.tokens[0, exp.base:])
+
+
+def test_pool_honours_max_length_like_static_engine(setup):
+    """With sampling.max_length set (HF total-length cap) and no explicit
+    max_new_tokens, the pool computes the same step budget as
+    GenerationEngine._step_budget (prompt counted minus the channels-1
+    teacher-forcing rows)."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(8)
+    prompt = make_prompt(cfg, rng, 6, 4)
+
+    sampling = greedy_sampling(cfg.channels)
+    counted = len(prompt) - cfg.channels + 1   # reference starting cur_len
+    sampling.max_length = counted + 3          # cap => exactly 3 steps
+    sampling.max_new_tokens = 100
+
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    batch, mask = left_pad_batch([prompt], cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    eng = GenerationEngine(cfg, params, sampling,
+                           bucket=BASE + cfg.channels - 1,
+                           cache_dtype=jnp.float32, step_bucket=16)
+    ref = eng.generate(batch, mask, seed=0)
+
+    cb = ContinuousBatcher(cfg, params, sampling, slots=1, base=BASE,
+                           max_steps=16, cache_dtype=jnp.float32)
+    # submit pads the prompt to the pool bucket itself, so its counted
+    # length matches the engine's bucketed prompt
+    s0 = cb.submit(prompt)
+    for _ in range(6):
+        cb.run(steps=4)
+        if cb.finished():
+            break
+    got = cb.collect(s0)
+    assert ref.steps <= 3                    # the cap actually bound it
+    assert got.steps == ref.steps
+    np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                  ref.tokens[0, ref.base:])
