@@ -72,7 +72,7 @@ def main(argv=None):
             pad_token_id=tokenizer.pad_token_id)
         model = AsteroidLM(cfg)
         params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 4, cfg.channels), jnp.int64))
+                            jnp.zeros((1, 4, cfg.channels), jnp.int32))
     else:
         from transformers import AutoTokenizer
         from ..utils.convert_lm import load_asteroid_checkpoint

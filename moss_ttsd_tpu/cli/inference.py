@@ -39,7 +39,7 @@ def build_tiny_pipeline(seed: int = 0, bucket: int = 64, mesh=None):
         pad_token_id=tokenizer.pad_token_id)
     model = AsteroidLM(lm_cfg)
     params = model.init(jax.random.PRNGKey(seed),
-                        jnp.zeros((1, 4, lm_cfg.channels), jnp.int64))
+                        jnp.zeros((1, 4, lm_cfg.channels), jnp.int32))
     spt = XYTokenizer.init_random(CodecConfig().tiny(), seed=seed)
     sampling = SamplingConfig(
         channels=[ChannelSamplingConfig(do_sample=True, temperature=1.0,
