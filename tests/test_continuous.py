@@ -303,3 +303,45 @@ def test_pool_honours_max_length_like_static_engine(setup):
     assert got.steps == ref.steps
     np.testing.assert_array_equal(got.tokens[0, got.base:],
                                   ref.tokens[0, ref.base:])
+
+
+def test_fuzz_random_schedule_matches_isolated(setup):
+    """Randomized join/leave schedule: random prompts, budgets, segment
+    sizes and slot-reuse order over a 3-slot pool; EVERY collected request
+    must equal its isolated static-engine run token-for-token (greedy).
+    Exercises ring wrap-around (cumulative pool steps far exceed max_steps),
+    splice into freshly-freed slots, and frozen-row protection together."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(42)
+    cb = make_batcher(cfg, params, slots=3, max_steps=16)
+
+    n_requests = 10
+    pending = [(make_prompt(cfg, rng, int(rng.integers(3, 10)),
+                            int(rng.integers(1, 6))),
+                int(rng.integers(4, 17))) for _ in range(n_requests)]
+    expected = {}
+    live = {}
+    collected = 0
+    guard = 0
+    queue = list(enumerate(pending))
+    while collected < n_requests:
+        guard += 1
+        assert guard < 200, "fuzz schedule did not converge"
+        while queue and cb.free_slots and rng.random() < 0.8:
+            idx, (p, b) = queue.pop(0)
+            slot = cb.submit(p, max_new_tokens=b)
+            live[slot] = (idx, p, b)
+        if not live:
+            continue
+        cb.run(steps=int(rng.integers(1, 7)))
+        for slot, steps in cb.poll():
+            idx, p, b = live.pop(slot)
+            got = cb.collect(slot, steps)
+            if idx not in expected:
+                expected[idx] = isolated_greedy(cfg, params, p, b)
+            exp = expected[idx]
+            assert got.steps == exp.steps, f"request {idx}"
+            np.testing.assert_array_equal(
+                got.tokens[0, got.base:], exp.tokens[0, exp.base:],
+                err_msg=f"request {idx}")
+            collected += 1
