@@ -94,7 +94,18 @@ def main(argv=None):
     optimizer = make_optimizer(
         learning_rate=float(tc.get("learning_rate", 1e-4)),
         warmup_ratio=float(tc.get("warmup_ratio", 0.1)),
-        total_steps=total_steps)
+        total_steps=total_steps,
+        weight_decay=float(tc.get("weight_decay", 0.0)),
+        grad_clip=float(tc.get("max_grad_norm", 1.0)))
+
+    # data-parallel mesh over every device (the reference's torchrun DDP,
+    # finetune.py:219): params/state replicated, batch sharded over "data",
+    # gradient all-reduce inserted by GSPMD
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import make_mesh
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
 
     if args.lora:
         # layerwise adapters (models/lm.py LoRADense): backward cotangents
@@ -105,23 +116,30 @@ def main(argv=None):
                                   make_layerwise_lora_step, split_lora_tree)
         lcfg = dataclasses.replace(
             cfg, lora_rank=int(lc["r"]), lora_alpha=float(lc["lora_alpha"]),
-            lora_rslora=bool(lc["use_rslora"]))
+            lora_rslora=bool(lc["use_rslora"]),
+            lora_targets=tuple(lc["target_modules"]))
         frozen, trainable = split_lora_tree(
             graft_lora_params(params, lcfg, jax.random.PRNGKey(1)))
+        # device-resident once: a host-numpy frozen tree would be re-uploaded
+        # through the jit boundary on EVERY step (~7 GB/step at 1.7B)
+        frozen = jax.device_put(frozen, repl)
         state = TrainState(jnp.zeros((), jnp.int32), trainable,
                            optimizer.init(trainable))
-        lora_step = jax.jit(make_layerwise_lora_step(lcfg, optimizer))
-        # frozen tree passed per call (device input, not captured constants)
+        lora_step = jax.jit(make_layerwise_lora_step(lcfg, optimizer),
+                            in_shardings=(repl, data_sh, repl),
+                            out_shardings=(repl, None))
         step_fn = lambda s, b: lora_step(s, b, frozen)
     else:
         state = init_train_state(cfg, optimizer, params=params)
-        step_fn = jax.jit(make_train_step(cfg, optimizer))
+        step_fn = jax.jit(make_train_step(cfg, optimizer),
+                          in_shardings=(repl, data_sh),
+                          out_shardings=(repl, None))
 
     os.makedirs(args.output_dir, exist_ok=True)
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
     save_every = args.save_steps if args.save_steps is not None else int(
         tc.get("save_steps", 0))
-    log_every = int(tc.get("logging_steps", 10))
+    log_every = max(1, int(tc.get("logging_steps", 10) or 10))
 
     start_step = 0
     if args.resume:
@@ -136,16 +154,19 @@ def main(argv=None):
         order the interrupted run would have seen."""
         epoch_i, bi = divmod(step, steps_per_epoch)
         order = np.random.default_rng(epoch_i).permutation(len(dataset))
-        idx = order[(bi * batch_size) % len(dataset):][:batch_size]
-        if len(idx) < batch_size:
-            idx = np.concatenate([idx, order[:batch_size - len(idx)]])
-        return idx
+        # tile so a batch_size larger than the dataset still fills exactly
+        # batch_size rows (the sharded batch axis must divide evenly)
+        reps = -(-((bi * batch_size) % len(dataset) + batch_size)
+                 // len(dataset))
+        tiled = np.concatenate([order] * max(reps, 1))
+        return tiled[(bi * batch_size) % len(dataset):][:batch_size]
 
     t0 = time.perf_counter()
     step = start_step
     for step in range(start_step + 1, total_steps + 1):
         idx = batch_indices(step - 1)
         batch = collate([dataset[i] for i in idx], tokenizer.pad_token_id,
+                        pad_token=cfg.speech_pad_token,
                         max_length=int(tc.get("max_length", 16000)),
                         pad_to_multiple=64)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}

@@ -89,6 +89,10 @@ class LMConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_rslora: bool = True
+    # which projections get adapters (reference peft target_modules,
+    # finetune/finetune.py:153); all seven by default
+    lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj",
+                           "gate_proj", "up_proj", "down_proj")
     # per-layer rematerialization: wrap the scanned decoder block in
     # nn.remat(policy=nothing_saveable) so backward recomputes each layer
     # from its (B, T, H) input instead of saving attention/MLP intermediates

@@ -136,7 +136,7 @@ class Qwen3Block(nn.Module):
         def dense(feat, name, use_bias=False):
             if c.quantized:
                 return QDense(feat, use_bias=use_bias, dtype=dtype, name=name)
-            if c.lora_rank:
+            if c.lora_rank and name in c.lora_targets:
                 import math
                 scale = (c.lora_alpha / math.sqrt(c.lora_rank)
                          if c.lora_rslora else c.lora_alpha / c.lora_rank)

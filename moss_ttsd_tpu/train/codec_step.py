@@ -115,8 +115,12 @@ def make_codec_train_step(cfg: CodecConfig, optimizer,
         recon = out["wav"]
         n = min(recon.shape[-1], target.shape[-1])
         recon, target = recon[..., :n], target[..., :n]
+        # reduced ratio: lengths * out_sr overflows int32 beyond ~5.6 s
+        # clips (lengths > 2^31/24000), silently truncating the loss mask
+        import math
+        g = math.gcd(out_sr, in_sr)
         t_len = jnp.minimum(out["wav_lengths"],
-                            (lengths * out_sr) // in_sr)
+                            (lengths * (out_sr // g)) // (in_sr // g))
         valid = (jnp.arange(n)[None, :] < t_len[:, None]).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(valid), 1.0)
 

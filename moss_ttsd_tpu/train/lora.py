@@ -213,7 +213,7 @@ def make_lora_train_step(cfg, optimizer, base_params=None, rank: int = 16,
     default, kept for convenience at tiny geometry) embeds the full tree as
     compile-time constants: at 1.7B that is ~7 GB captured during lowering
     and a correspondingly huge program upload on remote backends."""
-    from .step import DEFAULT_LOSS_WEIGHTS, TrainState, make_train_step
+    from .step import DEFAULT_LOSS_WEIGHTS, TrainState
     from ..models.lm import AsteroidLM
     from ..ops.chunked_ce import asteroid_loss
 

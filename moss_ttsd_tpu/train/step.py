@@ -105,11 +105,19 @@ def train_state_specs(optimizer, state: TrainState, param_specs) -> TrainState:
 
 
 def shard_train_step(train_step, mesh: Mesh, state_specs, batch_spec_tree):
-    """pjit the step with explicit shardings (in/out constraint form)."""
+    """pjit the step with explicit shardings over ``mesh``.
+
+    PartitionSpec trees are wrapped in NamedSharding here — bare specs
+    passed to jax.jit require an ambient mesh context and fail at call
+    time otherwise."""
+    wrap = lambda specs: jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    state_sh = wrap(state_specs)
     return jax.jit(
         train_step,
-        in_shardings=(state_specs, batch_spec_tree),
-        out_shardings=(state_specs, None))
+        in_shardings=(state_sh, wrap(batch_spec_tree)),
+        out_shardings=(state_sh, None))
 
 
 def init_train_state(cfg: LMConfig, optimizer, rng=None, params=None) -> TrainState:

@@ -253,3 +253,20 @@ def test_layerwise_lora_matches_merge_based_step():
     folded = fold_lora_tree(merge_lora_tree(frozen, st_l.params), lcfg)
     flat_f = jax.tree_util.tree_flatten_with_path(folded)[0]
     assert not any(p[-1].key in ("lora_a", "lora_b") for p, _ in flat_f)
+
+
+def test_lora_targets_subset_limits_adapters():
+    """cfg.lora_targets restricts which projections carry adapters (the
+    reference peft target_modules contract)."""
+    import dataclasses
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.train.lora import split_lora_tree
+
+    cfg = dataclasses.replace(tiny_cfg(), lora_rank=2,
+                              lora_targets=("q_proj", "v_proj"))
+    params = AsteroidLM(cfg).init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 6, cfg.channels), jnp.int32))
+    _, trainable = split_lora_tree(params)
+    names = {tuple(k.key for k in p)[-2] for p, _ in
+             jax.tree_util.tree_flatten_with_path(trainable)[0]}
+    assert names == {"q_proj", "v_proj"}
