@@ -13,17 +13,23 @@ import os
 import re
 from typing import Optional
 
-# fixed per-language prompt voices (reference podcast_generate.py:19-29)
+# Fixed per-language prompt voices (role of reference podcast_generate.py:19-29,
+# which points at its own recorded wavs). Self-contained: these are the repo's
+# synthesized placeholder voices (examples/make_examples.py) with their own
+# transcripts, resolved relative to the repo root so no external mount is
+# needed. Pass ``voices=`` / ``base_path=`` to use real recordings.
+ASSET_BASE = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                          "..", ".."))
 DEFAULT_VOICES = {
-    "zh": {"prompt_audio_speaker1": "examples/zh_spk1_moon.wav",
-           "prompt_text_speaker1": "å‘¨ä¸€åˆ°å‘¨äº”ï¼Œæ¯å¤©æ—©æ™¨ä¸ƒç‚¹åŠåˆ°ä¹ç‚¹åŠçš„ç›´æ’­ç‰‡æ®µã€‚"
-                                   "è¨€ä¸‹ä¹‹æ„å‘¢ï¼Œå°±æ˜¯åºŸè¯æœ‰ç‚¹å¤šï¼Œå¤§å®¶ä¹Ÿåˆ«å«Œå¼ƒã€‚",
-           "prompt_audio_speaker2": "examples/zh_spk2_moon.wav",
-           "prompt_text_speaker2": "å¦‚æžœå¤§å®¶æƒ³å¬åˆ°æ›´ä¸°å¯Œæ›´åŠæ—¶çš„ç›´æ’­å†…å®¹ï¼Œè®°å¾—å‡†æ—¶è¿›å…¥ç›´æ’­é—´ã€‚"},
-    "en": {"prompt_audio_speaker1": "examples/m1.wav",
-           "prompt_text_speaker1": "How much do you know about her?",
-           "prompt_audio_speaker2": "examples/m2.wav",
-           "prompt_text_speaker2": "Well, we know this much about her."},
+    "zh": {"prompt_audio_speaker1": "examples/voice_s1.wav",
+           "prompt_text_speaker1": "è¿™æ˜¯ç¬¬ä¸€ä½è¯´è¯äººçš„å‚è€ƒéŸ³è‰²ã€‚",
+           "prompt_audio_speaker2": "examples/voice_s2.wav",
+           "prompt_text_speaker2": "è¿™æ˜¯ç¬¬äºŒä½è¯´è¯äººçš„å‚è€ƒéŸ³è‰²ã€‚"},
+    "en": {"prompt_audio_speaker1": "examples/voice_s1.wav",
+           "prompt_text_speaker1": "This is the first speaker reference voice.",
+           "prompt_audio_speaker2": "examples/voice_s2.wav",
+           "prompt_text_speaker2": "And this is the second speaker reference "
+                                   "voice."},
 }
 
 # Scriptwriting prompts. Same structural-constraint set as the reference's
@@ -46,7 +52,7 @@ SCRIPT_PROMPT_ZH = """ä½ æ˜¯ä¸€ä½èµ„æ·±çš„ä¸­æ–‡æ’­å®¢æ–‡å­—ç¼–å‰§ã€‚è¯·æŠŠä¸‹é
 
 ä¸‰ã€å¯¹è¯ç»„ç»‡
 - ä¸¤äººäº¤æ›¿å‘è¨€ï¼Œæ¯ä¸ªè½®æ¬¡ç”¨ [S1] æˆ– [S2] å¼€å¤´æ ‡è®°ï¼Œ[S1] å’Œ [S2] ä¹‹é—´ä¸è¦æ¢è¡Œï¼›
-- é‡ç‚¹ï¼šå½“ä¸€æ–¹åœ¨è®²è§£æ—¶ï¼Œå¦ä¸€æ–¹è¦é¢‘ç¹æ’å…¥ç®€çŸ­çš„å€¾å¬åé¦ˆï¼ˆæ¯”å¦‚"å—¯ã€‚""å¯¹ã€‚""æ˜¯çš„ã€‚""å“¦ï¼ŒåŽŸæ¥æ˜¯è¿™æ ·ã€‚""æ˜Žç™½ã€‚""æ²¡é”™ã€‚""æœ‰é“ç†ã€‚""ç¡®å®žã€‚"ï¼‰ï¼Œè‡ªç„¶åœ°è½åœ¨å¯¹æ–¹è¯­å¥çš„åœé¡¿å¤„æˆ–æ®µè½äº¤ç•Œå¤„ï¼Œè€Œä¸æ˜¯ç”Ÿç¡¬æ‰“æ–­ã€‚ç¤ºä¾‹ï¼š[S2]æˆ‘æœ¬äººå…¶å®žä¸å¤ªç›¸ä¿¡æ˜Ÿåº§è¯¶ï¼Œ[S1]å—¯ã€‚[S2]ä¸€å¼€å§‹æˆ‘å°±è§‰å¾—ï¼Œå‘ƒï¼Œä½ æ€»ä¸èƒ½æŠŠäººåˆ†æˆåäºŒç§ï¼Œ[S1]æ˜¯çš„ã€‚[S2]ç„¶åŽå®ƒè¯´çš„å°±éƒ½æ˜¯å¯¹çš„ã€‚è¿™ç±»åé¦ˆè¶Šå¤šè¶Šå¥½ï¼Œä¸è¦åå•¬ï¼›
+- é‡ç‚¹ï¼šå½“ä¸€æ–¹åœ¨è®²è§£æ—¶ï¼Œå¦ä¸€æ–¹è¦é¢‘ç¹æ’å…¥ç®€çŸ­çš„å€¾å¬åé¦ˆï¼ˆæ¯”å¦‚"å—¯å—¯ã€‚""å¯¹å¯¹ã€‚""è¿™æ ·å•Šã€‚""å“¦ï¼Ÿ""æ‡‚äº†ã€‚""åŽŸæ¥å¦‚æ­¤ã€‚""è¿˜çœŸæ˜¯ã€‚""å—¯ï¼Œæœ‰é“ç†ã€‚"ï¼‰ï¼Œè‡ªç„¶åœ°è½åœ¨å¯¹æ–¹è¯­å¥çš„åœé¡¿å¤„æˆ–æ®µè½äº¤ç•Œå¤„ï¼Œè€Œä¸æ˜¯ç”Ÿç¡¬æ‰“æ–­ã€‚ç¤ºä¾‹ï¼š[S2]æˆ‘å¹³æ—¶å…¶å®žä¸æ€Žä¹ˆå–å’–å•¡çš„ï¼Œ[S1]å—¯å—¯ã€‚[S2]ä¸€å¼€å§‹æ€»è§‰å¾—ï¼Œå‘ƒï¼Œä¸‹åˆæ¥ä¸€æ¯æ™šä¸Šå°±åˆ«æƒ³ç¡äº†ï¼Œ[S1]å¯¹å¯¹ã€‚[S2]åŽæ¥å‘çŽ°æ—©ä¸Šå–ä¸€æ¯å…¶å®žå®Œå…¨æ²¡äº‹ã€‚è¿™ç±»åé¦ˆè¶Šå¤šè¶Šå¥½ï¼Œä¸è¦åå•¬ï¼›
 - èŠ‚ç›®è¦æœ‰å¼€åœºå¼•å…¥ã€æ ¸å¿ƒè®¨è®ºå’Œè‡ªç„¶æ”¶å°¾ï¼Œè¯­æ°”æœ‰èµ·ä¼ï¼Œä¸è¦å¹³é“ºç›´å™ï¼›
 - ç¡¬æ€§é™åˆ¶ï¼šæ€»é•¿åº¦æŽ§åˆ¶åœ¨ååˆ†é’Ÿæœ—è¯»æ—¶é•¿ä»¥å†…ï¼ˆä¸è¶…è¿‡ä¸€åƒäº”ç™¾å­—ï¼‰ï¼Œç»å¯¹ä¸è®¸è¶…ã€‚
 
@@ -91,12 +97,12 @@ III. Dialogue organization
 - The hosts alternate turns, each turn marked with [S1] or [S2]; never put a \
 newline between [S1] and [S2].
 - Key requirement: while one host explains something, the other must keep \
-dropping in short listener backchannels ("Mhm.", "Yeah.", "Right.", "Oh.", \
-"I see.", "Okay.", "Got it.", "Makes sense.", "Totally."), placed naturally \
-at pauses and transitions rather than as interruptions. Example: [S2] I'm \
-not a big believer in horoscopes, actually. [S1] Mhm. [S2] At first I \
-thought, uh, you can't just sort everyone into twelve types, [S1] Right. \
-[S2] and then whatever it says is just true. Use plenty of these â€” don't \
+dropping in short listener backchannels ("Uh-huh.", "Gotcha.", "For sure.", \
+"Oh wow.", "Huh.", "True.", "Interesting.", "Fair enough."), placed naturally \
+at pauses and transitions rather than as interruptions. Example: [S2] I never \
+used to drink much coffee, honestly. [S1] Uh-huh. [S2] At first I figured, \
+uh, one afternoon cup and I would be up all night, [S1] Gotcha. [S2] but a \
+morning cup turned out to be completely fine. Use plenty of these â€” don't \
 hold back.
 - Give the episode an opening hook, a core discussion and a natural wrap-up, \
 with rhythm and variation rather than a flat read-through.
@@ -229,7 +235,7 @@ def detect_language(text: str) -> str:
 def process_input_to_audio(source: str, pipe, output_path: str,
                            language: Optional[str] = None,
                            voices: Optional[dict] = None,
-                           base_path: str = "/root/reference",
+                           base_path: Optional[str] = None,
                            use_normalize: bool = True, seed: int = 0,
                            llm_base_url: Optional[str] = None,
                            llm_api_key: Optional[str] = None) -> dict:
@@ -241,7 +247,7 @@ def process_input_to_audio(source: str, pipe, output_path: str,
     script = generate_podcast_script(content, language, llm_base_url,
                                      llm_api_key)
     voice = dict(voices or DEFAULT_VOICES[language])
-    item = {"base_path": base_path, "text": script, **voice}
+    item = {"base_path": base_path or ASSET_BASE, "text": script, **voice}
     texts_data, audio_results = pipe.process_batch(
         [item], use_normalize=use_normalize, seed=seed)
     if not audio_results or audio_results[0] is None:
