@@ -107,6 +107,79 @@ def test_export_with_lora_merge(tmp_path):
     assert np.abs(t_loaded - t_base).max() > 1e-4
 
 
+def test_full_geometry_converter_coverage():
+    """Round-2 VERDICT #8: audit the converters at the REAL MOSS-TTSD-v0.5
+    geometry (configs/lm_moss_ttsd_v0.5.json) without materializing weights.
+
+    The expected reference state-dict layout is derived independently from
+    the config (modeling_asteroid.py:215-304: Embedding(vocab, H) +
+    channels-1 x Embedding(speech_vocab, H); Qwen3 layers with
+    q/k/v/o_proj, q/k_norm, input/post LN, gate/up/down mlp; final norm;
+    tied lm_heads). convert_asteroid_state_dict must consume it into a tree
+    that exactly matches jax.eval_shape of the model init, and
+    export_asteroid_state_dict must emit exactly the reference name set with
+    matching shapes — so a first real-checkpoint load cannot fail on a name
+    or shape mismatch. Zero-strided broadcast arrays keep memory flat."""
+    import os
+    cfg = LMConfig.from_hf_config_json(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "lm_moss_ttsd_v0.5.json"))
+    H, L = cfg.hidden_size, cfg.num_hidden_layers
+    qd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_key_value_heads * cfg.head_dim
+
+    expected = {"model.embedding_list.0.weight": (cfg.vocab_size, H)}
+    for i in range(1, cfg.channels):
+        expected[f"model.embedding_list.{i}.weight"] = (cfg.speech_vocab_size,
+                                                        H)
+    for l in range(L):
+        b = f"model.language_model.layers.{l}."
+        expected.update({
+            b + "input_layernorm.weight": (H,),
+            b + "self_attn.q_proj.weight": (qd, H),
+            b + "self_attn.k_proj.weight": (kvd, H),
+            b + "self_attn.v_proj.weight": (kvd, H),
+            b + "self_attn.o_proj.weight": (H, qd),
+            b + "self_attn.q_norm.weight": (cfg.head_dim,),
+            b + "self_attn.k_norm.weight": (cfg.head_dim,),
+            b + "post_attention_layernorm.weight": (H,),
+            b + "mlp.gate_proj.weight": (cfg.intermediate_size, H),
+            b + "mlp.up_proj.weight": (cfg.intermediate_size, H),
+            b + "mlp.down_proj.weight": (H, cfg.intermediate_size),
+        })
+    expected["model.language_model.norm.weight"] = (H,)
+    # names present in a real checkpoint beyond the converter's inputs
+    full_expected = dict(expected)
+    full_expected["model.language_model.embed_tokens.weight"] = (
+        cfg.vocab_size, H)
+    for i in range(cfg.channels):
+        full_expected[f"lm_heads.{i}.weight"] = (
+            (cfg.vocab_size, H) if i == 0 else (cfg.speech_vocab_size, H))
+
+    # torch -> flax: the converted tree matches the abstract init exactly
+    zero = np.zeros((), np.float32)
+    sd = {k: np.broadcast_to(zero, s) for k, s in full_expected.items()}
+    converted = convert_asteroid_state_dict(sd, cfg)
+    model = AsteroidLM(cfg)
+    abstract = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)),
+        jax.random.PRNGKey(0))
+    conv_shapes = {jax.tree_util.keystr(p): v.shape for p, v in
+                   jax.tree_util.tree_leaves_with_path(converted)}
+    abs_shapes = {jax.tree_util.keystr(p): v.shape for p, v in
+                  jax.tree_util.tree_leaves_with_path(abstract)}
+    assert conv_shapes == abs_shapes
+
+    # flax -> torch: exactly the reference name set, with reference shapes
+    params = jax.tree.map(lambda s: np.broadcast_to(zero, s.shape), abstract)
+    exported = export_asteroid_state_dict(params, cfg)
+    assert set(exported) == set(full_expected)
+    mismatches = {k: (exported[k].shape, full_expected[k])
+                  for k in full_expected
+                  if exported[k].shape != full_expected[k]}
+    assert not mismatches, mismatches
+
+
 def test_export_loads_into_reference_torch_model():
     """The exported state dict loads into the ACTUAL reference torch model
     (strict), and the torch forward matches our flax forward — finetuned
