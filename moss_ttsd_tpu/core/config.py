@@ -325,6 +325,13 @@ class VocosConfig:
     mdct_frame_len: int = 480         # IMDCT heads (upsample = frame_len // 2)
     head_sample_rate: Optional[int] = None   # mel-scale init of IMDCTSymExpHead
     clip_audio: bool = False
+    # Strict-parity audit switch for the IMDCT heads' clip_audio branch: the
+    # reference clips (and returns) the pre-IMDCT COEFFICIENT tensor instead
+    # of the audio (`audio = torch.clip(x, ...)`, modules.py:1044-1046 and
+    # :1091-1093 — a variable-misuse bug). Default False keeps the fixed
+    # behavior (clip the audio); True reproduces the reference bit-for-bit
+    # for checkpoint-exactness audits.
+    clip_coeffs: bool = False
 
 
 @dataclass

@@ -208,14 +208,19 @@ def _mel_scale_init(sample_rate: int, out_dim: int):
 class IMDCTSymExpHead(nn.Module):
     """Reference modules.py:991-1048: linear -> symexp -> clip ±1e2 -> IMDCT.
 
-    ``clip_audio`` clips the AUDIO to [-1, 1] (the reference's code clips the
-    coefficient tensor there — a bug we deliberately do not reproduce)."""
+    ``clip_audio`` clips the AUDIO to [-1, 1]. The reference's clip_audio
+    branch instead clips — and returns — the coefficient tensor
+    (``audio = torch.clip(x, ...)``, modules.py:1044-1046, a variable-misuse
+    bug); ``clip_coeffs=True`` reproduces that bit-for-bit (returning the
+    flattened clipped coefficients, frame_len//2 values per frame) for
+    checkpoint-exactness audits."""
 
     dim: int
     mdct_frame_len: int
     padding: str = "same"
     sample_rate: Optional[int] = None
     clip_audio: bool = False
+    clip_coeffs: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -228,6 +233,8 @@ class IMDCTSymExpHead(nn.Module):
         T = x.shape[1]
         x = jnp.where((jnp.arange(T)[None, :] < lengths[:, None])[..., None],
                       x, 0)
+        if self.clip_audio and self.clip_coeffs:
+            return jnp.clip(x, -1.0, 1.0).reshape(x.shape[0], -1)
         audio = imdct(x, self.mdct_frame_len, self.padding)
         if self.clip_audio:
             audio = jnp.clip(audio, -1.0, 1.0)
@@ -237,21 +244,29 @@ class IMDCTSymExpHead(nn.Module):
 class IMDCTCosHead(nn.Module):
     """Reference modules.py:1051-1093: linear -> exp(m)·cos(p) -> IMDCT.
 
-    ``clip_audio`` clips the AUDIO (see IMDCTSymExpHead note)."""
+    ``clip_audio`` clips the AUDIO. ``clip_coeffs=True`` reproduces the
+    reference's clip_audio branch bit-for-bit: it returns the clipped RAW
+    linear output (``audio = torch.clip(x, ...)``, modules.py:1091-1093 —
+    frame_len values per frame, not audio), flattened."""
 
     dim: int
     mdct_frame_len: int
     padding: str = "same"
     clip_audio: bool = False
+    clip_coeffs: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.mdct_frame_len, name="out")(x)
-        m, p = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        x = x.astype(jnp.float32)
+        T = x.shape[1]
+        valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        if self.clip_audio and self.clip_coeffs:
+            return jnp.clip(jnp.where(valid, x, 0),
+                            -1.0, 1.0).reshape(x.shape[0], -1)
+        m, p = jnp.split(x, 2, axis=-1)
         coeffs = jnp.minimum(jnp.exp(m), 1e2) * jnp.cos(p)
-        T = coeffs.shape[1]
-        coeffs = jnp.where(
-            (jnp.arange(T)[None, :] < lengths[:, None])[..., None], coeffs, 0)
+        coeffs = jnp.where(valid, coeffs, 0)
         audio = imdct(coeffs, self.mdct_frame_len, self.padding)
         if self.clip_audio:
             audio = jnp.clip(audio, -1.0, 1.0)
@@ -283,12 +298,17 @@ class Vocos(nn.Module):
         elif c.head == "imdct_symexp":
             wav = IMDCTSymExpHead(c.dim, c.mdct_frame_len, c.padding,
                                   c.head_sample_rate, c.clip_audio,
-                                  name="head")(h, lengths)
+                                  c.clip_coeffs, name="head")(h, lengths)
+            # strict-parity clip_coeffs mode returns frame_len//2 coefficient
+            # values per frame — numerically the same per-frame width as audio
             up = c.mdct_frame_len // 2
         elif c.head == "imdct_cos":
             wav = IMDCTCosHead(c.dim, c.mdct_frame_len, c.padding,
-                               c.clip_audio, name="head")(h, lengths)
+                               c.clip_audio, c.clip_coeffs,
+                               name="head")(h, lengths)
             up = c.mdct_frame_len // 2
+            if c.clip_audio and c.clip_coeffs:
+                up = c.mdct_frame_len    # raw linear output width per frame
         else:
             raise ValueError(f"unknown head {c.head!r}")
         return wav, lengths * up
