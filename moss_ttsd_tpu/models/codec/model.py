@@ -64,6 +64,11 @@ class XYTokenizerModule(nn.Module):
             sampling_rate=c.feature_extractor.sampling_rate)      # (B, M, T)
         mel = jnp.swapaxes(mel, -1, -2)                           # (B, T, M)
         mel_lengths = jnp.ceil(lengths / c.feature_extractor.hop_length).astype(jnp.int32)
+        # compute-dtype boundary: mel frontend is fp32; the encoder stack runs
+        # in cfg.dtype (bf16 at inference — params cast by the XYTokenizer
+        # wrapper). fp32 islands preserved inside the stack: sinusoid pos-embed
+        # adds (transformer.py), softmax, LayerNorm statistics (flax upcasts).
+        mel = mel.astype(jnp.dtype(c.dtype))
 
         sem, sem_len = self.semantic_encoder(mel, mel_lengths)            # 100->50 Hz
         sem, sem_len = self.semantic_encoder_adapter(sem, sem_len)
@@ -71,7 +76,10 @@ class XYTokenizerModule(nn.Module):
         mixed = jnp.concatenate([sem, aco], axis=-1)                      # (B, T, 2D)
         mixed, mix_len = self.pre_rvq_adapter(mixed, aco_len)
         down, down_len = self.downsample(mixed, mix_len)                  # 50->12.5 Hz
-        zq, codes, _, q_len = self.quantizer(down, down_len)
+        # RVQ fp32 contract (reference quantizer.py:154-191): codebook
+        # distances and residuals always in fp32
+        zq, codes, _, q_len = self.quantizer(down.astype(jnp.float32),
+                                             down_len)
         return {"zq": zq, "codes": codes, "codes_lengths": q_len}
 
     def detokenize(self, codes: jnp.ndarray, codes_lengths: jnp.ndarray):
@@ -81,6 +89,9 @@ class XYTokenizerModule(nn.Module):
         Returns dict(wav (B, T'*upsample), wav_lengths (B,)).
         """
         zq = self.quantizer.decode(codes)                                  # (B, T, D)
+        # fp32 codebook sums (RVQ island) -> compute dtype for the decoder
+        # stack; the ISTFT head's spectral ops re-enter fp32 internally
+        zq = zq.astype(jnp.dtype(self.cfg.dtype))
         h, h_len = self.post_rvq_adapter(zq, codes_lengths)
         h, h_len = self.upsample(h, h_len)                                 # 12.5->50 Hz
         h, h_len = self.acoustic_decoder(h, h_len)                         # 50->100 Hz
@@ -151,9 +162,35 @@ class XYTokenizer:
     """User-facing codec with the reference's chunked encode/decode API
     (reference model.py:130-256). Host-side loop over fixed-shape jit calls."""
 
-    def __init__(self, cfg: CodecConfig, params, chunk_seconds: int = 30):
+    def __init__(self, cfg: CodecConfig, params, chunk_seconds: int = 30,
+                 dtype: Optional[str] = None):
+        """``dtype="bfloat16"`` runs the inference forward (encode + vocode)
+        in bf16: all weights except the RVQ quantizer subtree are cast once,
+        and the boundary casts in tokenize/detokenize keep the reference's
+        fp32 islands (RVQ distances/codebook sums, quantizer.py:154-191;
+        pos-embed adds, modules.py:300; softmax; LayerNorm stats; the ISTFT
+        head's spectral math). ~half the HBM weight+activation traffic of the
+        fp32 codec and bf16 MXU matmuls; measured audio deviation vs fp32 is
+        bounded by the parity test (tests/test_codec_bf16.py). ``self.params``
+        stays the full-precision master (training uses it)."""
+        if dtype is not None:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, dtype=dtype)
         self.cfg = cfg
         self.params = params
+        if jnp.dtype(cfg.dtype) != jnp.float32:
+            cd = jnp.dtype(cfg.dtype)
+
+            def cast(path, x):
+                in_rvq = any(getattr(k, "key", None) == "quantizer"
+                             for k in path)
+                if in_rvq or not hasattr(x, "dtype") or x.dtype != jnp.float32:
+                    return x
+                return x.astype(cd)
+
+            self.infer_params = jax.tree_util.tree_map_with_path(cast, params)
+        else:
+            self.infer_params = params
         self.module = XYTokenizerModule(cfg)
         self.input_sample_rate = cfg.input_sample_rate
         self.output_sample_rate = cfg.output_sample_rate
@@ -186,14 +223,16 @@ class XYTokenizer:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def init_random(cls, cfg: CodecConfig, seed: int = 0) -> "XYTokenizer":
+    def init_random(cls, cfg: CodecConfig, seed: int = 0,
+                    dtype: Optional[str] = None) -> "XYTokenizer":
         module = XYTokenizerModule(cfg)
         wav = jnp.zeros((1, cfg.input_sample_rate), jnp.float32)
         params = module.init(jax.random.PRNGKey(seed), wav, jnp.array([cfg.input_sample_rate]))
-        return cls(cfg, params)
+        return cls(cfg, params, dtype=dtype)
 
     @classmethod
-    def load_from_checkpoint(cls, config_path: str, ckpt_path: str) -> "XYTokenizer":
+    def load_from_checkpoint(cls, config_path: str, ckpt_path: str,
+                             dtype: Optional[str] = None) -> "XYTokenizer":
         """Load a reference-format (yaml + torch .ckpt) or native checkpoint.
 
         Mirrors reference model.py:258-278; torch checkpoints go through the
@@ -206,7 +245,7 @@ class XYTokenizer:
         else:
             from ...core.checkpoint import load_pytree
             params = load_pytree(ckpt_path)
-        return cls(cfg, params)
+        return cls(cfg, params, dtype=dtype)
 
     # -- reference-parity API ---------------------------------------------
 
@@ -240,7 +279,7 @@ class XYTokenizer:
                 chunk[b, :len(seg)] = seg
             if chunk_lens.max() == 0:
                 continue
-            pending.append(self._tokenize(self.params, jnp.asarray(chunk),
+            pending.append(self._tokenize(self.infer_params, jnp.asarray(chunk),
                                           jnp.asarray(chunk_lens)))
 
         chunks_codes = []
@@ -263,64 +302,150 @@ class XYTokenizer:
         return {"codes_list": codes_list}
 
     def decode(self, codes_list: List[np.ndarray], overlap_seconds: int = 10,
-               pcm16: bool = False):
+               pcm16: bool = False, rows_per_call: Optional[int] = None):
         """codes_list: B * (nq, T) -> {"syn_wav_list": B * (T*1920,) 24 kHz}.
 
-        Chunking contract mirrors reference model.py:194-256.
+        Chunking contract mirrors reference model.py:194-256. Implemented on
+        top of IncrementalDecoder (one feed of everything) so the streaming
+        overlap path and this serial path cannot drift.
 
         pcm16=True quantizes to int16 PCM on device before readback — half
         the device->host bytes; the host converts back to float32/32768 so
         the return contract is unchanged (serving writes 16-bit wavs, so the
         extra quantization is exactly the file bit depth).
+
+        rows_per_call=N splits each chunk's batch into device calls of at
+        most N rows: group i+1's vocode compute overlaps group i's
+        device->host readback, hiding most of the transfer tax behind
+        compute (rows are independent in the codec, so the audio is
+        unchanged; see tests/test_decode_overlap.py).
         """
+        inc = self.incremental_decoder(overlap_seconds, pcm16, rows_per_call)
+        return inc.finish(codes_list)
+
+    def incremental_decoder(self, overlap_seconds: int = 10,
+                            pcm16: bool = False,
+                            rows_per_call: Optional[int] = None
+                            ) -> "IncrementalDecoder":
+        return IncrementalDecoder(self, overlap_seconds, pcm16, rows_per_call)
+
+
+class IncrementalDecoder:
+    """Incremental chunked detokenization with readback pipelining.
+
+    Same chunking contract as XYTokenizer.decode — byte-identical by
+    construction, since decode() is one feed of everything through this
+    class. Two overlap mechanisms the reference's serial
+    inference_detokenize loop (reference model.py:194-256) has no analogue
+    for:
+
+      * ``feed(codes_list, finished)`` may be called while the LM is still
+        decoding: any 30 s codec chunk whose window is complete for every
+        row (a row is complete when it is finished, or when it already has
+        the chunk's full ``chunk_codes`` worth of codes — its clip()ed
+        chunk length can then never change) is dispatched immediately, so
+        its vocode and device->host readback overlap subsequent LM decode
+        segments on the async dispatch stream.
+      * ``rows_per_call`` splits each chunk's batch into groups dispatched
+        as separate device calls; the device computes group i+1 while the
+        host reads group i back, hiding transfer behind compute even for a
+        single-chunk decode.
+
+    ``finish(codes_list)`` dispatches whatever remains and assembles
+    {"syn_wav_list": ...} exactly like the serial path.
+    """
+
+    def __init__(self, spt: "XYTokenizer", overlap_seconds: int = 10,
+                 pcm16: bool = False, rows_per_call: Optional[int] = None):
+        self.spt = spt
         # reference formula ((30 - overlap)*sr) // dsr — floor AFTER the
         # multiply, which differs from chunk_codes - (overlap*sr)//dsr by one
         # code whenever overlap*sr isn't a multiple of dsr
-        duration_codes = ((self.chunk_seconds - overlap_seconds)
-                          * self.input_sample_rate) \
-            // self.encoder_downsample_rate
-        duration_wav = duration_codes * self.decoder_upsample_rate
+        self.duration_codes = ((spt.chunk_seconds - overlap_seconds)
+                               * spt.input_sample_rate) \
+            // spt.encoder_downsample_rate
+        if self.duration_codes <= 0:
+            raise ValueError(
+                f"overlap_seconds={overlap_seconds} leaves no stride on a "
+                f"{spt.chunk_seconds}s codec window")
+        self.duration_wav = self.duration_codes * spt.decoder_upsample_rate
+        self.pcm16 = pcm16
+        self.detok = spt._detokenize16 if pcm16 else spt._detokenize
+        self.rows_per_call = rows_per_call
+        self.next_chunk = 0
+        # flat dispatch-order list of (chunk_index, row_slice, device_out)
+        self.pending: list = []
 
+    def _dispatch(self, codes_list, lengths: np.ndarray, ci: int) -> None:
+        spt = self.spt
+        B = len(codes_list)
+        start = ci * self.duration_codes
+        chunk = np.zeros((spt.nq, B, spt.chunk_codes), np.int32)
+        for b, c in enumerate(codes_list):
+            seg = np.asarray(c, np.int32)[:, start:start + spt.chunk_codes]
+            chunk[:, b, :seg.shape[-1]] = seg
+        chunk_lens = np.clip(lengths - start, 0, spt.chunk_codes)
+        step = self.rows_per_call or B
+        for g0 in range(0, B, step):
+            g1 = min(g0 + step, B)
+            out = self.detok(spt.infer_params,
+                             jnp.asarray(chunk[:, g0:g1]),
+                             jnp.asarray(chunk_lens[g0:g1]))
+            self.pending.append((ci, slice(g0, g1), out))
+
+    def feed(self, codes_list: List[np.ndarray],
+             finished: Optional[List[bool]] = None) -> int:
+        """Dispatch every chunk that has become immutable. codes_list rows
+        must only ever GROW between calls (prefixes stay fixed — true for AR
+        generation). Returns the number of chunks dispatched so far."""
+        B = len(codes_list)
+        lengths = np.array([c.shape[-1] for c in codes_list], np.int64)
+        fin = finished if finished is not None else [True] * B
+        while True:
+            start = self.next_chunk * self.duration_codes
+            window_done = all(
+                fin[b] or lengths[b] >= start + self.spt.chunk_codes
+                for b in range(B))
+            has_content = bool((lengths > start).any())
+            if not window_done:
+                break
+            if not has_content:
+                # serial-path contract: empty windows are skipped; once all
+                # rows are finished and past their data, nothing remains
+                if all(fin):
+                    break
+                break
+            self._dispatch(codes_list, lengths, self.next_chunk)
+            self.next_chunk += 1
+        return self.next_chunk
+
+    def finish(self, codes_list: List[np.ndarray]) -> dict:
+        """Dispatch the remaining chunks and read everything back (in
+        dispatch order, so readback of early groups overlaps the device
+        computing later ones)."""
         B = len(codes_list)
         code_lengths = np.array([c.shape[-1] for c in codes_list], np.int64)
-        max_codes = int(code_lengths.max())
-        codes_tensor = np.zeros((self.nq, B, max(max_codes, 1)), np.int32)
-        for b, c in enumerate(codes_list):
-            codes_tensor[:, b, :c.shape[-1]] = np.asarray(c, np.int32)
+        self.feed(codes_list, [True] * B)
 
-        max_chunks = max(1, -(-max_codes // duration_codes))
-        # async dispatch of all chunks first (see encode): overlaps chunk
-        # i+1's vocode with chunk i's device->host audio readback
-        detok = self._detokenize16 if pcm16 else self._detokenize
-        pending = []
-        for ci in range(max_chunks):
-            start = ci * duration_codes
-            chunk = np.zeros((self.nq, B, self.chunk_codes), np.int32)
-            seg = codes_tensor[:, :, start:start + self.chunk_codes]
-            chunk[:, :, :seg.shape[-1]] = seg
-            chunk_lens = np.clip(code_lengths - start, 0, self.chunk_codes)
-            if chunk_lens.max() == 0:
-                continue
-            pending.append(detok(self.params, jnp.asarray(chunk),
-                                 jnp.asarray(chunk_lens)))
-
-        wav_chunks = []
-        for out in pending:
+        n_chunks = self.next_chunk
+        wav_chunks = [np.zeros((B, self.duration_wav), np.float32)
+                      for _ in range(n_chunks)]
+        for ci, rows, out in self.pending:
             wav = np.asarray(out["wav"])
-            if pcm16:
+            if self.pcm16:
                 wav = wav.astype(np.float32) / 32768.0
-            wav_lens = np.clip(np.asarray(out["wav_lengths"]), 0, duration_wav)
-            valid = np.zeros((B, duration_wav), np.float32)
-            for b in range(B):
-                n = int(wav_lens[b])
+            wav_lens = np.clip(np.asarray(out["wav_lengths"]), 0,
+                               self.duration_wav)
+            valid = wav_chunks[ci]
+            for gi, b in enumerate(range(rows.start, rows.stop)):
+                n = int(wav_lens[gi])
                 if n > 0:
-                    valid[b, :n] = wav[b, :n]
-            wav_chunks.append(valid)
+                    valid[b, :n] = wav[gi, :n]
 
         if wav_chunks:
             full = np.concatenate(wav_chunks, axis=-1)
-            syn = [full[b, :int(code_lengths[b] * self.decoder_upsample_rate)]
-                   for b in range(B)]
+            up = self.spt.decoder_upsample_rate
+            syn = [full[b, :int(code_lengths[b] * up)] for b in range(B)]
         else:
             syn = [np.zeros((0,), np.float32) for _ in range(B)]
         return {"syn_wav_list": syn}
