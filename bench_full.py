@@ -208,14 +208,20 @@ def bench_voice_clone(pipe, decode_steps, batch, trials=3):
          vocode_s=round(phases["vocode_s"], 3))
 
 
-def bench_ttfa(pipe, trials=5, chunk_steps=25):
-    """Warm time-to-first-audio at batch 1 via the streaming path."""
+def bench_ttfa(pipe, trials=5, chunk_steps=25, first_chunk_steps=12):
+    """Warm time-to-first-audio at batch 1 via the streaming path.
+
+    The first segment is ``first_chunk_steps`` decode steps (~1 s of audio
+    at the default 12) and its vocode is read back immediately; later
+    segments pipeline vocode readback behind decode (pipeline.stream_item).
+    """
     item = clone_items(1)[0]
 
     def first_chunk_ms(seed):
         t0 = time.perf_counter()
         for _wav, _sr in pipe.stream_item(item, max_new_tokens=chunk_steps * 2,
-                                          seed=seed, chunk_steps=chunk_steps):
+                                          seed=seed, chunk_steps=chunk_steps,
+                                          first_chunk_steps=first_chunk_steps):
             return (time.perf_counter() - t0) * 1e3
         return None
 
@@ -230,8 +236,8 @@ def bench_ttfa(pipe, trials=5, chunk_steps=25):
     log(f"ttfa: warm trials (ms) = {[round(v) for v in vals]}, cold first "
         f"chunk = {cold / 1e3:.1f}s")
     emit("ttfa_warm_p50", p50, "ms",
-         chunk_steps=chunk_steps,
-         first_chunk_audio_s=round(chunk_steps / 12.5, 2))
+         chunk_steps=chunk_steps, first_chunk_steps=first_chunk_steps,
+         first_chunk_audio_s=round(first_chunk_steps / 12.5, 2))
 
 
 def bench_longform(steps=1500, trials=2, tiny=False):

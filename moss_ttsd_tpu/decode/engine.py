@@ -45,6 +45,8 @@ class GenerateResult(NamedTuple):
     tokens: np.ndarray       # (B, base + steps, C) — prompt-minus-tail + generated
     steps: int               # decode steps actually run
     base: int                # index of the first generated row (== bucketed L - C + 1)
+    unfinished: Optional[np.ndarray] = None   # (B,) bool — rows still decoding
+                                              # (populated by generate_stream)
 
 
 class DecodeState(NamedTuple):
@@ -227,11 +229,18 @@ class GenerationEngine:
     def __init__(self, cfg: LMConfig, params, sampling: Optional[SamplingConfig] = None,
                  bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None,
                  quant: Optional[str] = None, step_bucket: int = 256,
-                 max_cached_programs: int = 8, kv_quant: Optional[str] = None):
+                 max_cached_programs: int = 8, kv_quant: Optional[str] = None,
+                 decode_len_bucket: Optional[int] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
         step, dequant fused into each matmul (ops/quantize.py). Composes with
         mesh sharding (tests/test_quantize.py::test_int8_mesh_engine_matches_unsharded).
+
+        decode_len_bucket=N enables length-aware decode attention: each step
+        reads only the first ceil((written+1)/N)*N cache slots via a
+        lax.switch over static prefixes, so the HBM attention stream scales
+        with the ACTUAL context, not the buffer capacity (kills the
+        256-vs-512-slot buffer cliff; see LMConfig.decode_len_bucket).
 
         kv_quant="int8" additionally stores the KV cache int8 with
         per-head-per-token scales, dequantized inside the fused Pallas decode
@@ -248,6 +257,10 @@ class GenerationEngine:
             self.cfg = cfg
         elif kv_quant is not None:
             raise ValueError(f"unknown kv_quant mode {kv_quant!r}")
+        if decode_len_bucket is not None:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, decode_len_bucket=decode_len_bucket)
+            self.cfg = cfg
         from ..ops.quantize import is_quantized_tree, quantize_lm_params
         # a tree already in quantized layout (int8 checkpoint, or random init
         # of the quantized model) skips the cast + conversion — avoids ever
@@ -396,16 +409,23 @@ class GenerationEngine:
 
     def generate_stream(self, input_ids: np.ndarray, attention_mask: np.ndarray,
                         max_new_tokens: Optional[int] = None, seed: int = 0,
-                        chunk_steps: int = 25):
+                        chunk_steps: int = 25,
+                        boundaries: Optional[List[int]] = None):
         """Incremental generation: yields GenerateResult after every
-        ``chunk_steps`` decode steps (25 steps = 2 s of audio @12.5 Hz).
+        ``chunk_steps`` decode steps (25 steps = 2 s of audio @12.5 Hz), or
+        at the given absolute ``boundaries`` step counts (then to max_steps)
+        — the pipeline uses codec-chunk completion points so vocode chunks
+        dispatch as early as possible.
 
         Each yielded result contains ALL rows generated so far, so callers can
-        un-shift and vocode any suffix they haven't consumed yet. The loop
-        runs as compiled segments over a carried DecodeState — same program,
-        no recompilation per segment. The reference exposes (but never wires
-        up) an HF streamer for this path (reference modeling_asteroid.py:
-        161-162; SURVEY §3.4).
+        un-shift and vocode any suffix they haven't consumed yet, plus the
+        per-row ``unfinished`` flags. The token buffer is mirrored on the
+        host and only the NEW rows of each segment cross the (slow)
+        device->host link — a full-buffer readback per segment would cost
+        O(S) transfer per yield. The loop runs as compiled segments over a
+        carried DecodeState — same program, no recompilation per segment.
+        The reference exposes (but never wires up) an HF streamer for this
+        path (reference modeling_asteroid.py:161-162; SURVEY §3.4).
         """
         max_steps, buf_steps = self._step_budget(max_new_tokens,
                                                  input_ids.shape[1])
@@ -414,14 +434,25 @@ class GenerationEngine:
         prefill, run = self._get_fns(base, buf_steps)
         state = prefill(self.params, jnp.asarray(input_ids),
                         jnp.asarray(attention_mask), jax.random.PRNGKey(seed))
+        B, L, C = input_ids.shape
+        host = np.zeros((B, base + buf_steps, C), np.int32)
+        host[:, :L] = input_ids            # decode overwrites rows >= base
+        bounds = iter(sorted(b for b in boundaries
+                             if 0 < b < max_steps)) if boundaries else None
         done = 0
         while done < max_steps:
-            upto = min(done + chunk_steps, max_steps)
+            if bounds is not None:
+                upto = next((b for b in bounds if b > done), max_steps)
+            else:
+                upto = min(done + chunk_steps, max_steps)
             state = run(self.params, state, jnp.int32(upto))
             steps = int(state.step)
-            yield GenerateResult(
-                tokens=np.asarray(state.tokens[:, :base + steps]),
-                steps=steps, base=base)
-            if steps < upto or not bool(np.any(np.asarray(state.unfinished))):
+            new, unfin = jax.device_get(
+                (state.tokens[:, base + done:base + steps], state.unfinished))
+            host[:, base + done:base + steps] = new
+            yield GenerateResult(tokens=host[:, :base + steps].copy(),
+                                 steps=steps, base=base,
+                                 unfinished=np.asarray(unfin))
+            if steps < upto or not bool(np.any(unfin)):
                 break
             done = steps

@@ -12,6 +12,7 @@ import dataclasses
 import time
 from typing import List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import CodecConfig, LMConfig, SamplingConfig
@@ -46,12 +47,24 @@ class TTSPipeline:
 
     def __init__(self, tokenizer, lm_cfg: LMConfig, lm_params,
                  spt: XYTokenizer, sampling: Optional[SamplingConfig] = None,
-                 bucket: int = 128, mesh=None, quant: Optional[str] = None):
+                 bucket: int = 128, mesh=None, quant: Optional[str] = None,
+                 vocode_rows_per_call: Optional[int] = 4,
+                 overlap_vocode: bool = True):
+        """``vocode_rows_per_call`` batch-splits each vocode chunk so the
+        device computes group i+1 while the host reads group i back (see
+        XYTokenizer.decode); ``overlap_vocode`` dispatches completed 30 s
+        codec chunks while the LM is still decoding (multi-chunk outputs
+        only — a single-window output has nothing to overlap)."""
         self.tokenizer = tokenizer
         self.lm_cfg = lm_cfg
         self.engine = GenerationEngine(lm_cfg, lm_params, sampling,
                                        bucket=bucket, mesh=mesh, quant=quant)
         self.spt = spt
+        self.vocode_rows_per_call = vocode_rows_per_call
+        self.overlap_vocode = overlap_vocode
+        # codec chunking overlap (reference default 10 s on 30 s windows);
+        # must be < spt.chunk_seconds
+        self.vocode_overlap_s = min(10, max(0, spt.chunk_seconds - 1))
         self.timings = PhaseTimings()
 
     @classmethod
@@ -195,20 +208,56 @@ class TTSPipeline:
                 mask = np.concatenate(
                     [mask, np.repeat(mask[-1:], pad_rows, axis=0)], axis=0)
         t0 = time.perf_counter()
-        result = self.engine.generate(batch, mask, max_new_tokens, seed=seed)
-        if result.tokens.shape[0] != n_real:
-            result = result._replace(tokens=result.tokens[:n_real])
+        C = self.lm_cfg.channels
+        max_steps, _ = self.engine._step_budget(max_new_tokens, batch.shape[1])
+        nq = self.spt.nq
+
+        def trim(res):
+            if res.tokens.shape[0] != n_real:
+                unfin = (res.unfinished[:n_real]
+                         if res.unfinished is not None else None)
+                res = res._replace(tokens=res.tokens[:n_real], unfinished=unfin)
+            return res
+
+        # Decode<->vocode overlap (beats the reference's fully serial
+        # process_batch, generation_utils.py:406-450, structurally): when the
+        # step budget spans more than one 30 s codec window, generation runs
+        # as compiled segments aligned to codec-chunk completion points;
+        # each completed chunk's vocode + device->host readback dispatches
+        # while the LM keeps decoding. Byte-identical to the serial path
+        # (tests/test_pipeline_overlap.py).
+        inc = None
+        if self.overlap_vocode and max_steps - (C - 1) > self.spt.chunk_codes:
+            inc = self.spt.incremental_decoder(
+                overlap_seconds=self.vocode_overlap_s, pcm16=True,
+                rows_per_call=self.vocode_rows_per_call)
+            first_ready = self.spt.chunk_codes + C - 1
+            n_chunks = -(-(max_steps - (C - 1)) // inc.duration_codes)
+            bounds = [first_ready + ci * inc.duration_codes
+                      for ci in range(n_chunks)]
+            result = None
+            for result in self.engine.generate_stream(
+                    batch, mask, max_new_tokens, seed=seed, boundaries=bounds):
+                result = trim(result)
+                codes_now = self.extract_codes(result)
+                inc.feed([c if c is not None else np.zeros((nq, 0), np.int32)
+                          for c in codes_now],
+                         [not bool(u) for u in result.unfinished])
+        else:
+            result = trim(self.engine.generate(batch, mask, max_new_tokens,
+                                               seed=seed))
         dt = time.perf_counter() - t0
         self.timings.prefill_decode_s += dt
         self.timings.generated_steps += result.steps
         metrics.add("prefill_decode_s", dt)
         metrics.add("generated_steps", result.steps)
 
-        # ONE batched vocode call for all valid items (variable lengths are
-        # masked inside the codec's 30 s chunking) — per-item calls would
+        # ONE batched vocode per chunk for all valid items (variable lengths
+        # are masked inside the codec's 30 s chunking) — per-item calls would
         # leave the batch dimension of the compiled codec idle
+        final_codes = self.extract_codes(result)
         valid_idx, valid_codes = [], []
-        for row, codes in enumerate(self.extract_codes(result)):
+        for row, codes in enumerate(final_codes):
             if codes is None:
                 continue
             valid_idx.append(ok_idx[row])
@@ -217,8 +266,17 @@ class TTSPipeline:
         wavs = []
         if valid_codes:
             t0 = time.perf_counter()
-            wavs = self.spt.decode(valid_codes, overlap_seconds=10,
-                                   pcm16=True)["syn_wav_list"]
+            if inc is not None:
+                all_wavs = inc.finish(
+                    [c if c is not None else np.zeros((nq, 0), np.int32)
+                     for c in final_codes])["syn_wav_list"]
+                wavs = [w for c, w in zip(final_codes, all_wavs)
+                        if c is not None]
+            else:
+                wavs = self.spt.decode(
+                    valid_codes, overlap_seconds=self.vocode_overlap_s,
+                    pcm16=True,
+                    rows_per_call=self.vocode_rows_per_call)["syn_wav_list"]
             dt = time.perf_counter() - t0
             self.timings.vocode_s += dt
             metrics.add("vocode_s", dt)
@@ -259,41 +317,91 @@ class TTSPipeline:
     def stream_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
                     use_normalize: bool = False,
                     max_new_tokens: Optional[int] = None, seed: int = 0,
-                    chunk_steps: int = 25, context_frames: int = 25):
+                    chunk_steps: int = 25, context_frames: int = 25,
+                    first_chunk_steps: int = 12):
         """Streaming synthesis of ONE item: yields (audio_chunk (T,) float32,
         sample_rate) as generation progresses (~``chunk_steps``/12.5 s of new
-        audio per yield, first chunk after prefill + one segment).
+        audio per yield).
 
-        The vocoder is re-run over a sliding window with ``context_frames`` of
-        left context so chunk boundaries see real receptive field; only the
-        new samples are emitted. Capability the reference lacks end-to-end
-        (its Gradio path returns whole files — SURVEY §3.4).
+        Latency design (TTFA): the FIRST segment is only
+        ``first_chunk_steps`` decode steps (~1 s of audio at the default 12)
+        and its vocode is read back immediately, so first audio surfaces
+        after prefill + 12 steps + one small vocode. Every later segment's
+        vocode runs ONE segment behind generation: it is dispatched onto the
+        async device stream, and its (slow, tunnel-bound) device->host
+        readback happens while the NEXT decode segment computes.
+
+        The vocoder is re-run over a sliding window with ``context_frames``
+        of left context so chunk boundaries see real receptive field; only
+        the new samples are emitted. PCM is quantized to int16 on device
+        (half the readback bytes; serving emits 16-bit audio anyway).
+        Capability the reference lacks end-to-end (its Gradio path returns
+        whole files — SURVEY §3.4).
         """
         shifted, _ = self.prepare_item(item, system_prompt, use_normalize)
         batch, mask = pp.left_pad_batch([shifted], self.tokenizer.pad_token_id,
                                         self.lm_cfg.speech_pad_token)
-        up = self.spt.cfg.decoder_upsample_rate      # samples per frame @24k
-        emitted_frames = 0
+        spt = self.spt
+        up = spt.cfg.decoder_upsample_rate           # samples per frame @24k
+        K = spt.cfg.quantizer.codebook_size
+        # the sliding window must fit one codec chunk call
+        duration_codes = ((spt.chunk_seconds - self.vocode_overlap_s)
+                          * spt.input_sample_rate) \
+            // spt.encoder_downsample_rate
+        context_frames = min(context_frames,
+                             max(0, duration_codes - chunk_steps))
+        max_steps, _ = self.engine._step_budget(max_new_tokens, batch.shape[1])
+        bounds = [min(first_chunk_steps, chunk_steps, max_steps)]
+        while bounds[-1] < max_steps:
+            bounds.append(min(bounds[-1] + chunk_steps, max_steps))
+
+        def dispatch(codes, skip_frames):
+            n = codes.shape[-1]
+            buf = np.zeros((spt.nq, 1, spt.chunk_codes), np.int32)
+            buf[:, 0, :n] = codes
+            out = spt._detokenize16(spt.infer_params, jnp.asarray(buf),
+                                    jnp.asarray([n]))
+            return out, skip_frames, n
+
+        def read(p):
+            out, skip_frames, n = p
+            t0 = time.perf_counter()
+            wav = np.asarray(out["wav"])[0].astype(np.float32) / 32768.0
+            dt = time.perf_counter() - t0
+            self.timings.vocode_s += dt
+            metrics.add("vocode_s", dt)
+            return wav[skip_frames * up:n * up]
+
+        emitted = 0
+        pending = None
         for result in self.engine.generate_stream(batch, mask, max_new_tokens,
                                                   seed=seed,
-                                                  chunk_steps=chunk_steps):
+                                                  boundaries=bounds):
             speech_ids = pp.unshift_outputs(result.tokens, result.base,
                                             self.lm_cfg.channels,
                                             self.lm_cfg.speech_token_range[0])
             end = int(pp.find_max_valid_positions(
                 speech_ids, self.lm_cfg.speech_pad_token)[0]) + 1
-            if end <= emitted_frames:
-                continue
-            start = max(0, emitted_frames - context_frames)
-            codes = speech_ids[0, start:end].T.astype(np.int32)
-            codes = np.clip(codes, 0, self.spt.cfg.quantizer.codebook_size - 1)
-            t0 = time.perf_counter()
-            wav = self.spt.decode([codes], overlap_seconds=10,
-                                  pcm16=True)["syn_wav_list"][0]
-            dt = time.perf_counter() - t0
-            self.timings.vocode_s += dt
-            metrics.add("vocode_s", dt)
-            new = np.asarray(wav, np.float32)[(emitted_frames - start) * up:]
-            emitted_frames = end
+            new_p = None
+            if end > emitted:
+                start = max(0, emitted - context_frames)
+                codes = np.clip(speech_ids[0, start:end].T.astype(np.int32),
+                                0, K - 1)
+                new_p = dispatch(codes, emitted - start)
+            if pending is not None:
+                new = read(pending)
+                pending = None
+                if new.size:
+                    yield new, spt.output_sample_rate
+            if new_p is not None:
+                if emitted == 0:        # first audio: surface immediately
+                    new = read(new_p)
+                    if new.size:
+                        yield new, spt.output_sample_rate
+                else:
+                    pending = new_p
+                emitted = end
+        if pending is not None:
+            new = read(pending)
             if new.size:
-                yield new, self.spt.output_sample_rate
+                yield new, spt.output_sample_rate
