@@ -82,6 +82,16 @@ class LMConfig:
     # halves the dominant HBM stream of long-context decode. Set by the
     # engine via kv_quant="int8".
     kv_quant: str = "none"            # "none" | "int8"
+    # Length-aware decode attention: read only the first
+    # ceil((cache_pos+1)/bucket)*bucket cache slots per step (a lax.switch
+    # over static-prefix dynamic_slices) instead of the full static buffer.
+    # Kills the buffer-size cliff (the full-buffer read made a 512-slot
+    # buffer ~19% slower than a 256-slot one at the 256-step serving config)
+    # and makes early steps of long-form decodes pay only for written slots.
+    # 0 = off (full-buffer reads). Only applies to the sequential decode
+    # path (scalar cache_pos, no ring addressing — the continuous pool's
+    # ring reuses high slots after wrap, so its extent is the full buffer).
+    decode_len_bucket: int = 0
     # layerwise LoRA adapters on the attention/MLP projections (the
     # reference's peft targets, finetune/finetune.py:153): rank 0 = off.
     # Adapters add "lora_a"/"lora_b" leaves next to each kernel; the base

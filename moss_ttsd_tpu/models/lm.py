@@ -224,38 +224,66 @@ class Qwen3Block(nn.Module):
                 attn = flash_prefill(q, k, v, mask[:, T - 1, :T], scale,
                                      interpret=c.pallas_interpret)
             else:
-                def layer_slice(arr, with_d=True):
-                    shape = (1, B, Hkv, S, D) if with_d else (1, B, Hkv, S)
+                def layer_slice(arr, Sp=S, with_d=True):
+                    shape = (1, B, Hkv, Sp, D) if with_d else (1, B, Hkv, Sp)
                     start = (layer_idx, 0, 0, 0, 0)[:len(shape)]
                     return jax.lax.dynamic_slice(arr, start, shape)[0]
-                if kv8:
-                    kq_all = layer_slice(cache["k"])
-                    vq_all = layer_slice(cache["v"])
-                    ks_all = layer_slice(cache["k_s"], with_d=False)
-                    vs_all = layer_slice(cache["v_s"], with_d=False)
-                    if pallas_decode and T == 1:
-                        attn = flash_decode_int8_hs(
-                            q, kq_all, ks_all, vq_all, vs_all, mask[:, 0],
-                            scale, interpret=c.pallas_interpret)
-                    else:
-                        # XLA fallback = the kernel's parity oracle: dequant
-                        # then dense attention
-                        k_all = kq_all.astype(dtype) * ks_all[..., None].astype(dtype)
-                        v_all = vq_all.astype(dtype) * vs_all[..., None].astype(dtype)
-                        attn = gqa_attention_hs(q, k_all, v_all, mask, scale)
+
+                def xla_attend(Sp):
+                    """Dense attention over the first Sp cache slots (all
+                    valid keys live there on the sequential decode path)."""
+                    m = mask[:, :, :Sp]
+                    if kv8:
+                        # XLA fuses the dequant into its attention reads, so
+                        # only int8 bytes stream from HBM
+                        k_all = (layer_slice(cache["k"], Sp).astype(dtype) *
+                                 layer_slice(cache["k_s"], Sp,
+                                             with_d=False)[..., None].astype(dtype))
+                        v_all = (layer_slice(cache["v"], Sp).astype(dtype) *
+                                 layer_slice(cache["v_s"], Sp,
+                                             with_d=False)[..., None].astype(dtype))
+                        return gqa_attention_hs(q, k_all, v_all, m, scale)
+                    return gqa_attention_hs(q,
+                                            layer_slice(cache["k"],
+                                                        Sp).astype(dtype),
+                                            layer_slice(cache["v"],
+                                                        Sp).astype(dtype),
+                                            m, scale)
+
+                lb = c.decode_len_bucket
+                # length-aware decode: switch over static prefix sizes so
+                # each step streams only ~the written cache slots from HBM,
+                # not the whole static buffer. Sound only for sequential
+                # slot addressing (scalar cache_pos == last written slot);
+                # the ring-addressed pool keeps valid keys above cache_pos
+                # after wrap, so it reads the full buffer.
+                if (T == 1 and not pallas_decode and lb and lb < S
+                        and write_gate is None):
+                    sizes = []
+                    e = lb
+                    while e < S:
+                        sizes.append(e)
+                        e += lb
+                    sizes.append(S)
+                    idx = jnp.clip(jnp.asarray(cache_pos, jnp.int32) // lb,
+                                   0, len(sizes) - 1)
+                    attn = jax.lax.switch(
+                        idx, [lambda Sp=Sp: xla_attend(Sp) for Sp in sizes])
+                elif kv8 and pallas_decode and T == 1:
+                    attn = flash_decode_int8_hs(
+                        q, layer_slice(cache["k"]),
+                        layer_slice(cache["k_s"], with_d=False),
+                        layer_slice(cache["v"]),
+                        layer_slice(cache["v_s"], with_d=False),
+                        mask[:, 0], scale, interpret=c.pallas_interpret)
+                elif pallas_decode and T == 1:
+                    # mask (B, 1, S): causal+validity collapses to a key mask
+                    attn = flash_decode_hs(
+                        q, layer_slice(cache["k"]).astype(dtype),
+                        layer_slice(cache["v"]).astype(dtype),
+                        mask[:, 0], scale, interpret=c.pallas_interpret)
                 else:
-                    k_all = layer_slice(cache["k"])
-                    v_all = layer_slice(cache["v"])
-                    if pallas_decode and T == 1:
-                        # mask (B, 1, S): causal+validity collapses to a key mask
-                        attn = flash_decode_hs(q, k_all.astype(dtype),
-                                               v_all.astype(dtype), mask[:, 0],
-                                               scale,
-                                               interpret=c.pallas_interpret)
-                    else:
-                        attn = gqa_attention_hs(q, k_all.astype(dtype),
-                                                v_all.astype(dtype), mask,
-                                                scale)
+                    attn = xla_attend(S)
         else:                          # training path: attend over current tokens
             attn = gqa_attention(q, k, v, mask, scale)
         attn = attn.reshape(B, T, H * D)

@@ -273,3 +273,28 @@ def test_greedy_equals_argmax():
                       repetition_penalty=1.0)
     toks = np.asarray(sample_from_channel(jax.random.PRNGKey(0), logits, p))
     np.testing.assert_array_equal(toks, np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_decode_len_bucket_token_identical():
+    """Length-aware decode attention (decode_len_bucket, lax.switch over
+    static cache prefixes) must not change generation: every valid key lives
+    below the selected prefix, so the attention result is the same — checked
+    token-exactly on the fp32 CPU path against the full-buffer engine."""
+    cfg = tiny_cfg()
+    model = AsteroidLM(cfg)
+    params = model.init(jax.random.PRNGKey(5),
+                        jnp.zeros((1, 4, cfg.channels), jnp.int32))
+    rng = np.random.default_rng(21)
+    prompts = [make_prompt(cfg, rng, 6 + i, 3) for i in range(2)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+
+    full = GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
+                            cache_dtype=jnp.float32, step_bucket=64)
+    bucketed = GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
+                                cache_dtype=jnp.float32, step_bucket=64,
+                                decode_len_bucket=32)
+    a = full.generate(batch, mask, max_new_tokens=40, seed=0)
+    b = bucketed.generate(batch, mask, max_new_tokens=40, seed=0)
+    assert a.steps == b.steps
+    np.testing.assert_array_equal(a.tokens, b.tokens)
