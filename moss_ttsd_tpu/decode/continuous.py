@@ -17,9 +17,11 @@ per-row write positions would copy the whole cache every step), and per-row
 ``key_valid`` masks carry time order; the token buffer stays in per-row
 coordinates (``base + own_step``) for teacher forcing and unshifting.
 
-Numerics per row are identical to the static engine: a greedy request
-joined mid-flight yields token-for-token the same output as an isolated
-``GenerationEngine.generate`` call (tests/test_continuous.py).
+Numerics per row are identical to the static engine: a request joined
+mid-flight — greedy OR sampled — yields token-for-token the same output as
+an isolated ``GenerationEngine.generate`` call with its seed: each slot
+carries the request's own rng stream and replays the engine's exact
+batch-1 draw sequence (tests/test_continuous.py).
 """
 
 from __future__ import annotations
@@ -53,7 +55,11 @@ class PoolState(NamedTuple):
     unfinished: jnp.ndarray      # (B,) bool
     presence_text: jnp.ndarray   # (B, V_text) bool
     presence_speech: jnp.ndarray  # (B, C-1, V_speech) bool
-    rng: jax.Array
+    rng_r: jax.Array             # (B, 2) uint32 — PER-ROW rng keys: each
+                                 # slot carries the request's own PRNGKey
+                                 # stream, so sampled outputs are
+                                 # reproducible per request (they bit-match
+                                 # an isolated batch-1 engine run)
 
 
 def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
@@ -95,11 +101,23 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         text_logits = text_logits[:, 0]
         speech_logits = speech_logits[:, 0]
 
-        rng, step_rng = jax.random.split(state.rng)
-        next_tokens = sample_channels(
-            step_rng, text_logits, speech_logits, state.presence_text,
-            state.presence_speech, srow, ch_params, prefilter, approx_topk,
-            eos, pad_speech)
+        # Per-row sampling with per-row rng keys (request-seed
+        # reproducibility, reference set_seed inference.py:71): each row
+        # replays EXACTLY the static engine's batch-1 draw sequence —
+        # same split chain from the request's PRNGKey, same (1, V) logits
+        # shapes inside the vmap — so a sampled request's tokens bit-match
+        # an isolated GenerationEngine.generate(seed) run
+        # (tests/test_continuous.py::test_sampled_per_request_seed_determinism).
+        def row_sample(rng_b, t_l, s_l, p_t, p_s, srow_b):
+            rng2, step_rng = jax.random.split(rng_b)
+            toks = sample_channels(
+                step_rng, t_l[None], s_l[None], p_t[None], p_s[None],
+                srow_b, ch_params, prefilter, approx_topk, eos, pad_speech)
+            return rng2, toks[0]
+
+        rng_r, next_tokens = jax.vmap(row_sample)(
+            state.rng_r, text_logits, speech_logits, state.presence_text,
+            state.presence_speech, srow)
 
         # adv-gated: a frozen row samples garbage (its output is discarded
         # below) and must not re-arm the flush countdown
@@ -170,7 +188,7 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
             needs=needs,
             unfinished=unfinished & state.active,
             presence_text=presence_text, presence_speech=presence_speech,
-            rng=rng)
+            rng_r=jnp.where(adv[:, None], rng_r, state.rng_r))
 
     def segment(params, state: PoolState, k) -> PoolState:
         def cond(carry):
@@ -278,7 +296,7 @@ class ContinuousBatcher:
             presence_text=jnp.zeros((B, cfg.vocab_size), bool),
             presence_speech=jnp.zeros(
                 (B, C - 1, cfg.speech_vocab_size), bool),
-            rng=jax.random.PRNGKey(seed))
+            rng_r=jax.random.split(jax.random.PRNGKey(seed), B))
 
     @staticmethod
     def _splice_impl(pool: PoolState, s1, j, max_new) -> PoolState:
@@ -301,7 +319,9 @@ class ContinuousBatcher:
             unfinished=pool.unfinished.at[j].set(True),
             presence_text=row(pool.presence_text, s1.presence_text),
             presence_speech=row(pool.presence_speech, s1.presence_speech),
-            rng=pool.rng)
+            # the engine's prefill returns the request PRNGKey unsplit —
+            # the row starts the exact rng chain of an isolated run
+            rng_r=pool.rng_r.at[j].set(s1.rng))
 
     # ------------------------------------------------------------------
 

@@ -345,3 +345,46 @@ def test_fuzz_random_schedule_matches_isolated(setup):
                 got.tokens[0, got.base:], exp.tokens[0, exp.base:],
                 err_msg=f"request {idx}")
             collected += 1
+
+
+def test_sampled_per_request_seed_determinism(setup):
+    """Per-slot rng (round-2 VERDICT task #3c): a SAMPLED request joined
+    into a busy pool reproduces, token for token, the output of an isolated
+    batch-1 GenerationEngine.generate run with the same seed — the slot
+    replays the exact split chain from the request's PRNGKey (reference
+    per-batch set_seed, inference.py:71, upgraded to per-request)."""
+    from moss_ttsd_tpu.core.config import ChannelSamplingConfig, SamplingConfig
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    cfg, model, params = setup
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=8, top_p=0.9)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=16)
+
+    def isolated(prompt, steps, seed):
+        batch, mask = left_pad_batch([prompt], cfg.pad_token_id,
+                                     cfg.speech_pad_token)
+        eng = GenerationEngine(cfg, params, sampling,
+                               bucket=BASE + cfg.channels - 1,
+                               cache_dtype=jnp.float32, step_bucket=32)
+        return eng.generate(batch, mask, max_new_tokens=steps, seed=seed)
+
+    rng = np.random.default_rng(7)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 8, 3)]
+    expected = [isolated(prompts[0], 14, 123), isolated(prompts[1], 10, 7)]
+
+    cb = ContinuousBatcher(cfg, params, sampling, slots=2, base=BASE,
+                           max_steps=32, cache_dtype=jnp.float32)
+    s0 = cb.submit(prompts[0], max_new_tokens=14, seed=123)
+    cb.run(steps=4)                      # second request joins mid-flight
+    s1 = cb.submit(prompts[1], max_new_tokens=10, seed=7)
+    for _ in range(10):
+        cb.run(steps=4)
+        if len(cb.finished()) == 2:
+            break
+    for slot, exp in ((s0, expected[0]), (s1, expected[1])):
+        got = cb.collect(slot)
+        assert got.steps == exp.steps
+        np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                      exp.tokens[0, exp.base:])
