@@ -6,8 +6,11 @@ checkpoint ships in this environment; compute cost is weight-independent):
     decode steps through the lax.while_loop engine) in the framework's
     serving configuration — weight-only int8 (w8a16: int8 weights, bf16
     activations, fp32 accumulation; per-channel scales, logits cosine vs
-    bf16 > 0.999 in tests), then
-  * full-size fp32 XY-codec vocode of the generated frames.
+    bf16 > 0.999 in tests) with length-aware decode attention (each step
+    reads only the written cache prefix, models/lm.py), then
+  * full-size bf16 XY-codec vocode of the generated frames (fp32 RVQ +
+    spectral islands), batch-split into 4-row device calls so vocode
+    compute overlaps the device->host PCM readback.
 RTF = generated audio seconds / wall seconds (decode + vocode).
 
 Prints ONE JSON line. vs_baseline is RTF relative to the BASELINE.json north
@@ -98,17 +101,19 @@ def main():
           f"({steps / decode_s:.1f} steps/s)", file=sys.stderr)
 
     print("init codec + vocode...", file=sys.stderr)
-    spt = XYTokenizer.init_random(CodecConfig(), seed=0)
+    spt = XYTokenizer.init_random(CodecConfig(), seed=0, dtype="bfloat16")
     codes = [nprng.integers(0, 1024, (8, steps)).astype(np.int32)
              for _ in range(B)]
-    spt.decode(codes, overlap_seconds=10, pcm16=True)   # compile
+    spt.decode(codes, overlap_seconds=10, pcm16=True,
+               rows_per_call=4)   # compile
     # best-of-5: vocode wall time is dominated by the device->host audio
     # readback, whose bandwidth through the axon tunnel swings 4-60 MB/s
     # run-to-run (measured 0.89-1.97 s for the same call within one hour)
     vocode_s = None
     for _ in range(5):
         t0 = time.perf_counter()
-        out = spt.decode(codes, overlap_seconds=10, pcm16=True)
+        out = spt.decode(codes, overlap_seconds=10, pcm16=True,
+                         rows_per_call=4)
         dt = time.perf_counter() - t0
         vocode_s = dt if vocode_s is None else min(vocode_s, dt)
     audio_sec = sum(len(w) for w in out["syn_wav_list"]) / spt.output_sample_rate

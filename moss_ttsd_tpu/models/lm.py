@@ -251,6 +251,14 @@ class Qwen3Block(nn.Module):
                                             m, scale)
 
                 lb = c.decode_len_bucket
+                if lb == -1:
+                    # auto: ~S/16 rounded up to a 128 multiple — at most 16
+                    # switch branches so multi-thousand-slot long-form
+                    # buffers don't explode compile time, floor 128 keeps
+                    # the prefix MXU/lane-aligned. Measured v5e, bench
+                    # serving config (320-slot buffer, w8a16): 261.5 vs
+                    # 228.5 steps/s for the full-buffer read.
+                    lb = max(128, (-(-S // 16) + 127) // 128 * 128)
                 # length-aware decode: switch over static prefix sizes so
                 # each step streams only ~the written cache slots from HBM,
                 # not the whole static buffer. Sound only for sequential
