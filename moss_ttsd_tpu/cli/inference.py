@@ -97,8 +97,10 @@ def main(argv=None):
         pipe = build_tiny_pipeline(seed=args.seed or 0, mesh=mesh)
     else:
         from ..pipeline.batch import TTSPipeline
-        pipe = TTSPipeline.load(args.model_path, args.spt_config, args.spt_ckpt,
-                                quant=args.quant, mesh=mesh)
+        pipe = TTSPipeline.load(
+            args.model_path, args.spt_config, args.spt_ckpt,
+            quant=args.quant, mesh=mesh,
+            codec_dtype="bfloat16" if args.dtype == "bf16" else None)
 
     with open(args.jsonl) as f:
         items = [json.loads(line) for line in f if line.strip()]

@@ -70,9 +70,14 @@ class TTSPipeline:
     @classmethod
     def load(cls, model_path: str, spt_config_path: str, spt_ckpt_path: str,
              sampling: Optional[SamplingConfig] = None, mesh=None,
-             quant: Optional[str] = None):
+             quant: Optional[str] = None,
+             codec_dtype: Optional[str] = "bfloat16"):
         """Load from an HF-format LM dir + codec checkpoint
-        (reference load_model, generation_utils.py:15-24)."""
+        (reference load_model, generation_utils.py:15-24).
+
+        codec_dtype="bfloat16" (default, the measured serving config) runs
+        the codec inference forward in bf16 with fp32 RVQ/spectral islands
+        (see XYTokenizer); pass None for the reference's full-fp32 codec."""
         import os
         from transformers import AutoTokenizer
         from ..utils.convert_lm import load_asteroid_checkpoint
@@ -80,7 +85,8 @@ class TTSPipeline:
         cfg_path = os.path.join(model_path, "config.json")
         lm_cfg = LMConfig.from_hf_config_json(cfg_path)
         lm_params = load_asteroid_checkpoint(model_path, lm_cfg)
-        spt = XYTokenizer.load_from_checkpoint(spt_config_path, spt_ckpt_path)
+        spt = XYTokenizer.load_from_checkpoint(spt_config_path, spt_ckpt_path,
+                                               dtype=codec_dtype)
         if sampling is None:
             gen_cfg = os.path.join(model_path, "generation_config.json")
             if os.path.exists(gen_cfg):
