@@ -36,7 +36,8 @@ import numpy as np
 from ..core.config import LMConfig, SamplingConfig
 from ..models.lm import AsteroidLM, init_cache
 from ..ops.sampling import ChannelParams, scatter_presence
-from .engine import GenerateResult, _build_generate_fn, sample_channels
+from .engine import (GenerateResult, _build_generate_fn,
+                     sample_channels_rowkeys)
 
 logger = logging.getLogger(__name__)
 
@@ -108,21 +109,18 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
 
         # Per-row sampling with per-row rng keys (request-seed
         # reproducibility, reference set_seed inference.py:71): each row
-        # replays EXACTLY the static engine's batch-1 draw sequence —
-        # same split chain from the request's PRNGKey, same (1, V) logits
-        # shapes inside the vmap — so a sampled request's tokens bit-match
-        # an isolated GenerationEngine.generate(seed) run
+        # replays EXACTLY the static engine's batch-1 draw sequence — the
+        # outer split below is the engine body's
+        # ``rng, step_rng = split(state.rng)`` per row, and
+        # sample_channels_rowkeys replicates its per-channel splits +
+        # categorical draws bit-for-bit while keeping all heavy ops batched
         # (tests/test_continuous.py::test_sampled_per_request_seed_determinism).
-        def row_sample(rng_b, t_l, s_l, p_t, p_s, srow_b):
-            rng2, step_rng = jax.random.split(rng_b)
-            toks = sample_channels(
-                step_rng, t_l[None], s_l[None], p_t[None], p_s[None],
-                srow_b, ch_params, prefilter, approx_topk, eos, pad_speech)
-            return rng2, toks[0]
-
-        rng_r, next_tokens = jax.vmap(row_sample)(
-            state.rng_r, text_logits, speech_logits, state.presence_text,
-            state.presence_speech, srow)
+        split2 = jax.vmap(jax.random.split)(state.rng_r)      # (B, 2, 2)
+        rng_r, step_keys = split2[:, 0], split2[:, 1]
+        next_tokens = sample_channels_rowkeys(
+            step_keys, text_logits, speech_logits, state.presence_text,
+            state.presence_speech, srow, ch_params, prefilter, approx_topk,
+            eos, pad_speech)
 
         # adv-gated: a frozen row samples garbage (its output is discarded
         # below) and must not re-arm the flush countdown

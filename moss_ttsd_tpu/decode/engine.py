@@ -92,6 +92,35 @@ def sample_channels(rng, text_logits, speech_logits, presence_text,
     return jnp.stack(toks, axis=-1)      # (B, C)
 
 
+def sample_channels_rowkeys(keys, text_logits, speech_logits, presence_text,
+                            presence_speech, srow, ch_params, prefilter,
+                            approx_topk, eos, pad_speech):
+    """sample_channels with PER-ROW rng keys (B, 2) and per-row depths
+    (B,) — the continuous pool's sampler. Row b's tokens bit-match
+    ``sample_channels(split-chain of keys[b], batch-1 slices)``, i.e. the
+    static engine's draw sequence for that request: the per-channel key
+    split replicates the engine's ``jax.random.split(step_rng, C)`` per
+    row, while all heavy ops stay batched
+    (ops.sampling.sample_from_channel_rowkeys)."""
+    from ..ops.sampling import sample_from_channel_rowkeys
+    C = len(ch_params)
+    in_tf = srow < C - 1
+    t_logits = text_logits.at[:, eos].add(jnp.where(in_tf, NEG_INF, 0.0))
+    t_logits = apply_repetition_penalty(t_logits, presence_text,
+                                        ch_params[0].repetition_penalty)
+    rngs = jax.vmap(lambda k: jax.random.split(k, C))(keys)   # (B, C, 2)
+    toks = [sample_from_channel_rowkeys(rngs[:, 0], t_logits, ch_params[0],
+                                        prefilter, approx_topk)]
+    for i in range(1, C):
+        sl = speech_logits[:, i - 1]
+        sl = sl.at[:, pad_speech].add(jnp.where(srow >= i, NEG_INF, 0.0))
+        sl = apply_repetition_penalty(sl, presence_speech[:, i - 1],
+                                      ch_params[i].repetition_penalty)
+        toks.append(sample_from_channel_rowkeys(rngs[:, i], sl, ch_params[i],
+                                                prefilter))
+    return jnp.stack(toks, axis=-1)      # (B, C)
+
+
 def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfig,
                        base: int, max_steps: int, cache_dtype):
     """Compile-time-closed (prefill, run) pair for one (bucketed prompt

@@ -92,6 +92,44 @@ def sample_from_channel(rng: jax.Array, logits: jnp.ndarray, p: ChannelParams,
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
 
 
+def sample_from_channel_rowkeys(keys: jax.Array, logits: jnp.ndarray,
+                                p: ChannelParams, prefilter_k: int = 128,
+                                approx_topk: bool = False) -> jnp.ndarray:
+    """sample_from_channel with a PER-ROW key (B, 2) instead of one shared
+    key — continuous batching, where each pool slot replays its own
+    request-seeded rng chain.
+
+    Row b's draw is bit-identical to
+    ``sample_from_channel(keys[b], logits[b:b+1], ...)`` (the static
+    engine's batch-1 call): the key-independent pipeline (top-k prefilter,
+    temperature, top-p) is computed BATCHED — per-row values are the same
+    either way — and only the Gumbel noise is drawn per row from its own
+    key with the engine's exact (1, K) shape
+    (``jax.random.categorical(key, (1, K) logits)`` is
+    ``argmax(logits + gumbel(key, (1, K)))``). Naively vmapping the whole
+    channel sampler instead runs B separate top-k/argmax chains — measured
+    ~4x slower pool steps at the serving geometry.
+    """
+    V = logits.shape[-1]
+    K = min(p.top_k if p.top_k > 0 else prefilter_k, V)
+    if approx_topk and V > 4096:
+        vals, idx = jax.lax.approx_max_k(logits, K, recall_target=0.95,
+                                         aggregate_to_topk=True)
+    else:
+        vals, idx = jax.lax.top_k(logits, K)            # descending (B, K)
+    if p.temperature != 1.0:
+        vals = vals / p.temperature
+    if p.top_p < 1.0:
+        vals = jnp.where(top_p_mask_sorted(vals, p.top_p), vals, NEG_INF)
+    if p.do_sample:
+        noise = jax.vmap(lambda k: jax.random.gumbel(k, (1, K), vals.dtype))(
+            keys)[:, 0]                                  # (B, K)
+        choice = jnp.argmax(vals + noise, axis=-1)
+    else:
+        choice = jnp.argmax(vals, axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+
+
 def processed_logits(logits: jnp.ndarray, presence: jnp.ndarray,
                      p: ChannelParams, prefilter_k: int = 128,
                      approx_topk: bool = False) -> jnp.ndarray:
