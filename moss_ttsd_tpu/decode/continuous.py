@@ -61,11 +61,6 @@ class PoolState(NamedTuple):
                                  # stream, so sampled outputs are
                                  # reproducible per request (they bit-match
                                  # an isolated batch-1 engine run)
-    wrapped: jnp.ndarray         # scalar bool — ring clock has wrapped at
-                                 # least once (valid cache slots may then
-                                 # live above the current write slot, so
-                                 # length-aware attention reads must cover
-                                 # the full buffer)
 
 
 def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
@@ -172,14 +167,17 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         iota = jnp.arange(S)
         key_valid = state.key_valid | (adv[:, None] & (iota[None, :] == slot))
         positions = (state.last_pos + 1)[:, None]
-        # until the ring wraps, every valid cache slot sits below slot+1 —
-        # hand that extent to the backbone so decode attention reads only
-        # the written prefix (length-aware, models/lm.py); after the first
-        # wrap valid keys live anywhere, so the extent is the full buffer
-        extent = jnp.where(state.wrapped, state.key_valid.shape[1], slot + 1)
+        # NO length-aware read extent here, by measurement: handing the
+        # backbone a pre-wrap extent (slot + 1) so the lax.switch could read
+        # only written slots cratered the pooled step to 34.7 steps/s vs
+        # 220.4 with plain full-buffer reads (v5e, serving geometry) — the
+        # switch over cache prefixes inside the write-gated ring body
+        # defeats XLA's in-place aliasing of the carried cache. The static
+        # engine keeps the switch (sequential addressing, +14%); the pool
+        # reads the full buffer.
         hidden, new_cache = model.apply(
             params, next_tokens[:, None, :], positions, key_valid,
-            state.cache, slot, adv, extent, method=AsteroidLM.backbone)
+            state.cache, slot, adv, method=AsteroidLM.backbone)
         hidden = jnp.where(adv[:, None, None], hidden, state.hidden_last)
 
         return PoolState(
@@ -196,8 +194,7 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
             needs=needs,
             unfinished=unfinished & state.active,
             presence_text=presence_text, presence_speech=presence_speech,
-            rng_r=jnp.where(adv[:, None], rng_r, state.rng_r),
-            wrapped=state.wrapped | (state.gstep + 1 >= max_steps))
+            rng_r=jnp.where(adv[:, None], rng_r, state.rng_r))
 
     def segment(params, state: PoolState, k) -> PoolState:
         def cond(carry):
@@ -305,8 +302,7 @@ class ContinuousBatcher:
             presence_text=jnp.zeros((B, cfg.vocab_size), bool),
             presence_speech=jnp.zeros(
                 (B, C - 1, cfg.speech_vocab_size), bool),
-            rng_r=jax.random.split(jax.random.PRNGKey(seed), B),
-            wrapped=jnp.zeros((), bool))
+            rng_r=jax.random.split(jax.random.PRNGKey(seed), B))
 
     @staticmethod
     def _splice_impl(pool: PoolState, s1, j, max_new) -> PoolState:
@@ -331,8 +327,7 @@ class ContinuousBatcher:
             presence_speech=row(pool.presence_speech, s1.presence_speech),
             # the engine's prefill returns the request PRNGKey unsplit —
             # the row starts the exact rng chain of an isolated run
-            rng_r=pool.rng_r.at[j].set(s1.rng),
-            wrapped=pool.wrapped)
+            rng_r=pool.rng_r.at[j].set(s1.rng))
 
     # ------------------------------------------------------------------
 

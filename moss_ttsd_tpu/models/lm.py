@@ -124,7 +124,7 @@ class Qwen3Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, cache, layer_idx, cos, sin, mask, cache_pos,
-                 write_gate=None, read_extent=None):
+                 write_gate=None):
         c = self.cfg
         dtype = x.dtype
         H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -261,23 +261,26 @@ class Qwen3Block(nn.Module):
                     lb = max(128, (-(-S // 16) + 127) // 128 * 128)
                 # length-aware decode: switch over static prefix sizes so
                 # each step streams only ~the written cache slots from HBM,
-                # not the whole static buffer. Sound when every valid key
-                # lives below a known extent: sequential slot addressing
-                # (extent = cache_pos + 1), or ring addressing with an
-                # explicit read_extent from the pool (= written slots until
-                # the ring wraps, then the full buffer).
+                # not the whole static buffer. Sequential slot addressing
+                # only (extent = cache_pos + 1). Extending it to the
+                # ring-addressed pool (pre-wrap extent = write slot + 1) is
+                # a MEASURED DEAD END on v5e: the switch over cache
+                # prefixes inside the write-gated ring body defeats XLA's
+                # in-place aliasing of the carried cache — pooled decode
+                # cratered to 34.7 steps/s vs 220.4 with full-buffer reads
+                # (serving geometry, int8 weights, bf16 KV). Don't revisit
+                # without checking the pool segment's per-step cache-copy
+                # behavior first.
                 if (T == 1 and not pallas_decode and lb and lb < S
-                        and (write_gate is None or read_extent is not None)):
+                        and write_gate is None):
                     sizes = []
                     e = lb
                     while e < S:
                         sizes.append(e)
                         e += lb
                     sizes.append(S)
-                    last = (jnp.asarray(cache_pos, jnp.int32)
-                            if read_extent is None
-                            else jnp.asarray(read_extent, jnp.int32) - 1)
-                    idx = jnp.clip(last // lb, 0, len(sizes) - 1)
+                    idx = jnp.clip(jnp.asarray(cache_pos, jnp.int32) // lb,
+                                   0, len(sizes) - 1)
                     attn = jax.lax.switch(
                         idx, [lambda Sp=Sp: xla_attend(Sp) for Sp in sizes])
                 elif kv8 and pallas_decode and T == 1:
@@ -311,11 +314,10 @@ class _ScanBlock(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, carry, cos, sin, mask, write_gate, read_extent):
+    def __call__(self, carry, cos, sin, mask, write_gate):
         x, cache, layer_idx, cache_pos = carry
         x, cache = Qwen3Block(self.cfg, name="block")(
-            x, cache, layer_idx, cos, sin, mask, cache_pos, write_gate,
-            read_extent)
+            x, cache, layer_idx, cos, sin, mask, cache_pos, write_gate)
         return (x, cache, layer_idx + 1, cache_pos), None
 
 
@@ -355,8 +357,7 @@ class AsteroidLM(nn.Module):
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=c.num_hidden_layers,
         )(c, name="layers")
@@ -391,8 +392,8 @@ class AsteroidLM(nn.Module):
 
     def backbone(self, input_ids: jnp.ndarray, positions: jnp.ndarray,
                  key_valid: Optional[jnp.ndarray], cache: Optional[dict],
-                 cache_pos, write_gate: Optional[jnp.ndarray] = None,
-                 read_extent=None) -> Tuple[jnp.ndarray, Optional[dict]]:
+                 cache_pos, write_gate: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[dict]]:
         """Run the decoder stack.
 
         input_ids: (B, T, C); positions: (B, T) absolute positions (RoPE);
@@ -405,9 +406,6 @@ class AsteroidLM(nn.Module):
                    rows keep their old sliver, and causality/ordering is
                    carried entirely by key_valid (slot index != time order),
                    so the attention mask is the validity mask alone.
-        read_extent: optional scalar — upper bound on valid cache slots
-                   (ring addressing only; enables length-aware attention
-                   reads until the ring wraps).
         Returns (hidden (B, T, hidden), new_cache).
         """
         c = self.cfg
@@ -432,7 +430,7 @@ class AsteroidLM(nn.Module):
 
         carry = (x, cache_in, jnp.int32(0), jnp.asarray(cache_pos, jnp.int32))
         (x, new_cache, _, _), _ = self.blocks(carry, cos, sin, mask,
-                                              write_gate, read_extent)
+                                              write_gate)
         x = self.final_norm(x)
         return x, (None if cache is None else new_cache)
 
