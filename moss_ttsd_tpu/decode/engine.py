@@ -475,10 +475,16 @@ class GenerationEngine:
             else:
                 upto = min(done + chunk_steps, max_steps)
             state = run(self.params, state, jnp.int32(upto))
-            steps = int(state.step)
-            new, unfin = jax.device_get(
-                (state.tokens[:, base + done:base + steps], state.unfinished))
-            host[:, base + done:base + steps] = new
+            # ONE blocking sync per segment: slice the token buffer by the
+            # static segment bound (steps <= upto; rows past the actual stop
+            # are unwritten and never exposed) so step counter, new tokens
+            # and finish flags ride a single device->host round trip —
+            # per-segment RTT through a tunnelled device is a real cost
+            steps_dev, new, unfin = jax.device_get(
+                (state.step, state.tokens[:, base + done:base + upto],
+                 state.unfinished))
+            steps = int(steps_dev)
+            host[:, base + done:base + steps] = new[:, :steps - done]
             yield GenerateResult(tokens=host[:, :base + steps].copy(),
                                  steps=steps, base=base,
                                  unfinished=np.asarray(unfin))
