@@ -9,9 +9,23 @@ checkpoint ships in this environment; compute cost is weight-independent):
     bf16 > 0.999 in tests) with length-aware decode attention (each step
     reads only the written cache prefix, models/lm.py), then
   * full-size bf16 XY-codec vocode of the generated frames (fp32 RVQ +
-    spectral islands), batch-split into 4-row device calls so vocode
+    spectral islands), window-bucketed to the generated length (quarter-
+    window ladder) and batch-split into 4-row device calls so vocode
     compute overlaps the device->host PCM readback.
-RTF = generated audio seconds / wall seconds (decode + vocode).
+
+Headline RTF = generated audio seconds / (decode wall + vocode wall) for one
+request batch — the per-request number, comparable across rounds and to the
+reference's serial process_batch (generation_utils.py:406-450; both internal
+overlaps above are things that loop has no analogue for). A steady-state
+serving number (rtf_sustained_3batch: K batches back-to-back, batch i's PCM
+readback in a reader thread overlapping batch i+1's decode) is reported
+alongside; through the axon tunnel it is LOWER than the headline because the
+link itself is the bottleneck — ~8 MB of int16 PCM per batch at the tunnel's
+measured 8-60 MB/s cannot hide behind a ~1 s decode, so the readbacks
+serialize on bandwidth (instrumented: the overlap does engage — batch 0's
+readback runs during decodes 1-2 — there is simply more transfer than decode
+to hide it behind). On deployment hardware PCM moves at PCIe rates (~1 ms)
+and the pipeline strictly wins; transfer_tax_s calibrates the gap.
 
 Prints ONE JSON line. vs_baseline is RTF relative to the BASELINE.json north
 star (5x real time per chip at batch 8); the reference publishes no RTF of its
@@ -139,6 +153,36 @@ def main():
     print(f"transfer calibration: {audio_sec:.0f}s of int16 audio in "
           f"{transfer_s:.2f}s", file=sys.stderr)
 
+    # sustained steady-state serving: K batches back-to-back; batch i's
+    # vocode dispatches right after its decode (device stream), a reader
+    # thread pulls its PCM back while batch i+1's decode computes. Fresh
+    # random codes per batch — repeated payloads get relay-cached by the
+    # tunnel and would fake a ~0-cost readback.
+    from concurrent.futures import ThreadPoolExecutor
+    K = 3
+    batches = [[nprng.integers(0, 1024, (8, steps)).astype(np.int32)
+                for _ in range(B)] for _ in range(K)]
+
+    def readback(inc, codes):
+        return inc.finish(codes)["syn_wav_list"]
+
+    with ThreadPoolExecutor(1) as pool:
+        t0 = time.perf_counter()
+        futs = []
+        for i in range(K):
+            engine.generate(ids, mask, max_new_tokens=DECODE_STEPS,
+                            seed=10 + i)
+            inc = spt.incremental_decoder(overlap_seconds=10, pcm16=True,
+                                          rows_per_call=4)
+            inc.feed(batches[i])            # async vocode dispatch
+            futs.append(pool.submit(readback, inc, batches[i]))
+        total_audio = sum(sum(len(w) for w in f.result())
+                          for f in futs) / spt.output_sample_rate
+        sustained_s = time.perf_counter() - t0
+    rtf_sustained = total_audio / sustained_s
+    print(f"sustained: {K} batches, {total_audio:.1f}s audio in "
+          f"{sustained_s:.2f}s", file=sys.stderr)
+
     rtf = audio_sec / (decode_s + vocode_s)
     rtf_excl = audio_sec / (decode_s + max(vocode_s - transfer_s, 0.01))
     print(json.dumps({
@@ -148,6 +192,7 @@ def main():
         "vs_baseline": round(rtf / NORTH_STAR_RTF, 2),
         "decode_steps_per_s": round(steps / decode_s, 1),
         "transfer_tax_s": round(transfer_s, 2),
+        "rtf_sustained_3batch": round(rtf_sustained, 2),
         "rtf_excl_host_transfer": round(rtf_excl, 2),
     }))
 

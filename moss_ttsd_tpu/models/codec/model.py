@@ -302,7 +302,8 @@ class XYTokenizer:
         return {"codes_list": codes_list}
 
     def decode(self, codes_list: List[np.ndarray], overlap_seconds: int = 10,
-               pcm16: bool = False, rows_per_call: Optional[int] = None):
+               pcm16: bool = False, rows_per_call: Optional[int] = None,
+               len_buckets: Optional[str] = "auto"):
         """codes_list: B * (nq, T) -> {"syn_wav_list": B * (T*1920,) 24 kHz}.
 
         Chunking contract mirrors reference model.py:194-256. Implemented on
@@ -319,15 +320,26 @@ class XYTokenizer:
         device->host readback, hiding most of the transfer tax behind
         compute (rows are independent in the codec, so the audio is
         unchanged; see tests/test_decode_overlap.py).
+
+        len_buckets="auto" truncates a PARTIAL final window to the smallest
+        quarter-window bucket that holds it instead of padding to the full
+        30 s window (the reference always pads, model.py:194-256) — up to
+        4x less vocoder compute on short tails. Valid samples deviate from
+        the padded-window result only at fp rounding level (~3e-7 — padded
+        positions perturb reduction order, not masking); pass None for the
+        reference's exact full-window dispatch.
         """
-        inc = self.incremental_decoder(overlap_seconds, pcm16, rows_per_call)
+        inc = self.incremental_decoder(overlap_seconds, pcm16, rows_per_call,
+                                       len_buckets)
         return inc.finish(codes_list)
 
     def incremental_decoder(self, overlap_seconds: int = 10,
                             pcm16: bool = False,
-                            rows_per_call: Optional[int] = None
+                            rows_per_call: Optional[int] = None,
+                            len_buckets: Optional[str] = "auto"
                             ) -> "IncrementalDecoder":
-        return IncrementalDecoder(self, overlap_seconds, pcm16, rows_per_call)
+        return IncrementalDecoder(self, overlap_seconds, pcm16, rows_per_call,
+                                  len_buckets)
 
 
 class IncrementalDecoder:
@@ -356,8 +368,16 @@ class IncrementalDecoder:
     """
 
     def __init__(self, spt: "XYTokenizer", overlap_seconds: int = 10,
-                 pcm16: bool = False, rows_per_call: Optional[int] = None):
+                 pcm16: bool = False, rows_per_call: Optional[int] = None,
+                 len_buckets: Optional[str] = "auto"):
         self.spt = spt
+        # quarter-window ladder for partial final chunks: every intermediate
+        # chunk is full by construction, so at most ONE extra compiled shape
+        # shows up per run (the tail bucket) and lives in the persistent
+        # compile cache
+        W = spt.chunk_codes
+        self.len_buckets = (sorted({-(-W * q // 4) for q in (1, 2, 3, 4)})
+                            if len_buckets == "auto" else [W])
         # reference formula ((30 - overlap)*sr) // dsr — floor AFTER the
         # multiply, which differs from chunk_codes - (overlap*sr)//dsr by one
         # code whenever overlap*sr isn't a multiple of dsr
@@ -380,11 +400,12 @@ class IncrementalDecoder:
         spt = self.spt
         B = len(codes_list)
         start = ci * self.duration_codes
-        chunk = np.zeros((spt.nq, B, spt.chunk_codes), np.int32)
-        for b, c in enumerate(codes_list):
-            seg = np.asarray(c, np.int32)[:, start:start + spt.chunk_codes]
-            chunk[:, b, :seg.shape[-1]] = seg
         chunk_lens = np.clip(lengths - start, 0, spt.chunk_codes)
+        L = next(b for b in self.len_buckets if b >= int(chunk_lens.max()))
+        chunk = np.zeros((spt.nq, B, L), np.int32)
+        for b, c in enumerate(codes_list):
+            seg = np.asarray(c, np.int32)[:, start:start + L]
+            chunk[:, b, :seg.shape[-1]] = seg
         step = self.rows_per_call or B
         for g0 in range(0, B, step):
             g1 = min(g0 + step, B)

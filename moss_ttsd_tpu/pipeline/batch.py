@@ -361,9 +361,15 @@ class TTSPipeline:
         while bounds[-1] < max_steps:
             bounds.append(min(bounds[-1] + chunk_steps, max_steps))
 
+        # quarter-window buckets (IncrementalDecoder.len_buckets contract):
+        # the ~1 s first chunk vocodes through a quarter-size window instead
+        # of a full padded 30 s one — 4x less TTFA vocode compute
+        buckets = sorted({-(-spt.chunk_codes * q // 4) for q in (1, 2, 3, 4)})
+
         def dispatch(codes, skip_frames):
             n = codes.shape[-1]
-            buf = np.zeros((spt.nq, 1, spt.chunk_codes), np.int32)
+            L = next(b for b in buckets if b >= n)
+            buf = np.zeros((spt.nq, 1, L), np.int32)
             buf[:, 0, :n] = codes
             out = spt._detokenize16(spt.infer_params, jnp.asarray(buf),
                                     jnp.asarray([n]))

@@ -87,3 +87,25 @@ def test_incremental_feed_waits_for_window(spt):
 def test_incremental_empty(spt):
     out = spt.decode(make_codes(spt, [0, 0]))["syn_wav_list"]
     assert all(w.size == 0 for w in out)
+
+
+def test_len_buckets_match_full_window(spt):
+    """Quarter-window bucketing of a partial final chunk ("auto", the
+    default) matches the reference's always-pad-to-30s dispatch
+    (len_buckets=None) to fp rounding level: padded positions only perturb
+    reduction order, never masking (measured ~3e-7 on unit-scale audio).
+    Multi-chunk inputs keep full windows for every non-final chunk."""
+    W = spt.chunk_codes
+    # partial tail (bucket W/2), plus a multi-chunk row exercising a full
+    # intermediate window + a short bucketed tail
+    codes = make_codes(spt, [W // 2 - 3, W + 5], seed=2)
+    auto = spt.decode(codes)["syn_wav_list"]
+    full = spt.decode(codes, len_buckets=None)["syn_wav_list"]
+    for a, b in zip(auto, full):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-6)
+    # pcm16 path: bucketing stays below the int16 quantization floor
+    auto16 = spt.decode(codes, pcm16=True)["syn_wav_list"]
+    full16 = spt.decode(codes, pcm16=True, len_buckets=None)["syn_wav_list"]
+    for a, b in zip(auto16, full16):
+        np.testing.assert_allclose(a, b, atol=1.5 / 32768.0)
