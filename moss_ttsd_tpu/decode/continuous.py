@@ -64,7 +64,8 @@ class PoolState(NamedTuple):
 
 
 def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
-                      sampling: SamplingConfig, base: int, max_steps: int):
+                      sampling: SamplingConfig, base: int, max_steps: int,
+                      len_aware: bool = True):
     """Compiled ``segment(params, state, k)``: advance every live row by up
     to ``k`` decode steps (rows stop individually at EOS or their budget).
 
@@ -167,17 +168,28 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         iota = jnp.arange(S)
         key_valid = state.key_valid | (adv[:, None] & (iota[None, :] == slot))
         positions = (state.last_pos + 1)[:, None]
-        # NO length-aware read extent here, by measurement: handing the
-        # backbone a pre-wrap extent (slot + 1) so the lax.switch could read
-        # only written slots cratered the pooled step to 34.7 steps/s vs
-        # 220.4 with plain full-buffer reads (v5e, serving geometry) — the
-        # switch over cache prefixes inside the write-gated ring body
-        # defeats XLA's in-place aliasing of the carried cache. The static
-        # engine keeps the switch (sequential addressing, +14%); the pool
-        # reads the full buffer.
+        # Length-aware reads via the EXTENT-CLAMPED pallas decode kernels
+        # (ops/pallas_attention.py): each row's extent is its own max
+        # written slot + 1, so out-of-extent key blocks cost neither DMA
+        # nor compute while the cache stays ONE full-size operand — a
+        # freshly joined row streams only ITS OWN short history even while
+        # an old row's ring span covers the whole buffer. The earlier
+        # lax.switch-over-static-prefixes formulation is a MEASURED DEAD
+        # END here: switching cache prefixes inside the write-gated ring
+        # body defeats XLA's in-place aliasing of the carried cache (34.7
+        # vs 220.4 steps/s, v5e serving geometry). Frozen/stale rows may
+        # hold valid bits anywhere; their attention output is discarded
+        # below, so they get a 1-slot extent.
+        ext = None
+        if len_aware:
+            ext = jnp.where(
+                adv,
+                jnp.max(jnp.where(key_valid, iota[None, :] + 1, 0), axis=1),
+                1).astype(jnp.int32)
         hidden, new_cache = model.apply(
             params, next_tokens[:, None, :], positions, key_valid,
-            state.cache, slot, adv, method=AsteroidLM.backbone)
+            state.cache, slot, adv, method=AsteroidLM.backbone,
+            read_extent=ext)
         hidden = jnp.where(adv[:, None, None], hidden, state.hidden_last)
 
         return PoolState(
@@ -232,7 +244,8 @@ class ContinuousBatcher:
                  sampling: Optional[SamplingConfig] = None, slots: int = 8,
                  base: int = 128, max_steps: int = 512,
                  cache_dtype=jnp.bfloat16, quant: Optional[str] = None,
-                 kv_quant: Optional[str] = None, seed: int = 0, mesh=None):
+                 kv_quant: Optional[str] = None, seed: int = 0, mesh=None,
+                 len_aware: bool = True):
         """mesh: a ("data", "model") Mesh (parallel.mesh.make_mesh) shards
         the weights tensor-parallel over the "model" axis for multi-chip
         serving latency. The pool state stays replicated (per-slot decode
@@ -269,12 +282,14 @@ class ContinuousBatcher:
                 in_shardings=(psh, eng._repl_sharding, eng._repl_sharding,
                               eng._repl_sharding))
             self._segment = jax.jit(_build_segment_fn(
-                self.model, self.cfg, self.sampling, base, max_steps),
+                self.model, self.cfg, self.sampling, base, max_steps,
+                len_aware=len_aware),
                 donate_argnums=(1,), in_shardings=(psh, None, None))
         else:
             self._prefill1 = jax.jit(self._prefill1)
             self._segment = jax.jit(_build_segment_fn(
-                self.model, self.cfg, self.sampling, base, max_steps),
+                self.model, self.cfg, self.sampling, base, max_steps,
+                len_aware=len_aware),
                 donate_argnums=(1,))
         self._splice = jax.jit(self._splice_impl, donate_argnums=(0,),
                                static_argnames=())

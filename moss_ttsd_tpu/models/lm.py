@@ -124,7 +124,7 @@ class Qwen3Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, cache, layer_idx, cos, sin, mask, cache_pos,
-                 write_gate=None):
+                 write_gate=None, read_extent=None):
         c = self.cfg
         dtype = x.dtype
         H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -283,6 +283,30 @@ class Qwen3Block(nn.Module):
                                    0, len(sizes) - 1)
                     attn = jax.lax.switch(
                         idx, [lambda Sp=Sp: xla_attend(Sp) for Sp in sizes])
+                elif (T == 1 and write_gate is not None
+                        and read_extent is not None and pallas_ok):
+                    # ring-addressed pool, length-aware via the EXTENT-
+                    # CLAMPED pallas kernels: out-of-extent key blocks are
+                    # DMA-elided (index map repeats the last valid block)
+                    # and compute-skipped, so per-step traffic scales with
+                    # written slots. Crucially the cache stays ONE full-size
+                    # operand — the lax.switch-over-prefixes formulation
+                    # here defeats XLA's in-place aliasing of the carried
+                    # cache (34.7 vs 220.4 steps/s, see note above).
+                    if kv8:
+                        attn = flash_decode_int8_hs(
+                            q, layer_slice(cache["k"]),
+                            layer_slice(cache["k_s"], with_d=False),
+                            layer_slice(cache["v"]),
+                            layer_slice(cache["v_s"], with_d=False),
+                            mask[:, 0], scale, extent=read_extent,
+                            interpret=c.pallas_interpret)
+                    else:
+                        attn = flash_decode_hs(
+                            q, layer_slice(cache["k"]).astype(dtype),
+                            layer_slice(cache["v"]).astype(dtype),
+                            mask[:, 0], scale, extent=read_extent,
+                            interpret=c.pallas_interpret)
                 elif kv8 and pallas_decode and T == 1:
                     attn = flash_decode_int8_hs(
                         q, layer_slice(cache["k"]),
@@ -314,10 +338,11 @@ class _ScanBlock(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, carry, cos, sin, mask, write_gate):
+    def __call__(self, carry, cos, sin, mask, write_gate, read_extent):
         x, cache, layer_idx, cache_pos = carry
         x, cache = Qwen3Block(self.cfg, name="block")(
-            x, cache, layer_idx, cos, sin, mask, cache_pos, write_gate)
+            x, cache, layer_idx, cos, sin, mask, cache_pos, write_gate,
+            read_extent)
         return (x, cache, layer_idx + 1, cache_pos), None
 
 
@@ -357,7 +382,8 @@ class AsteroidLM(nn.Module):
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
             out_axes=0,
             length=c.num_hidden_layers,
         )(c, name="layers")
@@ -392,8 +418,8 @@ class AsteroidLM(nn.Module):
 
     def backbone(self, input_ids: jnp.ndarray, positions: jnp.ndarray,
                  key_valid: Optional[jnp.ndarray], cache: Optional[dict],
-                 cache_pos, write_gate: Optional[jnp.ndarray] = None
-                 ) -> Tuple[jnp.ndarray, Optional[dict]]:
+                 cache_pos, write_gate: Optional[jnp.ndarray] = None,
+                 read_extent=None) -> Tuple[jnp.ndarray, Optional[dict]]:
         """Run the decoder stack.
 
         input_ids: (B, T, C); positions: (B, T) absolute positions (RoPE);
@@ -430,7 +456,7 @@ class AsteroidLM(nn.Module):
 
         carry = (x, cache_in, jnp.int32(0), jnp.asarray(cache_pos, jnp.int32))
         (x, new_cache, _, _), _ = self.blocks(carry, cos, sin, mask,
-                                              write_gate)
+                                              write_gate, read_extent)
         x = self.final_norm(x)
         return x, (None if cache is None else new_cache)
 

@@ -31,10 +31,19 @@ NEG_INF = -1e30
 # Decode: q_len == 1 against a (B, S, Hkv, D) cache
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref,
+def _decode_kernel(ext_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
+                   m_ref, l_ref, acc_ref,
                    *, scale: float, seq_len: int, block_k: int):
-    s = pl.program_id(2)
-    n_s = pl.num_programs(2)
+    # grid (B, n_s): ALL Hkv heads of one batch row per cell (batched dot
+    # over the head axis). Folding heads into the block cuts the grid from
+    # B*Hkv*n_s to B*n_s cells — decisive because per-cell overhead, not
+    # DMA, dominates this kernel at decode shapes: measured (v5e, S=2112,
+    # bk=512, B=8, Hkv=8) 551 us/call with the (B, Hkv, n_s) grid vs an
+    # ~86 us k+v DMA roof, and extent clamping only moved 551->459 us
+    # because skipped cells still pay the grid tax.
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
 
     @pl.when(s == 0)
     def _():
@@ -42,32 +51,43 @@ def _decode_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32)                # (G, D)
-    k = k_ref[0, 0].astype(jnp.float32)                # (Bk, D)
-    v = v_ref[0, 0].astype(jnp.float32)                # (Bk, D)
-    valid = valid_ref[0, 0]                            # (Bk,) int32
+    # extent clamp (per batch row): key blocks at/past the row's valid
+    # extent were mapped to a repeated block by the index map (their DMA is
+    # elided) and contribute nothing — skip their compute entirely
+    @pl.when(s * block_k < ext_ref[b])
+    def _():
+        # dots run in the INPUT dtype with fp32 MXU accumulation: bf16
+        # operands use the MXU's native bf16 passes, while a .astype(f32)
+        # here decomposes every dot into multiple fp32 passes (several x
+        # slower) for precision the softmax doesn't need. CPU parity tests
+        # feed fp32 and stay exact.
+        q = q_ref[0]                                   # (Hkv, G, D)
+        k = k_ref[0]                                   # (Hkv, Bk, D)
+        v = v_ref[0]                                   # (Hkv, Bk, D)
+        valid = valid_ref[0, 0]                        # (Bk,) int32
 
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-    in_bounds = kpos[0] < seq_len                       # ragged final block
-    scores = jnp.where((valid[None, :] != 0) & in_bounds[None, :], scores,
-                       NEG_INF)                          # (G, Bk)
+        scores = jax.lax.dot_general(                  # (Hkv, G, Bk) f32
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (1, block_k), 1)
+        ok = (valid[None, :] != 0) & (kpos < seq_len)   # ragged final block
+        scores = jnp.where(ok[None], scores, NEG_INF)
 
-    m_prev = m_ref[:]                                  # (G, 1)
-    m_cur = jnp.max(scores, axis=-1, keepdims=True)    # (G, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)                    # (G, 1)
-    p = jnp.exp(scores - m_new)                        # (G, Bk)
-    l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_new = acc_ref[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-
-    m_ref[:] = m_new
-    l_ref[:] = l_new
-    acc_ref[:] = acc_new
+        m_prev = m_ref[:]                              # (Hkv, G, 1)
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                    # (Hkv, G, Bk) f32
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (Hkv, G, D)
+        m_ref[:] = m_new
 
     @pl.when(s == n_s - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -85,9 +105,24 @@ def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
                     key_valid: jnp.ndarray, scale: float,
-                    block_k: int = 512, interpret: bool = False) -> jnp.ndarray:
+                    block_k: int = 512, interpret: bool = False,
+                    extent=None) -> jnp.ndarray:
     """q (B, 1, H, D); kt/vt cache (B, Hkv, S, D) — head-major storage read
     directly from HBM, no transpose; key_valid (B, S) bool.
+
+    ``extent`` (optional traced int32, scalar or per-row (B,) vector): upper
+    bound on the number of leading cache slots that can hold valid keys for
+    the/each row (every slot >= extent MUST be key_valid=False for that
+    row). Key blocks past the extent are clamped to a repeated block index —
+    Mosaic's pipeline emitter skips the DMA when an operand's block index is
+    unchanged from the previous grid step — and their compute is skipped, so
+    per-step HBM traffic scales with the written extent, not the static
+    buffer size. A per-row vector lets a freshly joined pool row stream only
+    ITS OWN short history even while an old row's span covers the whole
+    ring. Unlike a lax.switch over static cache prefixes, the cache stays
+    ONE full-size operand, which keeps XLA's in-place aliasing of a carried
+    cache intact (the switch formulation is a measured dead end in the
+    ring-addressed continuous pool, models/lm.py).
 
     Returns (B, 1, H, D)."""
     B, _, H, D = q.shape
@@ -99,26 +134,42 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
     qg = q[:, 0].reshape(B, Hkv, G, D)                 # (B, Hkv, G, D)
     # (B, 1, S): TPU block shapes need the 2nd-to-last dim to equal the array's
     validi = key_valid.astype(jnp.int32)[:, None, :]
+    ext = jnp.full((B,), S, jnp.int32) if extent is None else \
+        jnp.broadcast_to(jnp.asarray(extent, jnp.int32).reshape(-1), (B,))
 
-    grid = (B, Hkv, n_s)
+    def q_map(b, s, ext_ref):
+        return (b, 0, 0, 0)
+
+    def kv_map(b, s, ext_ref):
+        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
+        return (b, 0, jnp.minimum(s, last), 0)
+
+    def valid_map(b, s, ext_ref):
+        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
+        return (b, 0, jnp.minimum(s, last))
+
+    grid = (B, n_s)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, seq_len=S, block_k=bk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b, 0, s)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D), q_map),
+                pl.BlockSpec((1, Hkv, bk, D), kv_map),
+                pl.BlockSpec((1, Hkv, bk, D), kv_map),
+                pl.BlockSpec((1, 1, bk), valid_map),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, G, D), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, G, 1), jnp.float32),
+                pltpu.VMEM((Hkv, G, 1), jnp.float32),
+                pltpu.VMEM((Hkv, G, D), jnp.float32),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
-        ],
         interpret=interpret,
-    )(qg, kt, vt, validi)
+    )(ext, qg, kt, vt, validi)
     return out.reshape(B, 1, H, D)
 
 
@@ -128,11 +179,13 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
 # the kernel halves that traffic (the weights are already int8 via w8a16)
 # ---------------------------------------------------------------------------
 
-def _decode_int8_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, valid_ref,
-                        o_ref, m_ref, l_ref, acc_ref,
+def _decode_int8_kernel(ext_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                        valid_ref, o_ref, m_ref, l_ref, acc_ref,
                         *, scale: float, seq_len: int, block_k: int):
-    s = pl.program_id(2)
-    n_s = pl.num_programs(2)
+    # grid (B, n_s), all Hkv heads per cell — see _decode_kernel for why
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
 
     @pl.when(s == 0)
     def _():
@@ -140,54 +193,64 @@ def _decode_int8_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, valid_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32)                # (G, D)
-    kq = kq_ref[0, 0]                                  # (Bk, D) int8
-    vq = vq_ref[0, 0]                                  # (Bk, D) int8
-    ks = ks_ref[0, 0].astype(jnp.float32)              # (Bk,)
-    vs = vs_ref[0, 0].astype(jnp.float32)              # (Bk,)
-    valid = valid_ref[0, 0]                            # (Bk,) int32
+    # extent clamp — see _decode_kernel
+    @pl.when(s * block_k < ext_ref[b])
+    def _():
+        # dots run in q's dtype (bf16 on TPU — native MXU passes; int8
+        # values up to 127 cast to bf16 exactly, 8 significant bits). CPU
+        # parity tests feed fp32 q and stay exact. See _decode_kernel.
+        q = q_ref[0]                                   # (Hkv, G, D)
+        kq = kq_ref[0]                                 # (Hkv, Bk, D) int8
+        vq = vq_ref[0]                                 # (Hkv, Bk, D) int8
+        ks = ks_ref[0].astype(jnp.float32)             # (Hkv, Bk)
+        vs = vs_ref[0].astype(jnp.float32)             # (Hkv, Bk)
+        valid = valid_ref[0, 0]                        # (Bk,) int32
 
-    # dequant folded around the dots: k's per-token scale applies to the
-    # score column, v's to the probability row — the int8 tensors go straight
-    # from HBM into VMEM and only tiny (Bk,) scale vectors ride along
-    scores = jnp.dot(q, kq.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32)
-    scores = scores * (ks[None, :] * scale)
-    kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-    in_bounds = kpos[0] < seq_len
-    scores = jnp.where((valid[None, :] != 0) & in_bounds[None, :], scores,
-                       NEG_INF)                         # (G, Bk)
+        # dequant folded around the dots: k's per-token scale applies to the
+        # score column, v's to the probability row — the int8 tensors go
+        # straight from HBM into VMEM and only tiny (Hkv, Bk) scale rows
+        # ride along
+        scores = jax.lax.dot_general(                  # (Hkv, G, Bk) f32
+            q, kq.astype(q.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        scores = scores * (ks[:, None, :] * scale)
+        kpos = s * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (1, block_k), 1)
+        ok = (valid[None, :] != 0) & (kpos < seq_len)
+        scores = jnp.where(ok[None], scores, NEG_INF)
 
-    m_prev = m_ref[:]
-    m_cur = jnp.max(scores, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)                        # (G, Bk)
-    l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    pv = p * vs[None, :]
-    acc_new = acc_ref[:] * alpha + jnp.dot(pv, vq.astype(jnp.float32),
-                                           preferred_element_type=jnp.float32)
-
-    m_ref[:] = m_new
-    l_ref[:] = l_new
-    acc_ref[:] = acc_new
+        m_prev = m_ref[:]                              # (Hkv, G, 1)
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                    # (Hkv, G, Bk) f32
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs[:, None, :]).astype(q.dtype)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pv, vq.astype(q.dtype), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (Hkv, G, D)
+        m_ref[:] = m_new
 
     @pl.when(s == n_s - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def flash_decode_int8_hs(q: jnp.ndarray, kq: jnp.ndarray, ks: jnp.ndarray,
                          vq: jnp.ndarray, vs: jnp.ndarray,
                          key_valid: jnp.ndarray, scale: float,
                          block_k: int = 512,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         extent=None) -> jnp.ndarray:
     """Single-query decode attention over an int8 KV cache.
 
     q (B, 1, H, D); kq/vq (B, Hkv, S, D) int8; ks/vs (B, Hkv, S) fp32
     per-head-per-token scales (k ≈ kq * ks[..., None]); key_valid (B, S).
-    Returns (B, 1, H, D) in q.dtype. Exact vs the XLA dequant-then-attend
-    path up to fp32 accumulation order (tests/test_pallas_attention.py).
+    ``extent``: optional traced int32 (scalar or per-row (B,) vector)
+    bounding the valid leading slots — see flash_decode_hs (out-of-extent
+    key blocks cost neither DMA nor compute). Returns (B, 1, H, D) in q.dtype. Exact vs the XLA
+    dequant-then-attend path up to fp32 accumulation order
+    (tests/test_pallas_attention.py).
     """
     B, _, H, D = q.shape
     Hkv, S = kq.shape[1], kq.shape[2]
@@ -197,33 +260,45 @@ def flash_decode_int8_hs(q: jnp.ndarray, kq: jnp.ndarray, ks: jnp.ndarray,
 
     qg = q[:, 0].reshape(B, Hkv, G, D)
     validi = key_valid.astype(jnp.int32)[:, None, :]   # (B, 1, S)
-    # TPU block shapes need the 2nd-to-last dim to equal the array dim:
-    # flatten (B, Hkv, S) scales to (B*Hkv, 1, S) (layout-preserving view)
-    ks2 = ks.reshape(B * Hkv, 1, S)
-    vs2 = vs.reshape(B * Hkv, 1, S)
+    ext = jnp.full((B,), S, jnp.int32) if extent is None else \
+        jnp.broadcast_to(jnp.asarray(extent, jnp.int32).reshape(-1), (B,))
 
-    grid = (B, Hkv, n_s)
+    def q_map(b, s, ext_ref):
+        return (b, 0, 0, 0)
+
+    def kv_map(b, s, ext_ref):
+        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
+        return (b, 0, jnp.minimum(s, last), 0)
+
+    def sc_map(b, s, ext_ref):
+        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
+        return (b, 0, jnp.minimum(s, last))
+
+    grid = (B, n_s)
     out = pl.pallas_call(
         functools.partial(_decode_int8_kernel, scale=scale, seq_len=S,
                           block_k=bk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b * Hkv + h, 0, s)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, s: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b * Hkv + h, 0, s)),
-            pl.BlockSpec((1, 1, bk), lambda b, h, s: (b, 0, s)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D), q_map),
+                pl.BlockSpec((1, Hkv, bk, D), kv_map),
+                pl.BlockSpec((1, Hkv, bk), sc_map),
+                pl.BlockSpec((1, Hkv, bk, D), kv_map),
+                pl.BlockSpec((1, Hkv, bk), sc_map),
+                pl.BlockSpec((1, 1, bk), sc_map),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, G, D), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, G, 1), jnp.float32),
+                pltpu.VMEM((Hkv, G, 1), jnp.float32),
+                pltpu.VMEM((Hkv, G, D), jnp.float32),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
-        ],
         interpret=interpret,
-    )(qg, kq, ks2, vq, vs2, validi)
+    )(ext, qg, kq, ks, vq, vs, validi)
     return out.reshape(B, 1, H, D)
 
 

@@ -388,3 +388,46 @@ def test_sampled_per_request_seed_determinism(setup):
         assert got.steps == exp.steps
         np.testing.assert_array_equal(got.tokens[0, got.base:],
                                       exp.tokens[0, exp.base:])
+
+
+def test_pool_len_aware_extent_matches_full_reads(setup):
+    """The extent-clamped pallas decode path (len_aware pool on TPU;
+    interpret mode here) is token-exact vs the XLA full-buffer-read pool.
+
+    The pool extent is max(written slot)+1 over advancing rows, so every
+    slot the clamp drops is key_valid=False for every row whose output is
+    kept — agreement across staggered joins (different per-row extents) and
+    a mid-run collect (stale valid bits past the extent) proves the bound.
+    """
+    import dataclasses
+    cfg, model, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 9, 2),
+               make_prompt(cfg, rng, 4, 7)]
+    budgets = [18, 12, 16]
+
+    def run_pool(cfg_v, len_aware):
+        cb = ContinuousBatcher(cfg_v, params, greedy_sampling(cfg.channels),
+                               slots=2, base=BASE, max_steps=32,
+                               cache_dtype=jnp.float32, len_aware=len_aware)
+        s0 = cb.submit(prompts[0], max_new_tokens=budgets[0])
+        cb.run(steps=5)
+        s1 = cb.submit(prompts[1], max_new_tokens=budgets[1])
+        cb.run(steps=9)                   # slot 1 finishes (12 steps)...
+        out = {}
+        assert s1 in cb.finished()
+        out[1] = cb.collect(s1)           # ...freeing it with stale valids
+        s2 = cb.submit(prompts[2], max_new_tokens=budgets[2])
+        for _ in range(12):
+            cb.run(steps=4)
+            if len(cb.finished()) == 2:
+                break
+        out[0], out[2] = cb.collect(s0), cb.collect(s2)
+        return out
+
+    ref = run_pool(cfg, len_aware=False)
+    got = run_pool(dataclasses.replace(cfg, pallas_interpret=True),
+                   len_aware=True)
+    for i in range(3):
+        assert got[i].steps == ref[i].steps
+        np.testing.assert_array_equal(got[i].tokens, ref[i].tokens)

@@ -207,3 +207,64 @@ def test_engine_int8_kv_cache_close_to_bf16():
     agree = np.mean(r8.tokens[:, r8.base:r8.base + n]
                     == r.tokens[:, r.base:r.base + n])
     assert agree > 0.9, f"token agreement {agree}"
+
+
+def test_flash_decode_extent_matches_full():
+    """Extent-clamped decode == full-buffer decode when every slot at or past
+    the extent is invalid: out-of-extent key blocks are DMA-elided + compute-
+    skipped, so agreement here proves the clamp drops only masked slots."""
+    from moss_ttsd_tpu.ops.pallas_attention import flash_decode_hs
+    rng = np.random.default_rng(7)
+    B, S, H, Hkv, D = 2, 128, 8, 4, 16
+    q, k, v = make_qkv(rng, B, 1, S, H, Hkv, D)
+    kt, vt = jnp.moveaxis(k, 2, 1), jnp.moveaxis(v, 2, 1)
+    valid = np.zeros((B, S), bool)
+    valid[0, :40] = True
+    valid[1, 5:70] = True
+    scale = D ** -0.5
+    full = flash_decode_hs(q, kt, vt, jnp.asarray(valid), scale, block_k=32,
+                           interpret=True)
+    for extent in (70, 96, 128):       # >= max written slot, incl. non-aligned
+        out = flash_decode_hs(q, kt, vt, jnp.asarray(valid), scale,
+                              block_k=32, interpret=True,
+                              extent=jnp.int32(extent))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   atol=2e-5)
+    # tiny extent (< one block) with matching validity
+    valid2 = np.zeros((B, S), bool)
+    valid2[:, :7] = True
+    full2 = flash_decode_hs(q, kt, vt, jnp.asarray(valid2), scale, block_k=32,
+                            interpret=True)
+    out2 = flash_decode_hs(q, kt, vt, jnp.asarray(valid2), scale, block_k=32,
+                           interpret=True, extent=jnp.int32(7))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(full2), atol=2e-5)
+    # per-row (B,) extent vector: each row clamps to its own written span
+    out3 = flash_decode_hs(q, kt, vt, jnp.asarray(valid), scale, block_k=32,
+                           interpret=True,
+                           extent=jnp.asarray([40, 70], jnp.int32))
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(full), atol=2e-5)
+
+
+def test_flash_decode_int8_extent_matches_full():
+    from moss_ttsd_tpu.ops.pallas_attention import (flash_decode_int8_hs,
+                                                    quantize_kv)
+    rng = np.random.default_rng(8)
+    B, S, H, Hkv, D = 2, 128, 8, 4, 16
+    q, k, v = make_qkv(rng, B, 1, S, H, Hkv, D)
+    kt, vt = jnp.moveaxis(k, 2, 1), jnp.moveaxis(v, 2, 1)
+    kq, ks = quantize_kv(kt)
+    vq, vs = quantize_kv(vt)
+    valid = np.zeros((B, S), bool)
+    valid[0, :50] = True
+    valid[1, 10:60] = True
+    scale = D ** -0.5
+    full = flash_decode_int8_hs(q, kq, ks, vq, vs, jnp.asarray(valid), scale,
+                                block_k=32, interpret=True)
+    out = flash_decode_int8_hs(q, kq, ks, vq, vs, jnp.asarray(valid), scale,
+                               block_k=32, interpret=True,
+                               extent=jnp.int32(60))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+    outr = flash_decode_int8_hs(q, kq, ks, vq, vs, jnp.asarray(valid), scale,
+                                block_k=32, interpret=True,
+                                extent=jnp.asarray([50, 60], jnp.int32))
+    np.testing.assert_allclose(np.asarray(outr), np.asarray(full), atol=2e-5)
