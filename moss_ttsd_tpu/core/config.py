@@ -95,6 +95,27 @@ class LMConfig:
     # pool's ring reuses high slots after wrap, so its extent is the full
     # buffer).
     decode_len_bucket: int = -1
+    # Sequential decode via the extent-clamped Pallas kernels instead of the
+    # lax.switch prefix reads: the per-step read extent (cache_pos + 1) is
+    # scalar-prefetched into the kernel, which DMA-elides and compute-skips
+    # key blocks past it — block_k-granular (512-slot) length awareness with
+    # ONE compiled program (no switch branches, no bucket-rounded reads).
+    # The continuous pool always uses these kernels (ring addressing needs
+    # per-row extents; decode/continuous.py len_aware: 220-225 vs 84
+    # steps/s at the 2112-slot int8 server pool); this flag opts the
+    # sequential engine in. Default OFF by measurement: at the v5e serving
+    # config the switch path ties or wins (255.5 vs 255.2 steps/s
+    # @256-slot, 248.8 vs 218.3 @512 — the kernel reads whole
+    # decode_block_k-sized key blocks, so a 320-slot extent in a 576-slot
+    # buffer still streams 512 slots, while the switch reads exact
+    # 128-bucket prefixes).
+    decode_extent_kernel: bool = False
+    # key-block size for the extent-clamped decode kernels (HBM->VMEM DMA
+    # granularity AND the unit of length awareness). Larger blocks cut the
+    # per-cell grid overhead that dominates big-pool decode; smaller blocks
+    # clamp the read extent more tightly. Tuned on the 2112-slot server
+    # pool (see decode/continuous.py).
+    decode_block_k: int = 512
     # layerwise LoRA adapters on the attention/MLP projections (the
     # reference's peft targets, finetune/finetune.py:153): rank 0 = off.
     # Adapters add "lora_a"/"lora_b" leaves next to each kernel; the base

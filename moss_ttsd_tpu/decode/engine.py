@@ -195,7 +195,9 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
         positions = (state.last_pos + 1)[:, None]
         hidden, new_cache = model.apply(
             params, next_tokens[:, None, :], positions, key_valid,
-            state.cache, cur_len, method=AsteroidLM.backbone)
+            state.cache, cur_len, method=AsteroidLM.backbone,
+            read_extent=(jnp.asarray(cur_len, jnp.int32) + 1
+                         if cfg.decode_extent_kernel else None))
 
         return DecodeState(
             step=s + 1, tokens=tokens, cache=new_cache,
@@ -259,7 +261,8 @@ class GenerationEngine:
                  bucket: int = 128, cache_dtype=jnp.bfloat16, mesh=None,
                  quant: Optional[str] = None, step_bucket: int = 256,
                  max_cached_programs: int = 8, kv_quant: Optional[str] = None,
-                 decode_len_bucket: Optional[int] = None):
+                 decode_len_bucket: Optional[int] = None,
+                 decode_extent_kernel: Optional[bool] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
         step, dequant fused into each matmul (ops/quantize.py). Composes with
@@ -289,6 +292,15 @@ class GenerationEngine:
         if decode_len_bucket is not None:
             import dataclasses
             cfg = dataclasses.replace(cfg, decode_len_bucket=decode_len_bucket)
+            self.cfg = cfg
+        if decode_extent_kernel is not None:
+            # sequential decode through the extent-clamped Pallas kernels
+            # (block_k-granular length awareness, one compiled program)
+            # instead of the lax.switch prefix reads — see
+            # LMConfig.decode_extent_kernel
+            import dataclasses
+            cfg = dataclasses.replace(cfg,
+                                      decode_extent_kernel=decode_extent_kernel)
             self.cfg = cfg
         from ..ops.quantize import is_quantized_tree, quantize_lm_params
         # a tree already in quantized layout (int8 checkpoint, or random init

@@ -271,7 +271,40 @@ class Qwen3Block(nn.Module):
                 # (serving geometry, int8 weights, bf16 KV). Don't revisit
                 # without checking the pool segment's per-step cache-copy
                 # behavior first.
-                if (T == 1 and not pallas_decode and lb and lb < S
+                if T == 1 and read_extent is not None and pallas_ok:
+                    # length-aware via the EXTENT-CLAMPED pallas kernels:
+                    # out-of-extent key blocks are DMA-elided (index map
+                    # repeats the last valid block) and compute-skipped, so
+                    # per-step traffic scales with written slots. Two
+                    # callers opt in by passing read_extent: the ring-
+                    # addressed pool (per-row extents; crucially the cache
+                    # stays ONE full-size operand — the lax.switch-over-
+                    # prefixes formulation there defeats XLA's in-place
+                    # aliasing of the carried cache, 34.7 vs 220.4 steps/s,
+                    # see note above) and the sequential engine under
+                    # cfg.decode_extent_kernel (scalar cache_pos + 1).
+                    # the FULL (L, ...) cache stacks go into the kernel with
+                    # layer_idx as a scalar-prefetched block index: a
+                    # dynamic_slice feeding a custom call must MATERIALIZE
+                    # its output (XLA fuses slices into its own fusions,
+                    # never into an opaque kernel) — at the 2112-slot pool
+                    # that was 28 layers x ~69 MB of per-step slice traffic,
+                    # the dominant cost (HLO-verified; see
+                    # ops/pallas_attention.flash_decode_hs docstring)
+                    if kv8:
+                        attn = flash_decode_int8_hs(
+                            q, cache["k"], cache["k_s"],
+                            cache["v"], cache["v_s"],
+                            mask[:, 0], scale, extent=read_extent,
+                            layer=layer_idx, block_k=c.decode_block_k,
+                            interpret=c.pallas_interpret)
+                    else:
+                        attn = flash_decode_hs(
+                            q, cache["k"], cache["v"],
+                            mask[:, 0], scale, extent=read_extent,
+                            layer=layer_idx, block_k=c.decode_block_k,
+                            interpret=c.pallas_interpret)
+                elif (T == 1 and not pallas_decode and lb and lb < S
                         and write_gate is None):
                     sizes = []
                     e = lb
@@ -283,43 +316,22 @@ class Qwen3Block(nn.Module):
                                    0, len(sizes) - 1)
                     attn = jax.lax.switch(
                         idx, [lambda Sp=Sp: xla_attend(Sp) for Sp in sizes])
-                elif (T == 1 and write_gate is not None
-                        and read_extent is not None and pallas_ok):
-                    # ring-addressed pool, length-aware via the EXTENT-
-                    # CLAMPED pallas kernels: out-of-extent key blocks are
-                    # DMA-elided (index map repeats the last valid block)
-                    # and compute-skipped, so per-step traffic scales with
-                    # written slots. Crucially the cache stays ONE full-size
-                    # operand — the lax.switch-over-prefixes formulation
-                    # here defeats XLA's in-place aliasing of the carried
-                    # cache (34.7 vs 220.4 steps/s, see note above).
-                    if kv8:
-                        attn = flash_decode_int8_hs(
-                            q, layer_slice(cache["k"]),
-                            layer_slice(cache["k_s"], with_d=False),
-                            layer_slice(cache["v"]),
-                            layer_slice(cache["v_s"], with_d=False),
-                            mask[:, 0], scale, extent=read_extent,
-                            interpret=c.pallas_interpret)
-                    else:
-                        attn = flash_decode_hs(
-                            q, layer_slice(cache["k"]).astype(dtype),
-                            layer_slice(cache["v"]).astype(dtype),
-                            mask[:, 0], scale, extent=read_extent,
-                            interpret=c.pallas_interpret)
                 elif kv8 and pallas_decode and T == 1:
+                    # layered: full cache stacks, no materialized slice —
+                    # see the read_extent branch above
                     attn = flash_decode_int8_hs(
-                        q, layer_slice(cache["k"]),
-                        layer_slice(cache["k_s"], with_d=False),
-                        layer_slice(cache["v"]),
-                        layer_slice(cache["v_s"], with_d=False),
-                        mask[:, 0], scale, interpret=c.pallas_interpret)
+                        q, cache["k"], cache["k_s"],
+                        cache["v"], cache["v_s"],
+                        mask[:, 0], scale, layer=layer_idx,
+                        block_k=c.decode_block_k,
+                        interpret=c.pallas_interpret)
                 elif pallas_decode and T == 1:
                     # mask (B, 1, S): causal+validity collapses to a key mask
                     attn = flash_decode_hs(
-                        q, layer_slice(cache["k"]).astype(dtype),
-                        layer_slice(cache["v"]).astype(dtype),
-                        mask[:, 0], scale, interpret=c.pallas_interpret)
+                        q, cache["k"], cache["v"],
+                        mask[:, 0], scale, layer=layer_idx,
+                        block_k=c.decode_block_k,
+                        interpret=c.pallas_interpret)
                 else:
                     attn = xla_attend(S)
         else:                          # training path: attend over current tokens

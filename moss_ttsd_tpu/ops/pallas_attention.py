@@ -31,7 +31,7 @@ NEG_INF = -1e30
 # Decode: q_len == 1 against a (B, S, Hkv, D) cache
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(ext_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
+def _decode_kernel(ext_ref, lay_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
                    m_ref, l_ref, acc_ref,
                    *, scale: float, seq_len: int, block_k: int):
     # grid (B, n_s): ALL Hkv heads of one batch row per cell (batched dot
@@ -62,8 +62,12 @@ def _decode_kernel(ext_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
         # slower) for precision the softmax doesn't need. CPU parity tests
         # feed fp32 and stay exact.
         q = q_ref[0]                                   # (Hkv, G, D)
-        k = k_ref[0]                                   # (Hkv, Bk, D)
-        v = v_ref[0]                                   # (Hkv, Bk, D)
+        # layered caches carry a leading (1,) layer block dim — collapse it.
+        # The in-kernel astype is a no-op when cache and compute dtypes
+        # match (the serving configs); it exists so a full-size cache never
+        # needs an XLA-level convert (which would materialize).
+        k = k_ref[...].reshape(k_ref.shape[-3:]).astype(q.dtype)
+        v = v_ref[...].reshape(v_ref.shape[-3:]).astype(q.dtype)
         valid = valid_ref[0, 0]                        # (Bk,) int32
 
         scores = jax.lax.dot_general(                  # (Hkv, G, Bk) f32
@@ -106,7 +110,7 @@ def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
                     key_valid: jnp.ndarray, scale: float,
                     block_k: int = 512, interpret: bool = False,
-                    extent=None) -> jnp.ndarray:
+                    extent=None, layer=None) -> jnp.ndarray:
     """q (B, 1, H, D); kt/vt cache (B, Hkv, S, D) — head-major storage read
     directly from HBM, no transpose; key_valid (B, S) bool.
 
@@ -124,9 +128,18 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
     cache intact (the switch formulation is a measured dead end in the
     ring-addressed continuous pool, models/lm.py).
 
+    ``layer`` (optional traced int32 scalar): kt/vt are the FULL per-layer
+    stack (L, B, Hkv, S, D) and the kernel DMAs blocks of layer ``layer``
+    straight from HBM via a scalar-prefetched index. This is the load-
+    bearing option inside a scan-over-layers: a dynamic_slice feeding a
+    custom call must MATERIALIZE its output (XLA fuses slices into its own
+    ops, never into an opaque kernel) — measured 28x ~69 MB of slice
+    traffic per decode step at the 2112-slot pool, the dominant cost.
+
     Returns (B, 1, H, D)."""
     B, _, H, D = q.shape
-    Hkv, S = kt.shape[1], kt.shape[2]
+    layered = layer is not None
+    Hkv, S = kt.shape[-3], kt.shape[-2]
     G = H // Hkv
     bk = min(block_k, S)
     n_s = -(-S // bk)                                   # ceil; ragged tail masked
@@ -136,28 +149,31 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
     validi = key_valid.astype(jnp.int32)[:, None, :]
     ext = jnp.full((B,), S, jnp.int32) if extent is None else \
         jnp.broadcast_to(jnp.asarray(extent, jnp.int32).reshape(-1), (B,))
+    lay = jnp.asarray(0 if layer is None else layer, jnp.int32).reshape(1)
 
-    def q_map(b, s, ext_ref):
+    def q_map(b, s, ext_ref, lay_ref):
         return (b, 0, 0, 0)
 
-    def kv_map(b, s, ext_ref):
+    def kv_map(b, s, ext_ref, lay_ref):
         last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
-        return (b, 0, jnp.minimum(s, last), 0)
+        blk = jnp.minimum(s, last)
+        return (lay_ref[0], b, 0, blk, 0) if layered else (b, 0, blk, 0)
 
-    def valid_map(b, s, ext_ref):
+    def valid_map(b, s, ext_ref, lay_ref):
         last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
         return (b, 0, jnp.minimum(s, last))
 
+    kv_block = (1, 1, Hkv, bk, D) if layered else (1, Hkv, bk, D)
     grid = (B, n_s)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, seq_len=S, block_k=bk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, Hkv, G, D), q_map),
-                pl.BlockSpec((1, Hkv, bk, D), kv_map),
-                pl.BlockSpec((1, Hkv, bk, D), kv_map),
+                pl.BlockSpec(kv_block, kv_map),
+                pl.BlockSpec(kv_block, kv_map),
                 pl.BlockSpec((1, 1, bk), valid_map),
             ],
             out_specs=pl.BlockSpec((1, Hkv, G, D), q_map),
@@ -169,7 +185,7 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
-    )(ext, qg, kt, vt, validi)
+    )(ext, lay, qg, kt, vt, validi)
     return out.reshape(B, 1, H, D)
 
 
@@ -179,8 +195,8 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
 # the kernel halves that traffic (the weights are already int8 via w8a16)
 # ---------------------------------------------------------------------------
 
-def _decode_int8_kernel(ext_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                        valid_ref, o_ref, m_ref, l_ref, acc_ref,
+def _decode_int8_kernel(ext_ref, lay_ref, q_ref, kq_ref, ks_ref, vq_ref,
+                        vs_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref,
                         *, scale: float, seq_len: int, block_k: int):
     # grid (B, n_s), all Hkv heads per cell — see _decode_kernel for why
     b = pl.program_id(0)
@@ -200,10 +216,11 @@ def _decode_int8_kernel(ext_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         # values up to 127 cast to bf16 exactly, 8 significant bits). CPU
         # parity tests feed fp32 q and stay exact. See _decode_kernel.
         q = q_ref[0]                                   # (Hkv, G, D)
-        kq = kq_ref[0]                                 # (Hkv, Bk, D) int8
-        vq = vq_ref[0]                                 # (Hkv, Bk, D) int8
-        ks = ks_ref[0].astype(jnp.float32)             # (Hkv, Bk)
-        vs = vs_ref[0].astype(jnp.float32)             # (Hkv, Bk)
+        # layered caches carry a leading (1,) layer block dim — collapse it
+        kq = kq_ref[...].reshape(kq_ref.shape[-3:])    # (Hkv, Bk, D) int8
+        vq = vq_ref[...].reshape(vq_ref.shape[-3:])    # (Hkv, Bk, D) int8
+        ks = ks_ref[...].reshape(ks_ref.shape[-2:]).astype(jnp.float32)
+        vs = vs_ref[...].reshape(vs_ref.shape[-2:]).astype(jnp.float32)
         valid = valid_ref[0, 0]                        # (Bk,) int32
 
         # dequant folded around the dots: k's per-token scale applies to the
@@ -241,19 +258,24 @@ def flash_decode_int8_hs(q: jnp.ndarray, kq: jnp.ndarray, ks: jnp.ndarray,
                          key_valid: jnp.ndarray, scale: float,
                          block_k: int = 512,
                          interpret: bool = False,
-                         extent=None) -> jnp.ndarray:
+                         extent=None, layer=None) -> jnp.ndarray:
     """Single-query decode attention over an int8 KV cache.
 
     q (B, 1, H, D); kq/vq (B, Hkv, S, D) int8; ks/vs (B, Hkv, S) fp32
     per-head-per-token scales (k ≈ kq * ks[..., None]); key_valid (B, S).
     ``extent``: optional traced int32 (scalar or per-row (B,) vector)
     bounding the valid leading slots — see flash_decode_hs (out-of-extent
-    key blocks cost neither DMA nor compute). Returns (B, 1, H, D) in q.dtype. Exact vs the XLA
+    key blocks cost neither DMA nor compute). ``layer``: optional traced
+    int32 — kq/ks/vq/vs are the FULL (L, ...) per-layer stacks and the
+    kernel indexes the layer via a scalar-prefetched block index, avoiding
+    the materialized dynamic_slice a custom call otherwise forces (see
+    flash_decode_hs). Returns (B, 1, H, D) in q.dtype. Exact vs the XLA
     dequant-then-attend path up to fp32 accumulation order
     (tests/test_pallas_attention.py).
     """
     B, _, H, D = q.shape
-    Hkv, S = kq.shape[1], kq.shape[2]
+    layered = layer is not None
+    Hkv, S = kq.shape[-3], kq.shape[-2]
     G = H // Hkv
     bk = min(block_k, S)
     n_s = -(-S // bk)
@@ -262,32 +284,41 @@ def flash_decode_int8_hs(q: jnp.ndarray, kq: jnp.ndarray, ks: jnp.ndarray,
     validi = key_valid.astype(jnp.int32)[:, None, :]   # (B, 1, S)
     ext = jnp.full((B,), S, jnp.int32) if extent is None else \
         jnp.broadcast_to(jnp.asarray(extent, jnp.int32).reshape(-1), (B,))
+    lay = jnp.asarray(0 if layer is None else layer, jnp.int32).reshape(1)
 
-    def q_map(b, s, ext_ref):
+    def q_map(b, s, ext_ref, lay_ref):
         return (b, 0, 0, 0)
 
-    def kv_map(b, s, ext_ref):
+    def kv_map(b, s, ext_ref, lay_ref):
         last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
-        return (b, 0, jnp.minimum(s, last), 0)
+        blk = jnp.minimum(s, last)
+        return (lay_ref[0], b, 0, blk, 0) if layered else (b, 0, blk, 0)
 
-    def sc_map(b, s, ext_ref):
+    def sc_map(b, s, ext_ref, lay_ref):
+        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
+        blk = jnp.minimum(s, last)
+        return (lay_ref[0], b, 0, blk) if layered else (b, 0, blk)
+
+    def valid_map(b, s, ext_ref, lay_ref):
         last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
         return (b, 0, jnp.minimum(s, last))
 
+    kv_block = (1, 1, Hkv, bk, D) if layered else (1, Hkv, bk, D)
+    sc_block = (1, 1, Hkv, bk) if layered else (1, Hkv, bk)
     grid = (B, n_s)
     out = pl.pallas_call(
         functools.partial(_decode_int8_kernel, scale=scale, seq_len=S,
                           block_k=bk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, Hkv, G, D), q_map),
-                pl.BlockSpec((1, Hkv, bk, D), kv_map),
-                pl.BlockSpec((1, Hkv, bk), sc_map),
-                pl.BlockSpec((1, Hkv, bk, D), kv_map),
-                pl.BlockSpec((1, Hkv, bk), sc_map),
-                pl.BlockSpec((1, 1, bk), sc_map),
+                pl.BlockSpec(kv_block, kv_map),
+                pl.BlockSpec(sc_block, sc_map),
+                pl.BlockSpec(kv_block, kv_map),
+                pl.BlockSpec(sc_block, sc_map),
+                pl.BlockSpec((1, 1, bk), valid_map),
             ],
             out_specs=pl.BlockSpec((1, Hkv, G, D), q_map),
             scratch_shapes=[
@@ -298,7 +329,7 @@ def flash_decode_int8_hs(q: jnp.ndarray, kq: jnp.ndarray, ks: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
-    )(ext, qg, kq, ks, vq, vs, validi)
+    )(ext, lay, qg, kq, ks, vq, vs, validi)
     return out.reshape(B, 1, H, D)
 
 

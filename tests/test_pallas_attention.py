@@ -268,3 +268,78 @@ def test_flash_decode_int8_extent_matches_full():
                                 block_k=32, interpret=True,
                                 extent=jnp.asarray([50, 60], jnp.int32))
     np.testing.assert_allclose(np.asarray(outr), np.asarray(full), atol=2e-5)
+
+
+def test_engine_extent_kernel_matches_switch_path():
+    """Sequential engine with decode_extent_kernel (extent-clamped pallas
+    kernels, interpret) == the default lax.switch prefix-read engine.
+
+    Exactness proves the per-step extent (cache_pos + 1) covers every
+    written slot on the sequential path — a too-small extent would drop
+    real keys, a too-large one would read unwritten garbage slots (they
+    are key_valid-masked, so only the DMA bound would hide it)."""
+    import dataclasses
+    from moss_ttsd_tpu.core.config import LMConfig
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    from tests.test_decode import greedy_sampling, make_prompt
+
+    cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+    model = AsteroidLM(cfg)
+    params = model.init(jax.random.PRNGKey(5),
+                        jnp.zeros((1, 4, cfg.channels), np.int64))
+    rng = np.random.default_rng(9)
+    prompts = [make_prompt(cfg, rng, 5, 3), make_prompt(cfg, rng, 7, 2)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+
+    r_sw = GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
+                            cache_dtype=jnp.float32).generate(batch, mask, 12)
+    cfg_e = dataclasses.replace(cfg, pallas_interpret=True)
+    r_ext = GenerationEngine(cfg_e, params, greedy_sampling(), bucket=32,
+                             cache_dtype=jnp.float32,
+                             decode_extent_kernel=True
+                             ).generate(batch, mask, 12)
+    assert r_ext.steps == r_sw.steps
+    np.testing.assert_array_equal(r_ext.tokens[:, r_ext.base:],
+                                  r_sw.tokens[:, r_sw.base:])
+
+
+def test_flash_decode_layered_matches_sliced():
+    """layer= mode (full (L, ...) cache stacks, scalar-prefetched layer
+    index) == slicing the layer outside the kernel, for both bf16-shape and
+    int8 variants. The layered form exists so the kernel's operands never
+    go through a materialized dynamic_slice (models/lm.py decode path)."""
+    from moss_ttsd_tpu.ops.pallas_attention import (flash_decode_hs,
+                                                    flash_decode_int8_hs,
+                                                    quantize_kv)
+    rng = np.random.default_rng(12)
+    L, B, S, H, Hkv, D = 3, 2, 96, 8, 4, 16
+    q, _, _ = make_qkv(rng, B, 1, S, H, Hkv, D)
+    kt = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)), jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)), jnp.float32)
+    valid = np.zeros((B, S), bool)
+    valid[0, :33] = True
+    valid[1, 4:61] = True
+    scale = D ** -0.5
+    for lay in (0, 2):
+        ref = flash_decode_hs(q, kt[lay], vt[lay], jnp.asarray(valid), scale,
+                              block_k=32, interpret=True,
+                              extent=jnp.int32(61))
+        got = flash_decode_hs(q, kt, vt, jnp.asarray(valid), scale,
+                              block_k=32, interpret=True,
+                              extent=jnp.int32(61), layer=jnp.int32(lay))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+    kq, ks = quantize_kv(kt)
+    vq, vs = quantize_kv(vt)
+    for lay in (1, 2):
+        ref = flash_decode_int8_hs(q, kq[lay], ks[lay], vq[lay], vs[lay],
+                                   jnp.asarray(valid), scale, block_k=32,
+                                   interpret=True)
+        got = flash_decode_int8_hs(q, kq, ks, vq, vs, jnp.asarray(valid),
+                                   scale, block_k=32, interpret=True,
+                                   layer=jnp.int32(lay))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
