@@ -322,10 +322,14 @@ def bench_serving(n_requests=24, slots=8, trials=1, tiny=False, seed=0):
         done_tokens = 0
         latencies = []
         outputs = []
+        submitted = 0
         while len(latencies) < n_requests:
-            while queue and cb.free_slots:
-                p, b = queue.pop(0)
-                cb.submit(p, max_new_tokens=int(b), seed=len(latencies))
+            if queue and cb.free_slots:
+                burst = [queue.pop(0)
+                         for _ in range(min(cb.free_slots, len(queue)))]
+                cb.submit_many([(p, int(b), submitted + i)
+                                for i, (p, b) in enumerate(burst)])
+                submitted += len(burst)
             cb.run(steps=segment)
             for j, steps in cb.poll():          # one readback per segment
                 steps, tokens_dev = cb.collect_async(j, steps)
@@ -414,13 +418,15 @@ def bench_serving(n_requests=24, slots=8, trials=1, tiny=False, seed=0):
         lat = []
         while done < n_requests:
             now = time.perf_counter() - t0
+            burst = []
             while (next_i < n_requests and arrivals[next_i] <= now
-                   and cb.free_slots):
-                j = cb.submit(prompts[next_i],
-                              max_new_tokens=int(budgets[next_i]),
-                              seed=next_i)
-                owner[j] = next_i
+                   and len(burst) < cb.free_slots):
+                burst.append(next_i)
                 next_i += 1
+            if burst:                           # one batched prefill
+                js = cb.submit_many([(prompts[i], int(budgets[i]), i)
+                                     for i in burst])
+                owner.update(zip(js, burst))
             if cb.free_slots == slots:          # idle: wait for next arrival
                 time.sleep(max(0.0, arrivals[next_i] - now))
                 continue

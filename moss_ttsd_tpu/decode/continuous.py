@@ -320,11 +320,15 @@ class ContinuousBatcher:
             rng_r=jax.random.split(jax.random.PRNGKey(seed), B))
 
     @staticmethod
-    def _splice_impl(pool: PoolState, s1, j, max_new) -> PoolState:
-        """Install a prefilled batch-1 DecodeState into pool row j."""
-        row = lambda a, b: a.at[j].set(b[0])
-        cache = {k: pool.cache[k].at[:, j].set(v[:, 0])
-                 for k, v in s1.cache.items()}
+    def _splice_impl(pool: PoolState, s1, k, j, max_new, rng) -> PoolState:
+        """Install row ``k`` of a prefilled DecodeState into pool row ``j``.
+
+        ``rng`` is the request's own PRNGKey — the pool row starts the exact
+        rng chain of an isolated batch-1 engine run (whose prefill returns
+        the request key unsplit)."""
+        row = lambda a, b: a.at[j].set(b[k])
+        cache = {name: pool.cache[name].at[:, j].set(v[:, k])
+                 for name, v in s1.cache.items()}
         return PoolState(
             gstep=pool.gstep,
             active=pool.active.at[j].set(True),
@@ -340,9 +344,7 @@ class ContinuousBatcher:
             unfinished=pool.unfinished.at[j].set(True),
             presence_text=row(pool.presence_text, s1.presence_text),
             presence_speech=row(pool.presence_speech, s1.presence_speech),
-            # the engine's prefill returns the request PRNGKey unsplit —
-            # the row starts the exact rng chain of an isolated run
-            rng_r=pool.rng_r.at[j].set(s1.rng))
+            rng_r=pool.rng_r.at[j].set(rng))
 
     # ------------------------------------------------------------------
 
@@ -350,28 +352,23 @@ class ContinuousBatcher:
     def free_slots(self) -> int:
         return sum(self._slot_free)
 
-    def submit(self, shifted_prompt: np.ndarray,
-               max_new_tokens: Optional[int] = None,
-               seed: int = 0) -> Optional[int]:
-        """Join one request: shifted_prompt (Lp, C) — the delay-shifted
-        prompt (pipeline.prompt.shift_delay_pattern). Returns the slot id,
-        or None when the pool is full."""
-        try:
-            j = self._slot_free.index(True)
-        except ValueError:
-            return None
+    def _padded_row(self, shifted_prompt: np.ndarray):
+        """Left-pad one delay-shifted prompt (Lp, C) to the pool bucket."""
         Lp, C = shifted_prompt.shape
         if Lp > self.L:
             raise ValueError(
                 f"shifted prompt ({Lp} rows) exceeds the pool bucket "
                 f"({self.L}); raise base= or pre-chunk the prompt")
-        ids = np.zeros((1, self.L, C), np.int32)
-        ids[0, :, 0] = self.cfg.pad_token_id
-        ids[0, :, 1:] = self.cfg.speech_pad_token
-        ids[0, self.L - Lp:] = shifted_prompt
-        mask = np.zeros((1, self.L), np.int32)
-        mask[0, self.L - Lp:] = 1
+        ids = np.zeros((self.L, C), np.int32)
+        ids[:, 0] = self.cfg.pad_token_id
+        ids[:, 1:] = self.cfg.speech_pad_token
+        ids[self.L - Lp:] = shifted_prompt
+        mask = np.zeros((self.L,), np.int32)
+        mask[self.L - Lp:] = 1
+        return ids, mask
 
+    def _resolve_steps(self, shifted_prompt: np.ndarray,
+                       max_new_tokens: Optional[int]) -> int:
         if max_new_tokens is None and self.sampling.max_length is not None:
             # HF max_length total cap, counted like the static engine
             # (decode/engine.py _step_budget: the reference loop starts from
@@ -391,14 +388,90 @@ class ContinuousBatcher:
                 f"per-slot capacity ({self.max_steps}); raise max_steps= "
                 f"or route the request to the static engine (window "
                 f"scheduler)")
-        steps = min(max_new_tokens or self.sampling.max_new_tokens,
-                    self.max_steps)
-        s1 = self._prefill1(self.params, jnp.asarray(ids), jnp.asarray(mask),
-                            jax.random.PRNGKey(seed))
-        self.state = self._splice(self.state, s1, jnp.int32(j),
-                                  jnp.int32(steps))
+        return min(max_new_tokens or self.sampling.max_new_tokens,
+                   self.max_steps)
+
+    def submit(self, shifted_prompt: np.ndarray,
+               max_new_tokens: Optional[int] = None,
+               seed: int = 0) -> Optional[int]:
+        """Join one request: shifted_prompt (Lp, C) — the delay-shifted
+        prompt (pipeline.prompt.shift_delay_pattern). Returns the slot id,
+        or None when the pool is full."""
+        try:
+            j = self._slot_free.index(True)
+        except ValueError:
+            return None
+        ids, mask = self._padded_row(shifted_prompt)
+        steps = self._resolve_steps(shifted_prompt, max_new_tokens)
+        s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
+                            jnp.asarray(mask[None]), jax.random.PRNGKey(seed))
+        self.state = self._splice(self.state, s1, jnp.int32(0), jnp.int32(j),
+                                  jnp.int32(steps), s1.rng)
         self._slot_free[j] = False
         return j
+
+    def submit_many(self, requests) -> List[int]:
+        """Admit a burst of requests with ONE batched prefill.
+
+        ``requests``: list of ``(shifted_prompt, max_new_tokens, seed)``
+        tuples, at most ``free_slots`` long. Returns the slot ids in request
+        order. Validation (oversized prompt, over-capacity budget) runs for
+        the whole burst BEFORE any device work, so a ValueError leaves the
+        pool untouched — callers wanting per-request isolation catch it and
+        fall back to one-by-one ``submit``.
+
+        Why: admission cost is the prompt prefill, and prefill at batch K
+        costs barely more than batch 1 (weight-streaming-bound, like the
+        static engine's whole-batch prefill, reference generation_utils.py:
+        406). A K-request burst therefore admits ~K× faster than serial
+        ``submit`` calls. The batch is padded to the next power of two
+        (bounding compiled program count at log2(slots)); each row's decode
+        rng chain is still the request's own seed, so per-request
+        reproducibility is unchanged.
+        """
+        K = len(requests)
+        if K == 0:
+            return []
+        if K > self.free_slots:
+            raise ValueError(f"{K} requests exceed {self.free_slots} free "
+                             f"slots")
+        rows = []
+        for prompt, max_new_tokens, seed in requests:
+            ids, mask = self._padded_row(prompt)
+            rows.append((ids, mask,
+                         self._resolve_steps(prompt, max_new_tokens), seed))
+        if K == 1:
+            ids, mask, steps, seed = rows[0]
+            j = self._slot_free.index(True)
+            s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
+                                jnp.asarray(mask[None]),
+                                jax.random.PRNGKey(seed))
+            self.state = self._splice(self.state, s1, jnp.int32(0),
+                                      jnp.int32(j), jnp.int32(steps), s1.rng)
+            self._slot_free[j] = False
+            return [j]
+        # pad the batch to the next power of two with repeats of row 0
+        # (prefill memory stays proportional to the burst, and the number
+        # of compiled prefill shapes is bounded)
+        Kb = 1
+        while Kb < K:
+            Kb *= 2
+        Kb = min(Kb, self.slots)
+        ids = np.stack([r[0] for r in rows]
+                       + [rows[0][0]] * (Kb - K))
+        mask = np.stack([r[1] for r in rows]
+                        + [rows[0][1]] * (Kb - K))
+        s1 = self._prefill1(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                            jax.random.PRNGKey(0))
+        out: List[int] = []
+        for k, (_, _, steps, seed) in enumerate(rows):
+            j = self._slot_free.index(True)
+            self.state = self._splice(self.state, s1, jnp.int32(k),
+                                      jnp.int32(j), jnp.int32(steps),
+                                      jax.random.PRNGKey(seed))
+            self._slot_free[j] = False
+            out.append(j)
+        return out
 
     def run(self, steps: int = 25) -> None:
         """Advance every live row by up to ``steps`` decode steps."""

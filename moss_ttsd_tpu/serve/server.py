@@ -206,31 +206,67 @@ class ContinuousWorker:
     # -- pool plumbing --------------------------------------------------
 
     def _admit(self) -> None:
-        """Move queued requests into free pool slots."""
+        """Move queued requests into free pool slots.
+
+        A burst of queued requests joins through ONE batched prefill
+        (ContinuousBatcher.submit_many — prefill is weight-streaming-bound,
+        so batch K costs barely more than batch 1). If the burst contains a
+        bad request (oversized prompt / over-capacity budget) the batched
+        call rejects it up front and we fall back to one-by-one admission so
+        only the offending request errors out."""
         while self.cb.free_slots:
             with self._cv:
                 if not self._queue:
                     return
-                req = self._queue.pop(0)
-            try:
-                shifted, _ = self.pipeline.prepare_item(
-                    req.item, use_normalize=req.use_normalize)
-                slot = self.cb.submit(shifted,
-                                      max_new_tokens=req.max_new_tokens,
-                                      seed=req.seed)
-            except ValueError as e:
-                # deliberate rejections (oversized prompt, over-capacity
-                # budget) are client errors
-                req.error = f"bad request: {e}"
-                req.event.set()
+                burst = self._queue[:self.cb.free_slots]
+                del self._queue[:len(burst)]
+            prepared = []                       # [(req, shifted_prompt)]
+            for req in burst:
+                try:
+                    shifted, _ = self.pipeline.prepare_item(
+                        req.item, use_normalize=req.use_normalize)
+                    prepared.append((req, shifted))
+                except ValueError as e:
+                    req.error = f"bad request: {e}"
+                    req.event.set()
+                except Exception as e:              # noqa: BLE001
+                    req.error = f"server error: {e}"
+                    req.event.set()
+            if not prepared:
                 continue
+            try:
+                slots = self.cb.submit_many(
+                    [(shifted, req.max_new_tokens, req.seed)
+                     for req, shifted in prepared])
+                for (req, _), slot in zip(prepared, slots):
+                    self._live[slot] = req
+                    metrics.add("server_continuous_joins", 1)
+                continue
+            except ValueError:
+                pass        # isolate the bad request below
             except Exception as e:                  # noqa: BLE001
                 # device/compile/runtime failures are NOT the client's fault
-                req.error = f"server error: {e}"
-                req.event.set()
+                for req, _ in prepared:
+                    req.error = f"server error: {e}"
+                    req.event.set()
                 continue
-            self._live[slot] = req
-            metrics.add("server_continuous_joins", 1)
+            for req, shifted in prepared:
+                try:
+                    slot = self.cb.submit(shifted,
+                                          max_new_tokens=req.max_new_tokens,
+                                          seed=req.seed)
+                except ValueError as e:
+                    # deliberate rejections (oversized prompt, over-capacity
+                    # budget) are client errors
+                    req.error = f"bad request: {e}"
+                    req.event.set()
+                    continue
+                except Exception as e:              # noqa: BLE001
+                    req.error = f"server error: {e}"
+                    req.event.set()
+                    continue
+                self._live[slot] = req
+                metrics.add("server_continuous_joins", 1)
 
     def _drain_finished(self) -> None:
         done = self.cb.poll()         # one readback: (slot, steps) pairs

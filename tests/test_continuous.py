@@ -431,3 +431,98 @@ def test_pool_len_aware_extent_matches_full_reads(setup):
     for i in range(3):
         assert got[i].steps == ref[i].steps
         np.testing.assert_array_equal(got[i].tokens, ref[i].tokens)
+
+
+def test_submit_many_matches_sequential(setup):
+    """A burst admitted through one batched prefill reproduces the isolated
+    static-engine outputs token-for-token (greedy, per-request budgets)."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(13)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 9, 2),
+               make_prompt(cfg, rng, 4, 7)]
+    budgets = [20, 14, 18]
+    expected = [isolated_greedy(cfg, params, p, b)
+                for p, b in zip(prompts, budgets)]
+
+    cb = make_batcher(cfg, params, slots=4)
+    slots = cb.submit_many(list(zip(prompts, budgets, [0, 0, 0])))
+    assert len(slots) == 3 and cb.free_slots == 1
+    for _ in range(12):
+        cb.run(steps=4)
+        if len(cb.finished()) == 3:
+            break
+    for slot, exp in zip(slots, expected):
+        got = cb.collect(slot)
+        assert got.steps == exp.steps
+        np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                      exp.tokens[0, exp.base:])
+
+
+def test_submit_many_burst_into_running_pool(setup):
+    """A burst joins a pool with a live row mid-decode without disturbing
+    it; burst validation failures leave the pool untouched."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(14)
+    p0 = make_prompt(cfg, rng, 6, 4)
+    pa, pb = make_prompt(cfg, rng, 9, 2), make_prompt(cfg, rng, 4, 7)
+    exp0 = isolated_greedy(cfg, params, p0, 20)
+    expa = isolated_greedy(cfg, params, pa, 12)
+    expb = isolated_greedy(cfg, params, pb, 16)
+
+    cb = make_batcher(cfg, params, slots=3)
+    s0 = cb.submit(p0, max_new_tokens=20)
+    cb.run(steps=5)
+    with pytest.raises(ValueError):               # burst > free slots
+        cb.submit_many([(pa, 12, 0), (pb, 16, 0), (p0, 20, 0)])
+    assert cb.free_slots == 2
+    with pytest.raises(ValueError):               # over-capacity budget:
+        cb.submit_many([(pa, 12, 0), (pb, 999, 0)])   # rejected pre-device
+    assert cb.free_slots == 2
+    sa, sb = cb.submit_many([(pa, 12, 0), (pb, 16, 0)])
+    for _ in range(12):
+        cb.run(steps=4)
+        if len(cb.finished()) == 3:
+            break
+    for slot, exp in ((s0, exp0), (sa, expa), (sb, expb)):
+        got = cb.collect(slot)
+        assert got.steps == exp.steps
+        np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                      exp.tokens[0, exp.base:])
+
+
+def test_submit_many_sampled_seeds(setup):
+    """Batched admission keeps per-request seed reproducibility: each row
+    of the burst replays its own isolated sampled run."""
+    from moss_ttsd_tpu.core.config import ChannelSamplingConfig, SamplingConfig
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    cfg, model, params = setup
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=8, top_p=0.9)
+                  for _ in range(cfg.channels)],
+        max_new_tokens=16)
+
+    def isolated(prompt, steps, seed):
+        batch, mask = left_pad_batch([prompt], cfg.pad_token_id,
+                                     cfg.speech_pad_token)
+        eng = GenerationEngine(cfg, params, sampling,
+                               bucket=BASE + cfg.channels - 1,
+                               cache_dtype=jnp.float32, step_bucket=32)
+        return eng.generate(batch, mask, max_new_tokens=steps, seed=seed)
+
+    rng = np.random.default_rng(15)
+    prompts = [make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 8, 3)]
+    expected = [isolated(prompts[0], 14, 123), isolated(prompts[1], 10, 7)]
+
+    cb = ContinuousBatcher(cfg, params, sampling, slots=2, base=BASE,
+                           max_steps=32, cache_dtype=jnp.float32)
+    slots = cb.submit_many([(prompts[0], 14, 123), (prompts[1], 10, 7)])
+    for _ in range(10):
+        cb.run(steps=4)
+        if len(cb.finished()) == 2:
+            break
+    for slot, exp in zip(slots, expected):
+        got = cb.collect(slot)
+        assert got.steps == exp.steps
+        np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                      exp.tokens[0, exp.base:])
