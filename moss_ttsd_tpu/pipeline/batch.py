@@ -9,7 +9,10 @@ un-shift -> codec decode -> per-item audio.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import threading
 import time
+from collections import OrderedDict
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -49,12 +52,16 @@ class TTSPipeline:
                  spt: XYTokenizer, sampling: Optional[SamplingConfig] = None,
                  bucket: int = 128, mesh=None, quant: Optional[str] = None,
                  vocode_rows_per_call: Optional[int] = 4,
-                 overlap_vocode: bool = True):
+                 overlap_vocode: bool = True, encode_cache_size: int = 16):
         """``vocode_rows_per_call`` batch-splits each vocode chunk so the
         device computes group i+1 while the host reads group i back (see
         XYTokenizer.decode); ``overlap_vocode`` dispatches completed 30 s
         codec chunks while the LM is still decoding (multi-chunk outputs
-        only — a single-window output has nothing to overlap)."""
+        only — a single-window output has nothing to overlap).
+        ``encode_cache_size`` LRU-caches prompt-audio codec encodings in the
+        per-request path (prepare_item): serving with fixed voices (podcast
+        defaults, a product voice bank) otherwise re-runs the 12-layer codec
+        encoders on the SAME prompt wav for every request. 0 disables."""
         self.tokenizer = tokenizer
         self.lm_cfg = lm_cfg
         self.engine = GenerationEngine(lm_cfg, lm_params, sampling,
@@ -66,6 +73,9 @@ class TTSPipeline:
         # must be < spt.chunk_seconds
         self.vocode_overlap_s = min(10, max(0, spt.chunk_seconds - 1))
         self.timings = PhaseTimings()
+        self.encode_cache_size = encode_cache_size
+        self._encode_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._encode_cache_lock = threading.Lock()
 
     @classmethod
     def load(cls, model_path: str, spt_config_path: str, spt_ckpt_path: str,
@@ -126,17 +136,45 @@ class TTSPipeline:
 
     def prepare_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
                      use_normalize: bool = False):
-        """One JSONL item -> (shifted prompt ids, text metadata)."""
+        """One JSONL item -> (shifted prompt ids, text metadata).
+
+        Prompt-audio codec encodings are LRU-cached by wav content hash
+        (``encode_cache_size``): codec encode is deterministic in the wav,
+        so a repeated prompt voice (the common serving case — fixed podcast
+        voices, a cloned-speaker session) skips the two 12-layer encoder
+        stacks entirely after its first request."""
         final_text, meta, wav = self._prepare_text(item, use_normalize)
-        audio_codes = None
-        if wav is not None:
-            t0 = time.perf_counter()
-            codes = self.spt.encode([wav])["codes_list"][0]     # (nq, T)
-            audio_codes = np.asarray(codes).T                   # (T, nq)
-            dt = time.perf_counter() - t0
-            self.timings.tokenize_s += dt
-            metrics.add("tokenize_s", dt)
+        audio_codes = self._encode_prompt_cached(wav) if wav is not None \
+            else None
         return self._assemble(final_text, audio_codes, system_prompt), meta
+
+    def _encode_prompt_cached(self, wav: np.ndarray) -> np.ndarray:
+        """Codec-encode ONE prompt wav -> (T, nq) codes, LRU-cached by wav
+        content hash. Cached results are exact: encode is deterministic in
+        the wav and every cache fill comes from the same batch-1 codec call
+        a miss would make."""
+        key = None
+        if self.encode_cache_size > 0:
+            key = hashlib.sha1(
+                np.ascontiguousarray(wav, np.float32).tobytes()).hexdigest()
+            with self._encode_cache_lock:
+                cached = self._encode_cache.get(key)
+                if cached is not None:
+                    self._encode_cache.move_to_end(key)
+                    metrics.add("tokenize_cache_hits", 1)
+                    return cached
+        t0 = time.perf_counter()
+        codes = self.spt.encode([wav])["codes_list"][0]     # (nq, T)
+        audio_codes = np.asarray(codes).T                   # (T, nq)
+        dt = time.perf_counter() - t0
+        self.timings.tokenize_s += dt
+        metrics.add("tokenize_s", dt)
+        if key is not None:
+            with self._encode_cache_lock:
+                self._encode_cache[key] = audio_codes
+                while len(self._encode_cache) > self.encode_cache_size:
+                    self._encode_cache.popitem(last=False)
+        return audio_codes
 
     def process_batch(self, batch_items: List[dict],
                       system_prompt: str = SYSTEM_PROMPT,
@@ -173,7 +211,12 @@ class TTSPipeline:
 
         wavs = [wav for _, _, _, wav in staged if wav is not None]
         codes_list = []
-        if wavs:
+        if len(wavs) == 1:
+            # a single-voice batch is encode-identical to the per-request
+            # path, so it shares the LRU cache (repeated gradio clicks /
+            # batch-1 server groups with a fixed voice skip the encoders)
+            codes_list = [self._encode_prompt_cached(wavs[0]).T]
+        elif wavs:
             t0 = time.perf_counter()
             codes_list = self.spt.encode(wavs)["codes_list"]
             dt = time.perf_counter() - t0

@@ -228,3 +228,68 @@ def test_process_batch_batched_prompt_encode_matches_per_item(tmp_path):
                                             lm_cfg.speech_pad_token)
     np.testing.assert_array_equal(captured["batch"], exp_batch)
     np.testing.assert_array_equal(captured["mask"], exp_mask)
+
+
+def test_prepare_item_encode_cache(tmp_path):
+    """A repeated prompt voice skips the codec encoders: prepare_item
+    LRU-caches codes by wav content hash, and the cached request produces
+    the identical shifted prompt. encode_cache_size=0 disables."""
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(3)
+    wav = (rng.normal(0, 0.1, 16000) * 32767).astype(np.int16)
+    path = tmp_path / "voice.wav"
+    wavfile.write(path, 16000, wav)
+    item = {"text": "[S1]hello there", "prompt_audio": str(path),
+            "prompt_text": "[S1]ref"}
+
+    pipe = build_tiny_pipeline()
+    calls = []
+    real_encode = pipe.spt.encode
+    pipe.spt.encode = lambda *a, **k: (calls.append(1)
+                                       or real_encode(*a, **k))
+    first, _ = pipe.prepare_item(item)
+    assert len(calls) == 1
+    second, _ = pipe.prepare_item(item)
+    assert len(calls) == 1, "second request should hit the encode cache"
+    np.testing.assert_array_equal(first, second)
+    # a different wav is a different key
+    wavfile.write(path, 16000, (wav * 0.5).astype(np.int16))
+    pipe.prepare_item(item)
+    assert len(calls) == 2
+
+    pipe.encode_cache_size = 0
+    pipe.prepare_item(item)
+    pipe.prepare_item(item)
+    assert len(calls) == 4, "cache disabled: every request encodes"
+
+
+def test_process_batch_single_voice_uses_cache(tmp_path):
+    """A single-voice process_batch call shares the prompt-encode cache
+    (it is encode-identical to the per-request path) and reproduces the
+    uncached synthesis exactly."""
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(5)
+    wav = (rng.normal(0, 0.1, 16000) * 32767).astype(np.int16)
+    path = tmp_path / "voice.wav"
+    wavfile.write(path, 16000, wav)
+    item = {"text": "[S1]cache check[S2]sure", "prompt_audio": str(path),
+            "prompt_text": "[S1]ref"}
+
+    pipe = build_tiny_pipeline()
+    calls = []
+    real_encode = pipe.spt.encode
+    pipe.spt.encode = lambda *a, **k: (calls.append(1)
+                                       or real_encode(*a, **k))
+    _, audio1 = pipe.process_batch([item], max_new_tokens=6, seed=1)
+    assert len(calls) == 1
+    _, audio2 = pipe.process_batch([item], max_new_tokens=6, seed=1)
+    assert len(calls) == 1, "repeat voice should hit the encode cache"
+    if audio1[0] is None:       # tiny random model may emit no speech ids
+        assert audio2[0] is None
+    else:
+        np.testing.assert_array_equal(audio1[0]["audio_data"],
+                                      audio2[0]["audio_data"])
