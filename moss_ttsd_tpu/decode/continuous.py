@@ -61,6 +61,9 @@ class PoolState(NamedTuple):
                                  # stream, so sampled outputs are
                                  # reproducible per request (they bit-match
                                  # an isolated batch-1 engine run)
+    adapter_r: jnp.ndarray       # (B,) int32 — per-row LoRA adapter id into
+                                 # the registered multi-LoRA stacks
+                                 # (0 = base model, models/lm.py Qwen3Block)
 
 
 def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
@@ -90,7 +93,7 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
     def is_speech(tok):
         return (tok >= speech_lo) & (tok < speech_hi)
 
-    def body(params, state: PoolState) -> PoolState:
+    def body(params, state: PoolState, adapters) -> PoolState:
         srow = state.step_r                              # (B,)
         cur_r = base + srow                  # (B,) per-row TOKEN buffer pos
         slot = base + state.gstep            # shared cache slot (ring clock
@@ -189,7 +192,8 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         hidden, new_cache = model.apply(
             params, next_tokens[:, None, :], positions, key_valid,
             state.cache, slot, adv, method=AsteroidLM.backbone,
-            read_extent=ext)
+            read_extent=ext, adapters=adapters,
+            adapter_ids=state.adapter_r)
         hidden = jnp.where(adv[:, None, None], hidden, state.hidden_last)
 
         return PoolState(
@@ -206,16 +210,17 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
             needs=needs,
             unfinished=unfinished & state.active,
             presence_text=presence_text, presence_speech=presence_speech,
-            rng_r=jnp.where(adv[:, None], rng_r, state.rng_r))
+            rng_r=jnp.where(adv[:, None], rng_r, state.rng_r),
+            adapter_r=state.adapter_r)
 
-    def segment(params, state: PoolState, k) -> PoolState:
+    def segment(params, state: PoolState, k, adapters) -> PoolState:
         def cond(carry):
             t, st = carry
             return (t < k) & jnp.any(st.active & st.unfinished)
 
         def step(carry):
             t, st = carry
-            return t + 1, body(params, st)
+            return t + 1, body(params, st, adapters)
 
         _, state = jax.lax.while_loop(cond, step, (jnp.int32(0), state))
         return state
@@ -277,14 +282,14 @@ class ContinuousBatcher:
             self.model, self.cfg, self.sampling, base, max_steps, cache_dtype)
         psh = eng._param_shardings
         if mesh is not None:
+            repl = eng._repl_sharding
             self._prefill1 = jax.jit(
                 self._prefill1,
-                in_shardings=(psh, eng._repl_sharding, eng._repl_sharding,
-                              eng._repl_sharding))
+                in_shardings=(psh, repl, repl, repl, repl, repl))
             self._segment = jax.jit(_build_segment_fn(
                 self.model, self.cfg, self.sampling, base, max_steps,
                 len_aware=len_aware),
-                donate_argnums=(1,), in_shardings=(psh, None, None))
+                donate_argnums=(1,), in_shardings=(psh, None, None, repl))
         else:
             self._prefill1 = jax.jit(self._prefill1)
             self._segment = jax.jit(_build_segment_fn(
@@ -296,6 +301,11 @@ class ContinuousBatcher:
 
         self.state = self._init_state(seed)
         self._slot_free = [True] * slots
+        # multi-LoRA registry: adapter name -> row id into the stacked
+        # factors (id 0 = base model / zero adapter)
+        self._adapter_ids: dict = {None: 0, "": 0}
+        self._adapter_list: list = []      # id-1 -> {target: (a, b*scale)}
+        self._lora_stacks: dict = {}       # target -> (a (L,N,in,r), b)
 
     # ------------------------------------------------------------------
 
@@ -317,15 +327,17 @@ class ContinuousBatcher:
             presence_text=jnp.zeros((B, cfg.vocab_size), bool),
             presence_speech=jnp.zeros(
                 (B, C - 1, cfg.speech_vocab_size), bool),
-            rng_r=jax.random.split(jax.random.PRNGKey(seed), B))
+            rng_r=jax.random.split(jax.random.PRNGKey(seed), B),
+            adapter_r=jnp.zeros((B,), jnp.int32))
 
     @staticmethod
-    def _splice_impl(pool: PoolState, s1, k, j, max_new, rng) -> PoolState:
+    def _splice_impl(pool: PoolState, s1, k, j, max_new, rng,
+                     aid) -> PoolState:
         """Install row ``k`` of a prefilled DecodeState into pool row ``j``.
 
         ``rng`` is the request's own PRNGKey — the pool row starts the exact
         rng chain of an isolated batch-1 engine run (whose prefill returns
-        the request key unsplit)."""
+        the request key unsplit). ``aid`` is the row's LoRA adapter id."""
         row = lambda a, b: a.at[j].set(b[k])
         cache = {name: pool.cache[name].at[:, j].set(v[:, k])
                  for name, v in s1.cache.items()}
@@ -344,7 +356,97 @@ class ContinuousBatcher:
             unfinished=pool.unfinished.at[j].set(True),
             presence_text=row(pool.presence_text, s1.presence_text),
             presence_speech=row(pool.presence_speech, s1.presence_speech),
-            rng_r=pool.rng_r.at[j].set(rng))
+            rng_r=pool.rng_r.at[j].set(rng),
+            adapter_r=pool.adapter_r.at[j].set(aid))
+
+    # -- multi-LoRA adapters -------------------------------------------
+
+    def register_adapter(self, name: str, lora: dict, alpha: float = 32.0,
+                         use_rslora: bool = True) -> int:
+        """Register a LoRA adapter for per-request serving; returns its id.
+
+        ``lora`` is either the flat factor tree (train/lora.init_lora
+        format, {".../<target>/kernel": {"a": (L, in, r), "b": (L, r, out)}})
+        or the layerwise trainable tree the finetune CLI saves as
+        lora_factors.npz (nested dict with lora_a/lora_b leaves,
+        train/lora.split_lora_tree) — both with scan-stacked layer leading
+        dims. The LoRA scale (reference peft r/alpha/rslora semantics,
+        finetune.py:165-175) folds into ``b`` here, and adapters of
+        different ranks zero-pad to the widest — both exact.
+
+        Registration rebuilds the stacked factor arrays (their N dimension
+        grows), so the next prefill/segment call recompiles: register every
+        adapter BEFORE serving traffic. Rows select adapters per request via
+        ``submit(..., adapter=name)``; the base model is adapter=None.
+        Beyond the reference, which serves ONE voice per deployed checkpoint
+        (LoRA merged at export, finetune.py:237-241)."""
+        from ..train.lora import lora_scale
+        if name in self._adapter_ids:
+            raise ValueError(f"adapter {name!r} already registered")
+        lora = self._normalize_lora_tree(lora)
+        entry = {}
+        for key, ab in lora.items():
+            parts = key.split("/")
+            target = parts[-2] if parts[-1] == "kernel" else parts[-1]
+            a = np.asarray(ab["a"], np.float32)
+            b = np.asarray(ab["b"], np.float32)
+            if a.ndim != 3 or b.ndim != 3:
+                raise ValueError(
+                    f"adapter {name!r} target {target!r}: expected "
+                    f"scan-stacked (L, in, r)/(L, r, out) factors, got "
+                    f"{a.shape}/{b.shape}")
+            rank = a.shape[-1]
+            entry[target] = (a, b * lora_scale(rank, alpha, use_rslora))
+        if not entry:
+            raise ValueError(f"adapter {name!r}: no LoRA factors found")
+        self._adapter_list.append(entry)
+        aid = len(self._adapter_list)
+        self._adapter_ids[name] = aid
+        self._rebuild_stacks()
+        return aid
+
+    @staticmethod
+    def _normalize_lora_tree(lora: dict) -> dict:
+        """Accept init_lora's flat format as-is; flatten a layerwise
+        trainable tree (lora_a/lora_b leaves) into it."""
+        if lora and all(isinstance(v, dict) and {"a", "b"} <= set(v)
+                        for v in lora.values()):
+            return lora
+        groups: dict = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(lora)[0]:
+            names = [getattr(k, "key", str(k)) for k in path]
+            if names[-1] in ("lora_a", "lora_b"):
+                key = "/".join(names[:-1]) + "/kernel"
+                groups.setdefault(key, {})[names[-1][-1]] = leaf
+        return {k: v for k, v in groups.items() if {"a", "b"} <= set(v)}
+
+    def _rebuild_stacks(self) -> None:
+        targets = sorted({t for e in self._adapter_list for t in e})
+        N = len(self._adapter_list) + 1            # id 0 = zero adapter
+        dt = jnp.dtype(self.cfg.dtype)
+        stacks = {}
+        for t in targets:
+            shapes = [e[t] for e in self._adapter_list if t in e]
+            L, fin, _ = shapes[0][0].shape
+            fout = shapes[0][1].shape[-1]
+            r = max(a.shape[-1] for a, _ in shapes)
+            A = np.zeros((L, N, fin, r), np.float32)
+            B = np.zeros((L, N, r, fout), np.float32)
+            for i, e in enumerate(self._adapter_list):
+                if t in e:
+                    a, b = e[t]
+                    A[:, i + 1, :, :a.shape[-1]] = a
+                    B[:, i + 1, :b.shape[1]] = b
+            stacks[t] = (jnp.asarray(A, dt), jnp.asarray(B, dt))
+        self._lora_stacks = stacks
+
+    def _adapter_id(self, adapter) -> int:
+        try:
+            return self._adapter_ids[adapter]
+        except KeyError:
+            raise ValueError(
+                f"unknown adapter {adapter!r}; registered: "
+                f"{[k for k in self._adapter_ids if k]}") from None
 
     # ------------------------------------------------------------------
 
@@ -393,32 +495,37 @@ class ContinuousBatcher:
 
     def submit(self, shifted_prompt: np.ndarray,
                max_new_tokens: Optional[int] = None,
-               seed: int = 0) -> Optional[int]:
+               seed: int = 0, adapter: Optional[str] = None) -> Optional[int]:
         """Join one request: shifted_prompt (Lp, C) — the delay-shifted
         prompt (pipeline.prompt.shift_delay_pattern). Returns the slot id,
-        or None when the pool is full."""
+        or None when the pool is full. ``adapter`` selects a registered
+        LoRA adapter for this request (None = base model)."""
         try:
             j = self._slot_free.index(True)
         except ValueError:
             return None
+        aid = self._adapter_id(adapter)
         ids, mask = self._padded_row(shifted_prompt)
         steps = self._resolve_steps(shifted_prompt, max_new_tokens)
         s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
-                            jnp.asarray(mask[None]), jax.random.PRNGKey(seed))
+                            jnp.asarray(mask[None]), jax.random.PRNGKey(seed),
+                            self._lora_stacks,
+                            jnp.full((1,), aid, jnp.int32))
         self.state = self._splice(self.state, s1, jnp.int32(0), jnp.int32(j),
-                                  jnp.int32(steps), s1.rng)
+                                  jnp.int32(steps), s1.rng, jnp.int32(aid))
         self._slot_free[j] = False
         return j
 
     def submit_many(self, requests) -> List[int]:
         """Admit a burst of requests with ONE batched prefill.
 
-        ``requests``: list of ``(shifted_prompt, max_new_tokens, seed)``
-        tuples, at most ``free_slots`` long. Returns the slot ids in request
-        order. Validation (oversized prompt, over-capacity budget) runs for
-        the whole burst BEFORE any device work, so a ValueError leaves the
-        pool untouched — callers wanting per-request isolation catch it and
-        fall back to one-by-one ``submit``.
+        ``requests``: list of ``(shifted_prompt, max_new_tokens, seed)`` or
+        ``(shifted_prompt, max_new_tokens, seed, adapter)`` tuples, at most
+        ``free_slots`` long. Returns the slot ids in request order.
+        Validation (oversized prompt, over-capacity budget, unknown adapter)
+        runs for the whole burst BEFORE any device work, so a ValueError
+        leaves the pool untouched — callers wanting per-request isolation
+        catch it and fall back to one-by-one ``submit``.
 
         Why: admission cost is the prompt prefill, and prefill at batch K
         costs barely more than batch 1 (weight-streaming-bound, like the
@@ -436,18 +543,23 @@ class ContinuousBatcher:
             raise ValueError(f"{K} requests exceed {self.free_slots} free "
                              f"slots")
         rows = []
-        for prompt, max_new_tokens, seed in requests:
+        for req in requests:
+            prompt, max_new_tokens, seed = req[:3]
+            aid = self._adapter_id(req[3] if len(req) > 3 else None)
             ids, mask = self._padded_row(prompt)
             rows.append((ids, mask,
-                         self._resolve_steps(prompt, max_new_tokens), seed))
+                         self._resolve_steps(prompt, max_new_tokens), seed,
+                         aid))
         if K == 1:
-            ids, mask, steps, seed = rows[0]
+            ids, mask, steps, seed, aid = rows[0]
             j = self._slot_free.index(True)
             s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
                                 jnp.asarray(mask[None]),
-                                jax.random.PRNGKey(seed))
+                                jax.random.PRNGKey(seed), self._lora_stacks,
+                                jnp.full((1,), aid, jnp.int32))
             self.state = self._splice(self.state, s1, jnp.int32(0),
-                                      jnp.int32(j), jnp.int32(steps), s1.rng)
+                                      jnp.int32(j), jnp.int32(steps), s1.rng,
+                                      jnp.int32(aid))
             self._slot_free[j] = False
             return [j]
         # pad the batch to the next power of two with repeats of row 0
@@ -461,21 +573,26 @@ class ContinuousBatcher:
                        + [rows[0][0]] * (Kb - K))
         mask = np.stack([r[1] for r in rows]
                         + [rows[0][1]] * (Kb - K))
+        aids = np.asarray([r[4] for r in rows]
+                          + [rows[0][4]] * (Kb - K), np.int32)
         s1 = self._prefill1(self.params, jnp.asarray(ids), jnp.asarray(mask),
-                            jax.random.PRNGKey(0))
+                            jax.random.PRNGKey(0), self._lora_stacks,
+                            jnp.asarray(aids))
         out: List[int] = []
-        for k, (_, _, steps, seed) in enumerate(rows):
+        for k, (_, _, steps, seed, aid) in enumerate(rows):
             j = self._slot_free.index(True)
             self.state = self._splice(self.state, s1, jnp.int32(k),
                                       jnp.int32(j), jnp.int32(steps),
-                                      jax.random.PRNGKey(seed))
+                                      jax.random.PRNGKey(seed),
+                                      jnp.int32(aid))
             self._slot_free[j] = False
             out.append(j)
         return out
 
     def run(self, steps: int = 25) -> None:
         """Advance every live row by up to ``steps`` decode steps."""
-        self.state = self._segment(self.params, self.state, jnp.int32(steps))
+        self.state = self._segment(self.params, self.state, jnp.int32(steps),
+                                   self._lora_stacks)
 
     def poll(self) -> List[tuple]:
         """[(slot, steps), ...] for completed requests — ONE device->host

@@ -206,10 +206,13 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             presence_text=presence_text, presence_speech=presence_speech,
             rng=rng)
 
-    def prefill(params, tokens_full, attn_mask, rng) -> DecodeState:
+    def prefill(params, tokens_full, attn_mask, rng, adapters=None,
+                adapter_ids=None) -> DecodeState:
         """tokens_full: (B, L, C) shifted prompt (bucketed, left-padded);
         attn_mask: (B, L) 1=real. Runs the prompt forward and returns the
-        ready-to-decode state."""
+        ready-to-decode state. adapters/adapter_ids: optional multi-LoRA
+        stacks + per-row adapter selection (continuous pool serving; the
+        prompt must prefill through the SAME adapter the row decodes with)."""
         B = tokens_full.shape[0]
         buf = jnp.zeros((B, S, C), tokens_full.dtype)
         buf = buf.at[:, :L].set(tokens_full)
@@ -222,7 +225,8 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
         cache = init_cache(cfg, B, S, cache_dtype)
         hidden, cache = model.apply(
             params, buf[:, :base], positions, key_valid, cache, 0,
-            method=AsteroidLM.backbone)
+            method=AsteroidLM.backbone, adapters=adapters,
+            adapter_ids=adapter_ids)
 
         return DecodeState(
             step=jnp.int32(0), tokens=buf, cache=cache, key_valid=key_valid,

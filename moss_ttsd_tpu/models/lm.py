@@ -124,7 +124,8 @@ class Qwen3Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, cache, layer_idx, cos, sin, mask, cache_pos,
-                 write_gate=None, read_extent=None):
+                 write_gate=None, read_extent=None, adapters=None,
+                 adapter_ids=None):
         c = self.cfg
         dtype = x.dtype
         H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -135,14 +136,38 @@ class Qwen3Block(nn.Module):
 
         def dense(feat, name, use_bias=False):
             if c.quantized:
-                return QDense(feat, use_bias=use_bias, dtype=dtype, name=name)
-            if c.lora_rank and name in c.lora_targets:
+                base = QDense(feat, use_bias=use_bias, dtype=dtype, name=name)
+            elif c.lora_rank and name in c.lora_targets:
                 import math
                 scale = (c.lora_alpha / math.sqrt(c.lora_rank)
                          if c.lora_rslora else c.lora_alpha / c.lora_rank)
-                return LoRADense(feat, rank=c.lora_rank, scale=scale,
+                base = LoRADense(feat, rank=c.lora_rank, scale=scale,
                                  use_bias=use_bias, dtype=dtype, name=name)
-            return nn.Dense(feat, use_bias=use_bias, dtype=dtype, name=name)
+            else:
+                base = nn.Dense(feat, use_bias=use_bias, dtype=dtype,
+                                name=name)
+            if not adapters or name not in adapters:
+                return base
+
+            # multi-LoRA serving (S-LoRA style): every row of the batch can
+            # run a DIFFERENT adapter. ``adapters[name]`` holds this layer's
+            # stacked factors a (N, in, r), b (N, r, out) — the per-adapter
+            # LoRA scale is folded into b at registration (every leaf here
+            # is scanned over the layer axis, so a bare (N,) scale vector
+            # cannot ride along). Rows gather their own factors by adapter
+            # id and the delta is two rank-sized batched einsums. Index 0 is
+            # the zero adapter (base model). Beyond the reference, which can
+            # only bake ONE LoRA into the weights at export
+            # (finetune.py:237-241).
+            def with_adapter(h):
+                y = base(h)
+                a, b = adapters[name]
+                a_sel = jnp.take(a, adapter_ids, axis=0)      # (B, in, r)
+                b_sel = jnp.take(b, adapter_ids, axis=0)      # (B, r, out)
+                delta = jnp.einsum("bti,bir->btr", h, a_sel.astype(dtype))
+                delta = jnp.einsum("btr,bro->bto", delta, b_sel.astype(dtype))
+                return y + delta
+            return with_adapter
 
         h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln")(x)
         q = dense(H * D, "q_proj", c.attention_bias)(h)
@@ -350,11 +375,12 @@ class _ScanBlock(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, carry, cos, sin, mask, write_gate, read_extent):
+    def __call__(self, carry, cos, sin, mask, write_gate, read_extent,
+                 adapters, adapter_ids):
         x, cache, layer_idx, cache_pos = carry
         x, cache = Qwen3Block(self.cfg, name="block")(
             x, cache, layer_idx, cos, sin, mask, cache_pos, write_gate,
-            read_extent)
+            read_extent, adapters, adapter_ids)
         return (x, cache, layer_idx + 1, cache_pos), None
 
 
@@ -394,8 +420,10 @@ class AsteroidLM(nn.Module):
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
+            # adapters (multi-LoRA stacks) are per-layer xs: each leaf is
+            # (L, N, ...) and the scan hands layer l its (N, ...) slice
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast),
+                     nn.broadcast, 0, nn.broadcast),
             out_axes=0,
             length=c.num_hidden_layers,
         )(c, name="layers")
@@ -431,7 +459,9 @@ class AsteroidLM(nn.Module):
     def backbone(self, input_ids: jnp.ndarray, positions: jnp.ndarray,
                  key_valid: Optional[jnp.ndarray], cache: Optional[dict],
                  cache_pos, write_gate: Optional[jnp.ndarray] = None,
-                 read_extent=None) -> Tuple[jnp.ndarray, Optional[dict]]:
+                 read_extent=None, adapters: Optional[dict] = None,
+                 adapter_ids: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[dict]]:
         """Run the decoder stack.
 
         input_ids: (B, T, C); positions: (B, T) absolute positions (RoPE);
@@ -444,6 +474,9 @@ class AsteroidLM(nn.Module):
                    rows keep their old sliver, and causality/ordering is
                    carried entirely by key_valid (slot index != time order),
                    so the attention mask is the validity mask alone.
+        adapters: optional multi-LoRA stacks {target: (a (L, N, in, r),
+                   b (L, N, r, out), scale (N,))}; adapter_ids (B,) int32
+                   selects each row's adapter (0 = base). See Qwen3Block.
         Returns (hidden (B, T, hidden), new_cache).
         """
         c = self.cfg
@@ -468,7 +501,8 @@ class AsteroidLM(nn.Module):
 
         carry = (x, cache_in, jnp.int32(0), jnp.asarray(cache_pos, jnp.int32))
         (x, new_cache, _, _), _ = self.blocks(carry, cos, sin, mask,
-                                              write_gate, read_extent)
+                                              write_gate, read_extent,
+                                              adapters or {}, adapter_ids)
         x = self.final_norm(x)
         return x, (None if cache is None else new_cache)
 
