@@ -95,6 +95,52 @@ class SpeechAPIClient:
         raise RuntimeError(f"speech API failed after {self.max_retries} "
                            f"retries: {last_err}")
 
+    def stream_speech(self, text: str,
+                      references: Optional[List[Dict]] = None,
+                      extra: Optional[Dict] = None, chunk_samples: int = 4096):
+        """POST with ``stream: true`` -> yields (float32 audio chunk,
+        sample_rate) as the server generates — playback can start ~TTFA
+        after the request instead of after the whole synthesis.
+
+        The server emits raw 16-bit mono PCM (``audio/L16; rate=N``). No
+        retries: replaying a half-delivered stream would repeat audio.
+        Capability the reference's hosted API lacks (use_api.py:171-206
+        returns whole files).
+        """
+        import requests
+        payload = {
+            "model": self.model,
+            "input": text,
+            "stream": True,
+            "response_format": "pcm",
+            "max_tokens": MAX_TOKENS,
+        }
+        if references:
+            payload["references"] = references
+        if extra:
+            payload.update(extra)
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        with requests.post(f"{self.base_url}/audio/speech", json=payload,
+                           headers=headers, timeout=self.timeout,
+                           stream=True) as r:
+            r.raise_for_status()
+            ct = r.headers.get("Content-Type", "")
+            sr = 24000
+            if "rate=" in ct:
+                sr = int(ct.split("rate=")[1].split(";")[0].strip())
+            carry = b""
+            for raw in r.iter_content(chunk_size=2 * chunk_samples):
+                if not raw:
+                    continue
+                raw = carry + raw
+                n = len(raw) // 2 * 2           # PCM16 alignment
+                carry = raw[n:]
+                if n:
+                    yield (np.frombuffer(raw[:n], "<i2").astype(np.float32)
+                           / 32768.0, sr)
+
 
 def build_references(item: dict) -> List[Dict]:
     """JSONL item -> API `references` list (base64 audio + text)."""

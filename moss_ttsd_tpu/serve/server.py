@@ -7,6 +7,8 @@ OpenAI SDK) can run against a local TPU:
   POST /v1/audio/speech   {"input": "...", "references": [{"audio": b64 wav,
                            "text": "..."}], "seed"?, "max_tokens"?}
                           -> audio/wav bytes
+                          with "stream": true -> raw 16-bit PCM chunks
+                          (audio/L16) as generation progresses
   GET  /v1/metrics        -> pipeline metrics snapshot (utils.profiling)
   GET  /health            -> ok
 
@@ -52,13 +54,15 @@ def wav_array_to_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
 
 class _Request:
     __slots__ = ("item", "max_new_tokens", "seed", "use_normalize", "event",
-                 "wav_bytes", "error")
+                 "wav_bytes", "error", "adapter")
 
-    def __init__(self, item, max_new_tokens, seed, use_normalize):
+    def __init__(self, item, max_new_tokens, seed, use_normalize,
+                 adapter=None):
         self.item = item
         self.max_new_tokens = max_new_tokens
         self.seed = seed
         self.use_normalize = use_normalize
+        self.adapter = adapter          # LoRA adapter name (OpenAI "voice")
         self.event = threading.Event()
         self.wav_bytes: Optional[bytes] = None
         self.error: Optional[str] = None
@@ -169,7 +173,9 @@ class ContinuousWorker:
 
     def __init__(self, pipeline, slots: int = 8, base: int = 512,
                  max_steps: int = 2048, segment_steps: int = 25,
-                 kv_quant: Optional[str] = "auto"):
+                 kv_quant: Optional[str] = "auto",
+                 adapters: Optional[Dict[str, dict]] = None,
+                 adapter_alpha: float = 32.0):
         from ..decode.continuous import ContinuousBatcher
         self.pipeline = pipeline
         eng = pipeline.engine
@@ -184,6 +190,10 @@ class ContinuousWorker:
             eng.cfg, eng.params, eng.sampling, slots=slots, base=base,
             max_steps=max_steps, cache_dtype=eng.cache_dtype,
             quant=eng.quant, kv_quant=kv_quant, mesh=eng.mesh)
+        # per-request LoRA voices (multi-LoRA serving): registered up front
+        # so the pool's compiled shapes are final before traffic arrives
+        for name, tree in (adapters or {}).items():
+            self.cb.register_adapter(name, tree, alpha=adapter_alpha)
         self.segment_steps = segment_steps
         self._queue: List[_Request] = []
         self._live: Dict[int, _Request] = {}        # slot -> request
@@ -236,7 +246,7 @@ class ContinuousWorker:
                 continue
             try:
                 slots = self.cb.submit_many(
-                    [(shifted, req.max_new_tokens, req.seed)
+                    [(shifted, req.max_new_tokens, req.seed, req.adapter)
                      for req, shifted in prepared])
                 for (req, _), slot in zip(prepared, slots):
                     self._live[slot] = req
@@ -254,7 +264,7 @@ class ContinuousWorker:
                 try:
                     slot = self.cb.submit(shifted,
                                           max_new_tokens=req.max_new_tokens,
-                                          seed=req.seed)
+                                          seed=req.seed, adapter=req.adapter)
                 except ValueError as e:
                     # deliberate rejections (oversized prompt, over-capacity
                     # budget) are client errors
@@ -359,6 +369,8 @@ def _references_to_item(text: str, references: List[Dict]) -> dict:
 
 
 def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
+    stream_lock = threading.Lock()      # one streaming generation at a time
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):    # quiet by default
             pass
@@ -407,15 +419,43 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             except (KeyError, json.JSONDecodeError, ValueError,
                     TypeError) as e:
                 return self._json_error(400, f"bad request: {e}")
-            if payload.get("response_format", "wav") != "wav":
+            voice = payload.get("voice") or None
+            if voice in ("default", "base"):
+                voice = None
+            if voice is not None:
+                cb = getattr(worker, "cb", None)
+                known = getattr(cb, "_adapter_ids", {})
+                if cb is None:
+                    return self._json_error(
+                        400, "voice (LoRA adapter) serving requires the "
+                             "continuous scheduler")
+                if voice not in known:
+                    return self._json_error(
+                        400, f"unknown voice {voice!r}; available: "
+                             f"{sorted(k for k in known if k)}")
+            stream = bool(payload.get("stream", False))
+            if stream and voice is not None:
+                return self._json_error(
+                    400, "streaming does not support voice adapters yet")
+            fmt = payload.get("response_format", "pcm" if stream else "wav")
+            if stream and fmt != "pcm":
+                return self._json_error(
+                    400, "streaming supports response_format=pcm only "
+                         "(raw 16-bit mono PCM chunks)")
+            if not stream and fmt != "wav":
                 return self._json_error(400, "only response_format=wav supported")
             try:
                 item = _references_to_item(text, payload.get("references", []))
             except Exception as e:                  # noqa: BLE001
                 return self._json_error(400, f"bad reference audio: {e}")
+            if stream:
+                return self._stream_speech(
+                    item, max_tokens, seed,
+                    bool(payload.get("normalize", False)))
 
             req = _Request(item, max_tokens, seed,
-                           bool(payload.get("normalize", False)))
+                           bool(payload.get("normalize", False)),
+                           adapter=voice)
             worker.submit(req)
             if not req.event.wait(request_timeout_s):
                 return self._json_error(504, "generation timed out")
@@ -427,6 +467,51 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             self.send_header("Content-Length", str(len(req.wav_bytes)))
             self.end_headers()
             self.wfile.write(req.wav_bytes)
+
+        def _stream_speech(self, item, max_tokens, seed, normalize) -> None:
+            """Stream raw 16-bit PCM as generation progresses.
+
+            First audio leaves the socket ~TTFA after the request (prefill +
+            a ~1 s first segment + one small vocode, pipeline.stream_item)
+            instead of after the whole synthesis. The response has no
+            Content-Length and the connection closes at end-of-audio
+            (HTTP/1.0 delimited body — every HTTP client understands it).
+            Streaming bypasses the batching worker (it is the latency path);
+            concurrent streaming requests serialize on a lock. Capability
+            the reference lacks end-to-end (its hosted API and Gradio both
+            return whole files, use_api.py:171-206, SURVEY §3.4).
+            """
+            pipe = worker.pipeline
+            with stream_lock:
+                gen = pipe.stream_item(item, use_normalize=normalize,
+                                       max_new_tokens=max_tokens, seed=seed)
+                try:
+                    # pull the first chunk BEFORE sending headers so prompt/
+                    # codec errors still produce a proper JSON error status
+                    chunk, sr = next(gen)
+                except StopIteration:
+                    return self._json_error(
+                        500, "generation produced no speech tokens")
+                except ValueError as e:
+                    return self._json_error(400, f"bad request: {e}")
+                except Exception as e:              # noqa: BLE001
+                    return self._json_error(500, f"server error: {e}")
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 f"audio/L16; rate={sr}; channels=1")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                try:
+                    while True:
+                        pcm = (np.clip(chunk, -1.0, 1.0)
+                               * 32767.0).astype("<i2").tobytes()
+                        self.wfile.write(pcm)
+                        self.wfile.flush()
+                        chunk, sr = next(gen)
+                except StopIteration:
+                    metrics.add("server_streamed", 1)
+                except (BrokenPipeError, ConnectionResetError):
+                    gen.close()         # client went away: stop generating
 
     return Handler
 
@@ -443,13 +528,19 @@ class SpeechServer:
                  max_batch: int = 8, batch_window_s: float = 0.05,
                  scheduler: str = "window", pool_base: int = 512,
                  pool_max_steps: int = 2048, segment_steps: int = 25,
-                 pool_kv_quant: Optional[str] = "auto"):
+                 pool_kv_quant: Optional[str] = "auto",
+                 lora_adapters: Optional[Dict[str, dict]] = None,
+                 adapter_alpha: float = 32.0):
         if scheduler == "continuous":
             self.worker = ContinuousWorker(
                 pipeline, slots=max_batch, base=pool_base,
                 max_steps=pool_max_steps, segment_steps=segment_steps,
-                kv_quant=pool_kv_quant)
+                kv_quant=pool_kv_quant, adapters=lora_adapters,
+                adapter_alpha=adapter_alpha)
         elif scheduler == "window":
+            if lora_adapters:
+                raise ValueError("lora_adapters (per-request voices) "
+                                 "require scheduler='continuous'")
             self.worker = BatchingWorker(pipeline, max_batch, batch_window_s)
         else:
             raise ValueError(f"unknown scheduler {scheduler!r}")
@@ -505,7 +596,23 @@ def main(argv=None):
                    help="continuous: int8 KV cache; auto (default) enables "
                         "it when the pool cache is >= 512 slots (the "
                         "measured v5e crossover where int8 wins)")
+    p.add_argument("--lora_adapter", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="register a LoRA voice for per-request selection "
+                        "(payload \"voice\"); PATH is a lora_factors.npz "
+                        "from the finetune CLI. Repeatable; continuous "
+                        "scheduler only")
+    p.add_argument("--adapter_alpha", type=float, default=32.0,
+                   help="LoRA alpha the adapters were trained with")
     args = p.parse_args(argv)
+
+    lora_adapters = {}
+    for spec in args.lora_adapter:
+        name, _, path = spec.partition("=")
+        if not path:
+            p.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
+        from ..core.checkpoint import load_pytree
+        lora_adapters[name] = load_pytree(path)
 
     mesh = None
     if args.mesh:
@@ -524,7 +631,9 @@ def main(argv=None):
                           scheduler=args.scheduler, pool_base=args.pool_base,
                           pool_max_steps=args.pool_max_steps,
                           segment_steps=args.segment_steps,
-                          pool_kv_quant=args.pool_kv_quant)
+                          pool_kv_quant=args.pool_kv_quant,
+                          lora_adapters=lora_adapters or None,
+                          adapter_alpha=args.adapter_alpha)
     print(f"serving on {args.host}:{server.port} "
           f"(scheduler={args.scheduler}, max_batch={args.max_batch})")
     server.start()

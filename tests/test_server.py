@@ -143,3 +143,101 @@ def test_continuous_scheduler_rejects_oversized_prompt(continuous_server):
               {"input": "[S1]" + "long words here " * 40 + "[S2]ok",
                "max_tokens": 4})
     assert e.value.code == 400      # client error, not server fault
+
+
+def test_streaming_endpoint_emits_pcm_chunks(server):
+    """stream=true returns raw PCM16 over a close-delimited response; the
+    concatenated stream is real audio, delivered across multiple reads."""
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+    conn.request("POST", "/v1/audio/speech",
+                 json.dumps({"input": "[S1]streaming hello[S2]indeed",
+                             "stream": True, "max_tokens": 24, "seed": 3}),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.headers["Content-Type"].startswith("audio/L16")
+    assert "rate=" in r.headers["Content-Type"]
+    chunks = []
+    while True:
+        b = r.read(8192)
+        if not b:
+            break
+        chunks.append(b)
+    conn.close()
+    pcm = b"".join(chunks)
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+    wav = np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0
+    assert wav.size > 500 and np.isfinite(wav).all()
+
+
+def test_streaming_client_helper(server):
+    """SpeechAPIClient.stream_speech yields float chunks with the rate."""
+    base = f"http://127.0.0.1:{server.port}/v1"
+    client = SpeechAPIClient(base, model="tiny", max_retries=1)
+    got = list(client.stream_speech("[S1]chunk me[S2]ok",
+                                    extra={"max_tokens": 16, "seed": 2}))
+    assert got, "no chunks streamed"
+    total = np.concatenate([c for c, _ in got])
+    assert total.size > 0 and np.isfinite(total).all()
+    assert all(sr == got[0][1] and sr > 0 for _, sr in got)
+
+
+def test_streaming_rejects_wav_format(server):
+    base = f"http://127.0.0.1:{server.port}"
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]x", "stream": True, "response_format": "wav"})
+    assert ei.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def lora_server():
+    """Continuous server with one registered LoRA voice."""
+    import jax
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from moss_ttsd_tpu.train.lora import init_lora
+    pipe = build_tiny_pipeline()
+    lora = init_lora(pipe.engine.params, jax.random.PRNGKey(3), rank=2)
+    assert lora, "tiny engine params produced no LoRA targets"
+    srv = SpeechServer(pipe, host="127.0.0.1", port=0, max_batch=2,
+                       scheduler="continuous", pool_base=192,
+                       pool_max_steps=32, segment_steps=4,
+                       lora_adapters={"narrator": lora})
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_voice_adapter_request(lora_server):
+    base = f"http://127.0.0.1:{lora_server.port}"
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]voice test[S2]ok", "max_tokens": 10,
+               "voice": "narrator"})
+    wav, _ = wav_bytes_to_array(r.read())
+    assert len(wav) > 0 and np.isfinite(wav).all()
+    # default voice still serves
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]plain[S2]ok", "max_tokens": 10,
+               "voice": "default"})
+    wav, _ = wav_bytes_to_array(r.read())
+    assert len(wav) > 0
+
+
+def test_voice_unknown_is_400(lora_server):
+    import urllib.error
+    base = f"http://127.0.0.1:{lora_server.port}"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]x", "voice": "whoami", "max_tokens": 4})
+    assert e.value.code == 400
+
+
+def test_voice_on_window_scheduler_is_400(server):
+    import urllib.error
+    base = f"http://127.0.0.1:{server.port}"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]x", "voice": "any", "max_tokens": 4})
+    assert e.value.code == 400
