@@ -641,11 +641,82 @@ def bench_codec_train(batch=2, secs=10, trials=3, tiny=False):
          batch=batch, clip_secs=secs, ms_per_step=round(best * 1e3, 1))
 
 
+def bench_multilora(slots=8, n_adapters=4, rank=16, trials=3, tiny=False):
+    """Multi-LoRA pool tax: pooled decode steps/s with every row on its own
+    LoRA adapter vs the plain pool. The adapter path adds per-row factor
+    gathers + two rank-sized batched einsums per target per layer
+    (models/lm.py Qwen3Block); this measures what that costs at the serving
+    geometry."""
+    import numpy as np
+    from moss_ttsd_tpu.decode.continuous import ContinuousBatcher
+
+    log("multilora: init LM params...")
+    cfg, params, sampling = make_bench_lm(tiny, 256)
+    base, max_steps = 64, 96 if tiny else 256
+    rng = np.random.default_rng(0)
+
+    def prompt(n=40):
+        p = np.full((n, cfg.channels), cfg.speech_pad_token, np.int32)
+        p[:, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), n)
+        return p
+
+    prompts = [prompt() for _ in range(slots)]
+
+    # factor trees straight from the config shapes (the bench params are
+    # pre-quantized, so init_lora would find no bf16 kernels to target)
+    def lora_factors(seed):
+        L, hd = cfg.num_hidden_layers, cfg.hidden_size
+        HD = cfg.num_attention_heads * cfg.head_dim
+        KD = cfg.num_key_value_heads * cfg.head_dim
+        shapes = {"q_proj": (hd, HD), "k_proj": (hd, KD),
+                  "v_proj": (hd, KD), "o_proj": (HD, hd),
+                  "gate_proj": (hd, cfg.intermediate_size),
+                  "up_proj": (hd, cfg.intermediate_size),
+                  "down_proj": (cfg.intermediate_size, hd)}
+        frng = np.random.default_rng(seed)
+        return {f"params/layers/block/{t}/kernel":
+                {"a": frng.normal(0, 0.02, (L, fi, rank)).astype(np.float32),
+                 "b": frng.normal(0, 0.02, (L, rank, fo)).astype(np.float32)}
+                for t, (fi, fo) in shapes.items()}
+
+    adapters = [lora_factors(100 + i) for i in range(n_adapters)]
+
+    def measure(with_adapters):
+        cb = ContinuousBatcher(cfg, params, sampling, slots=slots, base=base,
+                               max_steps=max_steps, quant="int8")
+        names = []
+        if with_adapters:
+            for i, tree in enumerate(adapters):
+                cb.register_adapter(f"v{i}", tree)
+                names.append(f"v{i}")
+        for j, p in enumerate(prompts):
+            cb.submit(p, max_new_tokens=max_steps, seed=j,
+                      adapter=names[j % len(names)] if names else None)
+        cb.run(steps=8)                            # compile + warm
+        float(np.asarray(cb.state.gstep))
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            cb.run(steps=32)
+            float(np.asarray(cb.state.gstep))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return 32 / best
+
+    plain = measure(False)
+    lora = measure(True)
+    log(f"multilora: {lora:.1f} steps/s with {n_adapters} adapters (r{rank}) "
+        f"vs {plain:.1f} plain ({100 * (1 - lora / plain):.1f}% tax)")
+    emit("multilora_pool_steps_per_s", round(lora, 1), "steps_per_sec",
+         plain_steps_per_s=round(plain, 1), n_adapters=n_adapters, rank=rank,
+         slots=slots, overhead_pct=round(100 * (1 - lora / plain), 1))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="codec,clone,ttfa,longform",
                     help="comma list of codec,clone,ttfa,longform,serving,"
-                         "batchsweep,finetune,codectrain")
+                         "batchsweep,finetune,codectrain,multilora")
     ap.add_argument("--steps", type=int, default=256,
                     help="decode steps for the voice-clone config")
     ap.add_argument("--batch", type=int, default=8)
@@ -693,6 +764,10 @@ def main(argv=None):
 
     if "codectrain" in configs:
         bench_codec_train(tiny=args.tiny)
+
+    if "multilora" in configs:
+        bench_multilora(slots=2 if args.tiny else 8,
+                        n_adapters=2 if args.tiny else 4, tiny=args.tiny)
 
 
 if __name__ == "__main__":
