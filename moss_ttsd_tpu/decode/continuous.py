@@ -301,11 +301,9 @@ class ContinuousBatcher:
 
         self.state = self._init_state(seed)
         self._slot_free = [True] * slots
-        # multi-LoRA registry: adapter name -> row id into the stacked
-        # factors (id 0 = base model / zero adapter)
-        self._adapter_ids: dict = {None: 0, "": 0}
-        self._adapter_list: list = []      # id-1 -> {target: (a, b*scale)}
-        self._lora_stacks: dict = {}       # target -> (a (L,N,in,r), b)
+        # multi-LoRA registry (decode/lora_registry.py): id 0 = base model
+        from .lora_registry import LoraRegistry
+        self.lora = LoraRegistry(jnp.dtype(self.cfg.dtype))
 
     # ------------------------------------------------------------------
 
@@ -365,88 +363,15 @@ class ContinuousBatcher:
                          use_rslora: bool = True) -> int:
         """Register a LoRA adapter for per-request serving; returns its id.
 
-        ``lora`` is either the flat factor tree (train/lora.init_lora
-        format, {".../<target>/kernel": {"a": (L, in, r), "b": (L, r, out)}})
-        or the layerwise trainable tree the finetune CLI saves as
-        lora_factors.npz (nested dict with lora_a/lora_b leaves,
-        train/lora.split_lora_tree) — both with scan-stacked layer leading
-        dims. The LoRA scale (reference peft r/alpha/rslora semantics,
-        finetune.py:165-175) folds into ``b`` here, and adapters of
-        different ranks zero-pad to the widest — both exact.
-
-        Registration rebuilds the stacked factor arrays (their N dimension
-        grows), so the next prefill/segment call recompiles: register every
-        adapter BEFORE serving traffic. Rows select adapters per request via
+        See decode/lora_registry.LoraRegistry.register for the accepted
+        factor-tree formats and the scale/rank-padding semantics.
+        Registration grows the stacked arrays' N dimension, so the next
+        prefill/segment call recompiles: register every adapter BEFORE
+        serving traffic. Rows select adapters per request via
         ``submit(..., adapter=name)``; the base model is adapter=None.
         Beyond the reference, which serves ONE voice per deployed checkpoint
         (LoRA merged at export, finetune.py:237-241)."""
-        from ..train.lora import lora_scale
-        if name in self._adapter_ids:
-            raise ValueError(f"adapter {name!r} already registered")
-        lora = self._normalize_lora_tree(lora)
-        entry = {}
-        for key, ab in lora.items():
-            parts = key.split("/")
-            target = parts[-2] if parts[-1] == "kernel" else parts[-1]
-            a = np.asarray(ab["a"], np.float32)
-            b = np.asarray(ab["b"], np.float32)
-            if a.ndim != 3 or b.ndim != 3:
-                raise ValueError(
-                    f"adapter {name!r} target {target!r}: expected "
-                    f"scan-stacked (L, in, r)/(L, r, out) factors, got "
-                    f"{a.shape}/{b.shape}")
-            rank = a.shape[-1]
-            entry[target] = (a, b * lora_scale(rank, alpha, use_rslora))
-        if not entry:
-            raise ValueError(f"adapter {name!r}: no LoRA factors found")
-        self._adapter_list.append(entry)
-        aid = len(self._adapter_list)
-        self._adapter_ids[name] = aid
-        self._rebuild_stacks()
-        return aid
-
-    @staticmethod
-    def _normalize_lora_tree(lora: dict) -> dict:
-        """Accept init_lora's flat format as-is; flatten a layerwise
-        trainable tree (lora_a/lora_b leaves) into it."""
-        if lora and all(isinstance(v, dict) and {"a", "b"} <= set(v)
-                        for v in lora.values()):
-            return lora
-        groups: dict = {}
-        for path, leaf in jax.tree_util.tree_flatten_with_path(lora)[0]:
-            names = [getattr(k, "key", str(k)) for k in path]
-            if names[-1] in ("lora_a", "lora_b"):
-                key = "/".join(names[:-1]) + "/kernel"
-                groups.setdefault(key, {})[names[-1][-1]] = leaf
-        return {k: v for k, v in groups.items() if {"a", "b"} <= set(v)}
-
-    def _rebuild_stacks(self) -> None:
-        targets = sorted({t for e in self._adapter_list for t in e})
-        N = len(self._adapter_list) + 1            # id 0 = zero adapter
-        dt = jnp.dtype(self.cfg.dtype)
-        stacks = {}
-        for t in targets:
-            shapes = [e[t] for e in self._adapter_list if t in e]
-            L, fin, _ = shapes[0][0].shape
-            fout = shapes[0][1].shape[-1]
-            r = max(a.shape[-1] for a, _ in shapes)
-            A = np.zeros((L, N, fin, r), np.float32)
-            B = np.zeros((L, N, r, fout), np.float32)
-            for i, e in enumerate(self._adapter_list):
-                if t in e:
-                    a, b = e[t]
-                    A[:, i + 1, :, :a.shape[-1]] = a
-                    B[:, i + 1, :b.shape[1]] = b
-            stacks[t] = (jnp.asarray(A, dt), jnp.asarray(B, dt))
-        self._lora_stacks = stacks
-
-    def _adapter_id(self, adapter) -> int:
-        try:
-            return self._adapter_ids[adapter]
-        except KeyError:
-            raise ValueError(
-                f"unknown adapter {adapter!r}; registered: "
-                f"{[k for k in self._adapter_ids if k]}") from None
+        return self.lora.register(name, lora, alpha, use_rslora)
 
     # ------------------------------------------------------------------
 
@@ -504,12 +429,12 @@ class ContinuousBatcher:
             j = self._slot_free.index(True)
         except ValueError:
             return None
-        aid = self._adapter_id(adapter)
+        aid = self.lora.id_of(adapter)
         ids, mask = self._padded_row(shifted_prompt)
         steps = self._resolve_steps(shifted_prompt, max_new_tokens)
         s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
                             jnp.asarray(mask[None]), jax.random.PRNGKey(seed),
-                            self._lora_stacks,
+                            self.lora.stacks,
                             jnp.full((1,), aid, jnp.int32))
         self.state = self._splice(self.state, s1, jnp.int32(0), jnp.int32(j),
                                   jnp.int32(steps), s1.rng, jnp.int32(aid))
@@ -545,7 +470,7 @@ class ContinuousBatcher:
         rows = []
         for req in requests:
             prompt, max_new_tokens, seed = req[:3]
-            aid = self._adapter_id(req[3] if len(req) > 3 else None)
+            aid = self.lora.id_of(req[3] if len(req) > 3 else None)
             ids, mask = self._padded_row(prompt)
             rows.append((ids, mask,
                          self._resolve_steps(prompt, max_new_tokens), seed,
@@ -555,7 +480,7 @@ class ContinuousBatcher:
             j = self._slot_free.index(True)
             s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
                                 jnp.asarray(mask[None]),
-                                jax.random.PRNGKey(seed), self._lora_stacks,
+                                jax.random.PRNGKey(seed), self.lora.stacks,
                                 jnp.full((1,), aid, jnp.int32))
             self.state = self._splice(self.state, s1, jnp.int32(0),
                                       jnp.int32(j), jnp.int32(steps), s1.rng,
@@ -576,7 +501,7 @@ class ContinuousBatcher:
         aids = np.asarray([r[4] for r in rows]
                           + [rows[0][4]] * (Kb - K), np.int32)
         s1 = self._prefill1(self.params, jnp.asarray(ids), jnp.asarray(mask),
-                            jax.random.PRNGKey(0), self._lora_stacks,
+                            jax.random.PRNGKey(0), self.lora.stacks,
                             jnp.asarray(aids))
         out: List[int] = []
         for k, (_, _, steps, seed, aid) in enumerate(rows):
@@ -592,7 +517,7 @@ class ContinuousBatcher:
     def run(self, steps: int = 25) -> None:
         """Advance every live row by up to ``steps`` decode steps."""
         self.state = self._segment(self.params, self.state, jnp.int32(steps),
-                                   self._lora_stacks)
+                                   self.lora.stacks)
 
     def poll(self) -> List[tuple]:
         """[(slot, steps), ...] for completed requests — ONE device->host

@@ -141,7 +141,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
     def is_speech(tok):
         return (tok >= speech_lo) & (tok < speech_hi)
 
-    def body(params, state: DecodeState) -> DecodeState:
+    def body(params, state: DecodeState, adapters, adapter_ids) -> DecodeState:
         s = state.step
         cur_len = base + s
         text_logits, speech_logits = model.apply(
@@ -197,7 +197,8 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             params, next_tokens[:, None, :], positions, key_valid,
             state.cache, cur_len, method=AsteroidLM.backbone,
             read_extent=(jnp.asarray(cur_len, jnp.int32) + 1
-                         if cfg.decode_extent_kernel else None))
+                         if cfg.decode_extent_kernel else None),
+            adapters=adapters, adapter_ids=adapter_ids)
 
         return DecodeState(
             step=s + 1, tokens=tokens, cache=new_cache,
@@ -239,13 +240,15 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
                     buf[:, :base, 1:], cfg.speech_vocab_size), 0, 1),
             rng=rng)
 
-    def run(params, state: DecodeState, upto) -> DecodeState:
+    def run(params, state: DecodeState, upto, adapters=None,
+            adapter_ids=None) -> DecodeState:
         """Decode until step == upto or every row finished (jit-friendly:
         upto is a traced scalar so one compiled program serves all segment
-        boundaries)."""
+        boundaries). adapters/adapter_ids: optional multi-LoRA stacks +
+        per-row selection (see models/lm.py Qwen3Block)."""
         return jax.lax.while_loop(
             lambda st: (st.step < upto) & jnp.any(st.unfinished),
-            lambda st: body(params, st),
+            lambda st: body(params, st, adapters, adapter_ids),
             state)
 
     return prefill, run
@@ -366,6 +369,30 @@ class GenerationEngine:
         self.max_cached_programs = max_cached_programs
         self.cache_dtype = cache_dtype
         self._compiled: OrderedDict = OrderedDict()
+        # multi-LoRA registry (decode/lora_registry.py): id 0 = base model;
+        # generate()/generate_stream() select per request via adapter=
+        from .lora_registry import LoraRegistry
+        self.lora = LoraRegistry(jnp.dtype(self.cfg.dtype))
+
+    def register_adapter(self, name: str, lora: dict, alpha: float = 32.0,
+                         use_rslora: bool = True) -> int:
+        """Register a LoRA adapter for per-request static-path serving
+        (see decode/lora_registry.LoraRegistry.register). Registration grows
+        the stacked arrays, so the next generate call retraces — register
+        every adapter before serving traffic."""
+        return self.lora.register(name, lora, alpha, use_rslora)
+
+    def _adapter_operands(self, adapter, batch: int):
+        """(stacks, ids) operands for prefill/run — (None, None) when the
+        registry is empty and no adapter was requested."""
+        if not self.lora:
+            named = ([adapter] if adapter is None or isinstance(adapter, str)
+                     else list(adapter))
+            if any(a not in (None, "") for a in named):
+                raise ValueError(
+                    f"unknown adapter {adapter!r}; none registered")
+            return None, None
+        return self.lora.stacks, self.lora.row_ids(adapter, batch)
 
     def _get_fns(self, base: int, buf_steps: int):
         """(prefill, run) for one (prompt-base, buffer-capacity) key, with an
@@ -384,11 +411,12 @@ class GenerationEngine:
         # donate the carried DecodeState: without it every segmented run call
         # (generate_stream / continuous splice) copies the full KV cache in
         if self.mesh is not None:
+            repl = self._repl_sharding
             io_sh = (self._param_shardings, self._data_sharding,
-                     self._data_sharding, self._repl_sharding)
+                     self._data_sharding, repl, repl, repl)
             prefill = jax.jit(prefill, in_shardings=io_sh)
             run = jax.jit(run, in_shardings=(self._param_shardings,
-                                             None, None),
+                                             None, None, repl, repl),
                           donate_argnums=(1,))
         else:
             prefill = jax.jit(prefill)
@@ -435,19 +463,26 @@ class GenerationEngine:
         return input_ids, attention_mask, L_b - C + 1
 
     def generate(self, input_ids: np.ndarray, attention_mask: np.ndarray,
-                 max_new_tokens: Optional[int] = None, seed: int = 0) -> GenerateResult:
+                 max_new_tokens: Optional[int] = None, seed: int = 0,
+                 adapter=None) -> GenerateResult:
         """input_ids: (B, L, C) delay-shifted prompt, left-padded;
         attention_mask: (B, L). Mirrors reference model.generate()
         (generation_utils.py:406-409) with jitted execution.
+
+        adapter: a registered LoRA adapter name applied to the whole batch,
+        or a per-row list of names (None = base model) — prefill and every
+        decode step run through the selected adapters (register_adapter).
         """
         max_steps, buf_steps = self._step_budget(max_new_tokens,
                                                  input_ids.shape[1])
+        stacks, aids = self._adapter_operands(adapter, input_ids.shape[0])
         input_ids, attention_mask, base = self._bucket_prompt(input_ids,
                                                               attention_mask)
         prefill, run = self._get_fns(base, buf_steps)
         state = prefill(self.params, jnp.asarray(input_ids),
-                        jnp.asarray(attention_mask), jax.random.PRNGKey(seed))
-        state = run(self.params, state, jnp.int32(max_steps))
+                        jnp.asarray(attention_mask), jax.random.PRNGKey(seed),
+                        stacks, aids)
+        state = run(self.params, state, jnp.int32(max_steps), stacks, aids)
         steps = int(state.step)
         return GenerateResult(tokens=np.asarray(state.tokens[:, :base + steps]),
                               steps=steps, base=base)
@@ -455,7 +490,8 @@ class GenerationEngine:
     def generate_stream(self, input_ids: np.ndarray, attention_mask: np.ndarray,
                         max_new_tokens: Optional[int] = None, seed: int = 0,
                         chunk_steps: int = 25,
-                        boundaries: Optional[List[int]] = None):
+                        boundaries: Optional[List[int]] = None,
+                        adapter=None):
         """Incremental generation: yields GenerateResult after every
         ``chunk_steps`` decode steps (25 steps = 2 s of audio @12.5 Hz), or
         at the given absolute ``boundaries`` step counts (then to max_steps)
@@ -474,11 +510,13 @@ class GenerationEngine:
         """
         max_steps, buf_steps = self._step_budget(max_new_tokens,
                                                  input_ids.shape[1])
+        stacks, aids = self._adapter_operands(adapter, input_ids.shape[0])
         input_ids, attention_mask, base = self._bucket_prompt(input_ids,
                                                               attention_mask)
         prefill, run = self._get_fns(base, buf_steps)
         state = prefill(self.params, jnp.asarray(input_ids),
-                        jnp.asarray(attention_mask), jax.random.PRNGKey(seed))
+                        jnp.asarray(attention_mask), jax.random.PRNGKey(seed),
+                        stacks, aids)
         B, L, C = input_ids.shape
         host = np.zeros((B, base + buf_steps, C), np.int32)
         host[:, :L] = input_ids            # decode overwrites rows >= base
@@ -490,7 +528,7 @@ class GenerationEngine:
                 upto = next((b for b in bounds if b > done), max_steps)
             else:
                 upto = min(done + chunk_steps, max_steps)
-            state = run(self.params, state, jnp.int32(upto))
+            state = run(self.params, state, jnp.int32(upto), stacks, aids)
             # ONE blocking sync per segment: slice the token buffer by the
             # static segment bound (steps <= upto; rows past the actual stop
             # are unwritten and never exposed) so step counter, new tokens

@@ -179,7 +179,8 @@ class TTSPipeline:
     def process_batch(self, batch_items: List[dict],
                       system_prompt: str = SYSTEM_PROMPT,
                       start_idx: int = 0, use_normalize: bool = False,
-                      max_new_tokens: Optional[int] = None, seed: int = 0):
+                      max_new_tokens: Optional[int] = None, seed: int = 0,
+                      adapter=None):
         """Reference process_batch parity (generation_utils.py:341-477).
 
         Returns (actual_texts_data, audio_results); audio_results entries are
@@ -195,6 +196,9 @@ class TTSPipeline:
         process_inputs, generation_utils.py:198 — serial batch-1 codec calls
         that would leave the compiled encoder's batch dimension idle here).
         Variable prompt lengths are masked inside the codec.
+
+        ``adapter``: a registered LoRA voice for the whole batch, or a
+        per-item list (aligned to batch_items; None entries = base model).
         """
         staged, texts_data = [], []   # staged: (i, meta_slot, final_text, wav)
         for i, item in enumerate(batch_items):
@@ -243,6 +247,14 @@ class TTSPipeline:
         if not shifted_list:
             return texts_data, [None] * len(batch_items)
 
+        if isinstance(adapter, (list, tuple)):
+            # per-item voices follow the SURVIVING rows (failed items were
+            # isolated above) — the engine's adapter list is row-aligned
+            if len(adapter) != len(batch_items):
+                raise ValueError(f"{len(adapter)} adapter names for "
+                                 f"{len(batch_items)} items")
+            adapter = [adapter[i] for i in ok_idx]
+
         batch, mask = pp.left_pad_batch(shifted_list, self.tokenizer.pad_token_id,
                                         self.lm_cfg.speech_pad_token)
         # a (data, model) mesh shards the batch over the data axis: pad with
@@ -256,6 +268,8 @@ class TTSPipeline:
                     [batch, np.repeat(batch[-1:], pad_rows, axis=0)], axis=0)
                 mask = np.concatenate(
                     [mask, np.repeat(mask[-1:], pad_rows, axis=0)], axis=0)
+                if isinstance(adapter, (list, tuple)):
+                    adapter = list(adapter) + [adapter[-1]] * pad_rows
         t0 = time.perf_counter()
         C = self.lm_cfg.channels
         max_steps, _ = self.engine._step_budget(max_new_tokens, batch.shape[1])
@@ -286,7 +300,8 @@ class TTSPipeline:
                       for ci in range(n_chunks)]
             result = None
             for result in self.engine.generate_stream(
-                    batch, mask, max_new_tokens, seed=seed, boundaries=bounds):
+                    batch, mask, max_new_tokens, seed=seed, boundaries=bounds,
+                    adapter=adapter):
                 result = trim(result)
                 codes_now = self.extract_codes(result)
                 inc.feed([c if c is not None else np.zeros((nq, 0), np.int32)
@@ -294,7 +309,7 @@ class TTSPipeline:
                          [not bool(u) for u in result.unfinished])
         else:
             result = trim(self.engine.generate(batch, mask, max_new_tokens,
-                                               seed=seed))
+                                               seed=seed, adapter=adapter))
         dt = time.perf_counter() - t0
         self.timings.prefill_decode_s += dt
         self.timings.generated_steps += result.steps
@@ -367,7 +382,7 @@ class TTSPipeline:
                     use_normalize: bool = False,
                     max_new_tokens: Optional[int] = None, seed: int = 0,
                     chunk_steps: int = 25, context_frames: int = 25,
-                    first_chunk_steps: int = 12):
+                    first_chunk_steps: int = 12, adapter=None):
         """Streaming synthesis of ONE item: yields (audio_chunk (T,) float32,
         sample_rate) as generation progresses (~``chunk_steps``/12.5 s of new
         audio per yield).
@@ -431,7 +446,8 @@ class TTSPipeline:
         pending = None
         for result in self.engine.generate_stream(batch, mask, max_new_tokens,
                                                   seed=seed,
-                                                  boundaries=bounds):
+                                                  boundaries=bounds,
+                                                  adapter=adapter):
             speech_ids = pp.unshift_outputs(result.tokens, result.base,
                                             self.lm_cfg.channels,
                                             self.lm_cfg.speech_token_range[0])

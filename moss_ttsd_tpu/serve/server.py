@@ -123,8 +123,9 @@ class BatchingWorker:
             metrics.add("server_batches", 1)
             metrics.add("server_batched_requests", len(batch))
             try:
-                # one jitted batched call for the whole group; seed/normalize
-                # are per-request -> group by (seed, max_tokens, normalize)
+                # one jitted batched call for the whole group; the multi-LoRA
+                # engine takes PER-ROW adapters, so voices don't split the
+                # batch — group only by (seed, max_tokens, normalize)
                 groups: Dict[tuple, List[_Request]] = {}
                 for r in batch:
                     groups.setdefault(
@@ -133,7 +134,9 @@ class BatchingWorker:
                 for (seed, mnt, norm), reqs in groups.items():
                     _, audio = self.pipeline.process_batch(
                         [r.item for r in reqs], use_normalize=norm,
-                        max_new_tokens=mnt, seed=seed)
+                        max_new_tokens=mnt, seed=seed,
+                        adapter=([r.adapter for r in reqs]
+                                 if any(r.adapter for r in reqs) else None))
                     for r, res in zip(reqs, audio):
                         if res is None:
                             r.error = "generation produced no speech tokens"
@@ -423,20 +426,12 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             if voice in ("default", "base"):
                 voice = None
             if voice is not None:
-                cb = getattr(worker, "cb", None)
-                known = getattr(cb, "_adapter_ids", {})
-                if cb is None:
-                    return self._json_error(
-                        400, "voice (LoRA adapter) serving requires the "
-                             "continuous scheduler")
-                if voice not in known:
+                lora = worker.pipeline.engine.lora
+                if voice not in lora.ids:
                     return self._json_error(
                         400, f"unknown voice {voice!r}; available: "
-                             f"{sorted(k for k in known if k)}")
+                             f"{lora.names}")
             stream = bool(payload.get("stream", False))
-            if stream and voice is not None:
-                return self._json_error(
-                    400, "streaming does not support voice adapters yet")
             fmt = payload.get("response_format", "pcm" if stream else "wav")
             if stream and fmt != "pcm":
                 return self._json_error(
@@ -451,7 +446,7 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             if stream:
                 return self._stream_speech(
                     item, max_tokens, seed,
-                    bool(payload.get("normalize", False)))
+                    bool(payload.get("normalize", False)), voice)
 
             req = _Request(item, max_tokens, seed,
                            bool(payload.get("normalize", False)),
@@ -468,7 +463,8 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             self.end_headers()
             self.wfile.write(req.wav_bytes)
 
-        def _stream_speech(self, item, max_tokens, seed, normalize) -> None:
+        def _stream_speech(self, item, max_tokens, seed, normalize,
+                           voice=None) -> None:
             """Stream raw 16-bit PCM as generation progresses.
 
             First audio leaves the socket ~TTFA after the request (prefill +
@@ -484,7 +480,8 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             pipe = worker.pipeline
             with stream_lock:
                 gen = pipe.stream_item(item, use_normalize=normalize,
-                                       max_new_tokens=max_tokens, seed=seed)
+                                       max_new_tokens=max_tokens, seed=seed,
+                                       adapter=voice)
                 try:
                     # pull the first chunk BEFORE sending headers so prompt/
                     # codec errors still produce a proper JSON error status
@@ -531,6 +528,10 @@ class SpeechServer:
                  pool_kv_quant: Optional[str] = "auto",
                  lora_adapters: Optional[Dict[str, dict]] = None,
                  adapter_alpha: float = 32.0):
+        # voices register on the pipeline's static engine too: the window
+        # scheduler and the streaming path generate through it
+        for name, tree in (lora_adapters or {}).items():
+            pipeline.engine.register_adapter(name, tree, alpha=adapter_alpha)
         if scheduler == "continuous":
             self.worker = ContinuousWorker(
                 pipeline, slots=max_batch, base=pool_base,
@@ -538,9 +539,6 @@ class SpeechServer:
                 kv_quant=pool_kv_quant, adapters=lora_adapters,
                 adapter_alpha=adapter_alpha)
         elif scheduler == "window":
-            if lora_adapters:
-                raise ValueError("lora_adapters (per-request voices) "
-                                 "require scheduler='continuous'")
             self.worker = BatchingWorker(pipeline, max_batch, batch_window_s)
         else:
             raise ValueError(f"unknown scheduler {scheduler!r}")

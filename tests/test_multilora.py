@@ -169,3 +169,61 @@ def test_multilora_mesh_tp_pool_matches_unmeshed(setup):
     for r, g in zip(ref, got):
         assert r.steps == g.steps
         np.testing.assert_array_equal(r.tokens, g.tokens)
+
+
+def test_engine_generate_per_row_adapters_match_merged(setup):
+    """The static engine's multi-LoRA path: one batched generate with
+    per-row adapter names reproduces each row's merged-weight isolated
+    run (prefill AND decode run through the selected adapters)."""
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    cfg, model, params = setup
+    rng = np.random.default_rng(31)
+    pa, pb = make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 6, 3)
+    ad1 = make_adapter(params, 13)
+    merged1 = apply_lora(params, ad1, rank=RANK, alpha=ALPHA)
+    exp_a = isolated_greedy_with(cfg, merged1, pa, 12)
+    exp_b = isolated_greedy_with(cfg, params, pb, 12)
+
+    eng = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                           bucket=BASE + cfg.channels - 1,
+                           cache_dtype=jnp.float32, step_bucket=32)
+    eng.register_adapter("v1", ad1, alpha=ALPHA)
+    batch, mask = left_pad_batch([pa, pb], cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    res = eng.generate(batch, mask, max_new_tokens=12,
+                       adapter=["v1", None])
+    for row, exp in ((0, exp_a), (1, exp_b)):
+        np.testing.assert_array_equal(
+            res.tokens[row, res.base:res.base + exp.steps],
+            exp.tokens[0, exp.base:exp.base + exp.steps])
+
+    import pytest
+    with pytest.raises(ValueError):
+        eng.generate(batch, mask, max_new_tokens=4, adapter="nope")
+
+
+def test_engine_mesh_adapter_matches_unmeshed(setup):
+    """Static-engine multi-LoRA under a (1, model) TP mesh (adapter stacks
+    replicated) matches the unmeshed engine token-for-token."""
+    from moss_ttsd_tpu.parallel.mesh import make_mesh
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    cfg, model, params = setup
+    rng = np.random.default_rng(33)
+    pa, pb = make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 7, 2)
+    ad1 = make_adapter(params, 17)
+    batch, mask = left_pad_batch([pa, pb], cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+
+    def drive(mesh):
+        eng = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                               bucket=BASE + cfg.channels - 1,
+                               cache_dtype=jnp.float32, step_bucket=32,
+                               mesh=mesh)
+        eng.register_adapter("v1", ad1, alpha=ALPHA)
+        return eng.generate(batch, mask, max_new_tokens=10,
+                            adapter=["v1", None])
+
+    ref = drive(None)
+    got = drive(make_mesh(data=1, model=2, devices=jax.devices()[:2]))
+    assert ref.steps == got.steps
+    np.testing.assert_array_equal(ref.tokens, got.tokens)

@@ -234,10 +234,51 @@ def test_voice_unknown_is_400(lora_server):
     assert e.value.code == 400
 
 
-def test_voice_on_window_scheduler_is_400(server):
+def test_voice_without_registered_adapters_is_400(server):
     import urllib.error
     base = f"http://127.0.0.1:{server.port}"
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{base}/v1/audio/speech",
               {"input": "[S1]x", "voice": "any", "max_tokens": 4})
     assert e.value.code == 400
+
+
+def test_voice_on_window_scheduler_and_streaming(lora_server_window):
+    """Voices work on the window scheduler (per-row adapter lists in one
+    micro-batched generate) and on the streaming path."""
+    import http.client
+    base = f"http://127.0.0.1:{lora_server_window.port}"
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]windowed voice[S2]yes", "max_tokens": 10,
+               "voice": "narrator"})
+    wav, _ = wav_bytes_to_array(r.read())
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+    conn = http.client.HTTPConnection("127.0.0.1", lora_server_window.port,
+                                      timeout=300)
+    conn.request("POST", "/v1/audio/speech",
+                 json.dumps({"input": "[S1]stream with voice[S2]go",
+                             "stream": True, "max_tokens": 20,
+                             "voice": "narrator"}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    pcm = resp.read()
+    conn.close()
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+
+
+@pytest.fixture(scope="module")
+def lora_server_window():
+    """Window-scheduler server with a registered LoRA voice."""
+    import jax
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from moss_ttsd_tpu.train.lora import init_lora
+    pipe = build_tiny_pipeline()
+    lora = init_lora(pipe.engine.params, jax.random.PRNGKey(4), rank=2)
+    srv = SpeechServer(pipe, host="127.0.0.1", port=0, max_batch=2,
+                       batch_window_s=0.1,
+                       lora_adapters={"narrator": lora})
+    srv.start()
+    yield srv
+    srv.stop()
