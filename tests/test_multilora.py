@@ -227,3 +227,48 @@ def test_engine_mesh_adapter_matches_unmeshed(setup):
     got = drive(make_mesh(data=1, model=2, devices=jax.devices()[:2]))
     assert ref.steps == got.steps
     np.testing.assert_array_equal(ref.tokens, got.tokens)
+
+
+def test_multilora_int8_pool_matches_int8_engine(setup):
+    """Adapters over a w8a16 (int8 base) pool: no merged-weight oracle
+    exists under quantization (quantize(W + dW) != quantize(W) + dW), so
+    the invariant is cross-engine consistency — the quantized pool row with
+    an adapter reproduces the quantized static engine run with the SAME
+    adapter registered."""
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    cfg, model, params = setup
+    rng = np.random.default_rng(41)
+    pa, pb = make_prompt(cfg, rng, 6, 4), make_prompt(cfg, rng, 8, 2)
+    ad1 = make_adapter(params, 19)
+
+    eng = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                           bucket=BASE + cfg.channels - 1,
+                           cache_dtype=jnp.float32, step_bucket=32,
+                           quant="int8")
+    eng.register_adapter("v1", ad1, alpha=ALPHA)
+
+    def isolated(prompt, steps, adapter):
+        batch, mask = left_pad_batch([prompt], cfg.pad_token_id,
+                                     cfg.speech_pad_token)
+        return eng.generate(batch, mask, max_new_tokens=steps,
+                            adapter=adapter)
+
+    exp_a = isolated(pa, 12, "v1")
+    exp_b = isolated(pb, 10, None)
+
+    cb = ContinuousBatcher(cfg, params, greedy_sampling(cfg.channels),
+                           slots=2, base=BASE, max_steps=32,
+                           cache_dtype=jnp.float32, quant="int8")
+    cb.register_adapter("v1", ad1, alpha=ALPHA)
+    sa = cb.submit(pa, max_new_tokens=12, adapter="v1")
+    cb.run(steps=3)                       # stagger the base join
+    sb = cb.submit(pb, max_new_tokens=10)
+    for _ in range(10):
+        cb.run(steps=4)
+        if len(cb.finished()) == 2:
+            break
+    for slot, exp in ((sa, exp_a), (sb, exp_b)):
+        got = cb.collect(slot)
+        assert got.steps == exp.steps
+        np.testing.assert_array_equal(got.tokens[0, got.base:],
+                                      exp.tokens[0, exp.base:])
