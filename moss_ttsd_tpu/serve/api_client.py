@@ -63,9 +63,11 @@ class SpeechAPIClient:
 
     def generate_speech(self, text: str,
                         references: Optional[List[Dict]] = None,
-                        extra: Optional[Dict] = None) -> bytes:
+                        extra: Optional[Dict] = None,
+                        voice: Optional[str] = None) -> bytes:
         """POST /audio/speech -> wav bytes (reference generate_speech,
-        use_api.py:171-206)."""
+        use_api.py:171-206). ``voice`` selects a LoRA adapter registered on
+        the server (multi-LoRA serving; None = base model)."""
         import requests
         payload = {
             "model": self.model,
@@ -75,6 +77,8 @@ class SpeechAPIClient:
         }
         if references:
             payload["references"] = references
+        if voice:
+            payload["voice"] = voice
         if extra:
             payload.update(extra)
         headers = {"Content-Type": "application/json"}
@@ -97,7 +101,8 @@ class SpeechAPIClient:
 
     def stream_speech(self, text: str,
                       references: Optional[List[Dict]] = None,
-                      extra: Optional[Dict] = None, chunk_samples: int = 4096):
+                      extra: Optional[Dict] = None, chunk_samples: int = 4096,
+                      voice: Optional[str] = None):
         """POST with ``stream: true`` -> yields (float32 audio chunk,
         sample_rate) as the server generates — playback can start ~TTFA
         after the request instead of after the whole synthesis.
@@ -117,6 +122,8 @@ class SpeechAPIClient:
         }
         if references:
             payload["references"] = references
+        if voice:
+            payload["voice"] = voice
         if extra:
             payload.update(extra)
         headers = {"Content-Type": "application/json"}

@@ -79,7 +79,8 @@ def load_examples_from_jsonl(paths, limit: int = 20):
 
 
 def synthesize_single(text: str, prompt_text: str, prompt_audio_path: Optional[str],
-                      use_normalize: bool = True, seed: int = 0, loader=None):
+                      use_normalize: bool = True, seed: int = 0, loader=None,
+                      voice: str = ""):
     """Single mode: one combined prompt audio + [S1]/[S2] script.
 
     Returns (sample_rate, wav int16 np array), status string — the gradio
@@ -91,7 +92,8 @@ def synthesize_single(text: str, prompt_text: str, prompt_audio_path: Optional[s
         item["prompt_audio"] = prompt_audio_path
         item["prompt_text"] = prompt_text or ""
     texts_data, audio_results = pipe.process_batch(
-        [item], use_normalize=use_normalize, seed=seed)
+        [item], use_normalize=use_normalize, seed=seed,
+        adapter=voice or None)
     if not audio_results or audio_results[0] is None:
         return None, "Generation produced no valid speech tokens."
     res = audio_results[0]
@@ -104,7 +106,8 @@ def synthesize_single(text: str, prompt_text: str, prompt_audio_path: Optional[s
 def synthesize_role(text: str,
                     s1_text: str, s1_audio_path: Optional[str],
                     s2_text: str, s2_audio_path: Optional[str],
-                    use_normalize: bool = True, seed: int = 0, loader=None):
+                    use_normalize: bool = True, seed: int = 0, loader=None,
+                    voice: str = ""):
     """Role mode: separate speaker-1/2 prompt audios."""
     pipe = get_pipeline(loader)
     item = {"text": text}
@@ -115,7 +118,8 @@ def synthesize_role(text: str,
         item["prompt_audio_speaker2"] = s2_audio_path
         item["prompt_text_speaker2"] = s2_text or ""
     texts_data, audio_results = pipe.process_batch(
-        [item], use_normalize=use_normalize, seed=seed)
+        [item], use_normalize=use_normalize, seed=seed,
+        adapter=voice or None)
     if not audio_results or audio_results[0] is None:
         return None, "Generation produced no valid speech tokens."
     res = audio_results[0]
@@ -127,7 +131,7 @@ def synthesize_role(text: str,
 def synthesize_single_stream(text: str, prompt_text: str,
                              prompt_audio_path: Optional[str],
                              use_normalize: bool = True, seed: int = 0,
-                             loader=None):
+                             loader=None, voice: str = ""):
     """Streaming variant of synthesize_single: yields ((sr, int16 chunk),
     status) as generation progresses — a generator the gradio Audio component
     consumes with streaming=True. Goes beyond the reference, whose streamer
@@ -141,7 +145,7 @@ def synthesize_single_stream(text: str, prompt_text: str,
     total = 0.0
     got = False
     for chunk, sr in pipe.stream_item(item, use_normalize=use_normalize,
-                                      seed=seed):
+                                      seed=seed, adapter=voice or None):
         got = True
         total += len(chunk) / sr
         wav = np.clip(chunk, -1, 1)
@@ -154,9 +158,11 @@ DEFAULT_EXAMPLE_JSONLS = ("examples/examples.jsonl",
                           "examples/examples_single_reference.jsonl")
 
 
-def create_gradio_interface(loader=None, examples_jsonl=None):
+def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
     """Build the Blocks app (reference create_gradio_interface,
-    gradio_demo.py:278-528). Requires gradio."""
+    gradio_demo.py:278-528). Requires gradio. ``voices``: registered LoRA
+    adapter names — when non-empty each tab gets a voice dropdown
+    ("default" = base model), mapped to the engines' per-request adapters."""
     try:
         import gradio as gr
     except ImportError as e:
@@ -181,20 +187,27 @@ def create_gradio_interface(loader=None, examples_jsonl=None):
                 norm1 = gr.Checkbox(label="Normalize text / 文本规整", value=True)
                 seed1 = gr.Number(label="Seed", value=0, precision=0)
                 stream1 = gr.Checkbox(label="Stream audio / 流式输出", value=False)
+                voice1 = gr.Dropdown(
+                    label="Voice (LoRA) / 音色", value="default",
+                    choices=["default"] + list(voices or []),
+                    visible=bool(voices))
                 btn1 = gr.Button("Generate / 生成", variant="primary")
                 out1 = gr.Audio(label="Output / 合成结果", streaming=True,
                                 autoplay=True)
                 status1 = gr.Textbox(label="Status / 状态", interactive=False)
 
-                def _single(t, pt, pa, n, s, stream):
+                def _single(t, pt, pa, n, s, stream, v):
+                    v = "" if v in (None, "default") else v
                     if stream:
-                        yield from synthesize_single_stream(t, pt, pa, n,
-                                                            int(s), loader)
+                        yield from synthesize_single_stream(
+                            t, pt, pa, n, int(s), loader, voice=v)
                     else:
-                        yield synthesize_single(t, pt, pa, n, int(s), loader)
+                        yield synthesize_single(t, pt, pa, n, int(s), loader,
+                                                voice=v)
 
                 btn1.click(_single,
-                           [text1, ptext1, paudio1, norm1, seed1, stream1],
+                           [text1, ptext1, paudio1, norm1, seed1, stream1,
+                            voice1],
                            [out1, status1])
                 if single_ex:
                     # full rows: text + prompt audio + transcript + normalize
@@ -214,13 +227,19 @@ def create_gradio_interface(loader=None, examples_jsonl=None):
                         s2a = gr.Audio(label="Speaker 2 audio", type="filepath")
                 norm2 = gr.Checkbox(label="Normalize text / 文本规整", value=True)
                 seed2 = gr.Number(label="Seed", value=0, precision=0)
+                voice2 = gr.Dropdown(
+                    label="Voice (LoRA) / 音色", value="default",
+                    choices=["default"] + list(voices or []),
+                    visible=bool(voices))
                 btn2 = gr.Button("Generate / 生成", variant="primary")
                 out2 = gr.Audio(label="Output / 合成结果")
                 status2 = gr.Textbox(label="Status / 状态", interactive=False)
                 btn2.click(
-                    lambda t, a, b, c, d, n, s: synthesize_role(
-                        t, a, b, c, d, n, int(s), loader),
-                    [text2, s1t, s1a, s2t, s2a, norm2, seed2], [out2, status2])
+                    lambda t, a, b, c, d, n, s, v: synthesize_role(
+                        t, a, b, c, d, n, int(s), loader,
+                        voice="" if v in (None, "default") else v),
+                    [text2, s1t, s1a, s2t, s2a, norm2, seed2, voice2],
+                    [out2, status2])
                 if role_ex:
                     gr.Examples(
                         examples=[[t, a1, p1, a2, p2, n]
@@ -239,14 +258,42 @@ def main(argv=None):
     p.add_argument("--examples", default=None)
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--lora_adapter", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="register a LoRA voice for the dropdown; PATH is a "
+                        "lora_factors.npz from the finetune CLI. Repeatable")
+    p.add_argument("--adapter_alpha", type=float, default=32.0)
     args = p.parse_args(argv)
 
-    loader = None
+    adapters = {}
+    for spec in args.lora_adapter:
+        name, _, path = spec.partition("=")
+        if not path:
+            p.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
+        from ..core.checkpoint import load_pytree
+        adapters[name] = load_pytree(path)
+
+    base_loader = None
     if not args.tiny and args.model_path:
         from ..pipeline.batch import TTSPipeline
-        loader = lambda: TTSPipeline.load(args.model_path, args.spt_config,
-                                          args.spt_ckpt)
-    demo = create_gradio_interface(loader, args.examples)
+        base_loader = lambda: TTSPipeline.load(args.model_path,
+                                               args.spt_config, args.spt_ckpt)
+
+    loader = base_loader
+    if adapters:
+        def loader():
+            if base_loader is None:
+                from ..cli.inference import build_tiny_pipeline
+                pipe = build_tiny_pipeline()
+            else:
+                pipe = base_loader()
+            for name, tree in adapters.items():
+                pipe.engine.register_adapter(name, tree,
+                                             alpha=args.adapter_alpha)
+            return pipe
+
+    demo = create_gradio_interface(loader, args.examples,
+                                   voices=sorted(adapters))
     demo.launch(server_port=args.port, server_name="0.0.0.0")
 
 

@@ -171,3 +171,22 @@ def test_codec_roundtrip_cli(tmp_path):
                "--tiny"])
     assert rc == 0
     assert (tmp_path / "out" / "x_recon.wav").exists()
+
+
+def test_gradio_synth_functions_accept_voice(monkeypatch):
+    """The gradio synth callbacks route the voice dropdown to the engine's
+    multi-LoRA adapters (no gradio needed — plain functions)."""
+    import jax
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from moss_ttsd_tpu.serve import gradio_app as ga
+    from moss_ttsd_tpu.train.lora import init_lora
+
+    pipe = build_tiny_pipeline()
+    pipe.engine.register_adapter(
+        "v1", init_lora(pipe.engine.params, jax.random.PRNGKey(5), rank=2))
+    monkeypatch.setattr(ga, "_PIPELINE", pipe)
+    out, status = ga.synthesize_single("[S1]hello[S2]hi", "", None,
+                                       True, 0, voice="v1")
+    assert (out is None) == status.startswith("Generation produced no")
+    with pytest.raises(ValueError):
+        ga.synthesize_single("[S1]x", "", None, True, 0, voice="ghost")
