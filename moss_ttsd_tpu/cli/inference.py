@@ -77,6 +77,12 @@ def main(argv=None):
                         help="multi-chip (data, model) mesh, e.g. 4x2: batch "
                              "data-parallel over 4 chips, weights tensor-"
                              "parallel over 2 (XLA inserts ICI collectives)")
+    parser.add_argument("--lora_adapter", action="append", default=[],
+                        metavar="NAME=PATH",
+                        help="register a LoRA voice; items select one with a "
+                             "\"voice\" field. PATH is a lora_factors.npz "
+                             "or a peft adapter directory. Repeatable")
+    parser.add_argument("--adapter_alpha", type=float, default=32.0)
     args = parser.parse_args(argv)
 
     if args.platform == "cpu":
@@ -102,9 +108,21 @@ def main(argv=None):
             quant=args.quant, mesh=mesh,
             codec_dtype="bfloat16" if args.dtype == "bf16" else None)
 
+    for spec in args.lora_adapter:
+        name, _, path = spec.partition("=")
+        if not path:
+            parser.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
+        from ..utils.convert_lora import load_adapter_any
+        tree, alpha, rslora = load_adapter_any(path, args.adapter_alpha)
+        pipe.engine.register_adapter(name, tree, alpha=alpha,
+                                     use_rslora=rslora)
+
     with open(args.jsonl) as f:
         items = [json.loads(line) for line in f if line.strip()]
     print(f"Loaded {len(items)} items from {args.jsonl}")
+    # per-item LoRA voices: a "voice" field names a registered adapter
+    voices = [it.get("voice") or None for it in items]
+    adapter = voices if any(voices) else None
 
     from ..utils import profiling
     if args.profiler_port:
@@ -116,7 +134,8 @@ def main(argv=None):
     with prof:
         texts_data, audio_results = pipe.process_batch(
             items, use_normalize=args.use_normalize,
-            max_new_tokens=args.max_new_tokens, seed=args.seed or 0)
+            max_new_tokens=args.max_new_tokens, seed=args.seed or 0,
+            adapter=adapter)
     if args.profile_dir:
         print(f"Saved profiler trace to {args.profile_dir}")
 

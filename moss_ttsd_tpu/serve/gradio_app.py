@@ -270,8 +270,8 @@ def main(argv=None):
         name, _, path = spec.partition("=")
         if not path:
             p.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
-        from ..core.checkpoint import load_pytree
-        adapters[name] = load_pytree(path)
+        from ..utils.convert_lora import load_adapter_any
+        adapters[name] = load_adapter_any(path, args.adapter_alpha)
 
     base_loader = None
     if not args.tiny and args.model_path:
@@ -287,9 +287,9 @@ def main(argv=None):
                 pipe = build_tiny_pipeline()
             else:
                 pipe = base_loader()
-            for name, tree in adapters.items():
-                pipe.engine.register_adapter(name, tree,
-                                             alpha=args.adapter_alpha)
+            for name, (tree, alpha, rslora) in adapters.items():
+                pipe.engine.register_adapter(name, tree, alpha=alpha,
+                                             use_rslora=rslora)
             return pipe
 
     demo = create_gradio_interface(loader, args.examples,

@@ -194,9 +194,14 @@ class ContinuousWorker:
             max_steps=max_steps, cache_dtype=eng.cache_dtype,
             quant=eng.quant, kv_quant=kv_quant, mesh=eng.mesh)
         # per-request LoRA voices (multi-LoRA serving): registered up front
-        # so the pool's compiled shapes are final before traffic arrives
-        for name, tree in (adapters or {}).items():
-            self.cb.register_adapter(name, tree, alpha=adapter_alpha)
+        # so the pool's compiled shapes are final before traffic arrives.
+        # Values are factor trees, or (tree, alpha, use_rslora) tuples (the
+        # peft-adapter loader returns those with the trained scale)
+        for name, spec in (adapters or {}).items():
+            tree, alpha, rslora = (spec if isinstance(spec, tuple)
+                                   else (spec, adapter_alpha, True))
+            self.cb.register_adapter(name, tree, alpha=alpha,
+                                     use_rslora=rslora)
         self.segment_steps = segment_steps
         self._queue: List[_Request] = []
         self._live: Dict[int, _Request] = {}        # slot -> request
@@ -530,8 +535,11 @@ class SpeechServer:
                  adapter_alpha: float = 32.0):
         # voices register on the pipeline's static engine too: the window
         # scheduler and the streaming path generate through it
-        for name, tree in (lora_adapters or {}).items():
-            pipeline.engine.register_adapter(name, tree, alpha=adapter_alpha)
+        for name, spec in (lora_adapters or {}).items():
+            tree, alpha, rslora = (spec if isinstance(spec, tuple)
+                                   else (spec, adapter_alpha, True))
+            pipeline.engine.register_adapter(name, tree, alpha=alpha,
+                                             use_rslora=rslora)
         if scheduler == "continuous":
             self.worker = ContinuousWorker(
                 pipeline, slots=max_batch, base=pool_base,
@@ -598,8 +606,9 @@ def main(argv=None):
                    metavar="NAME=PATH",
                    help="register a LoRA voice for per-request selection "
                         "(payload \"voice\"); PATH is a lora_factors.npz "
-                        "from the finetune CLI. Repeatable; continuous "
-                        "scheduler only")
+                        "from the finetune CLI or a peft adapter DIRECTORY "
+                        "(reference-trained adapters load with their own "
+                        "adapter_config.json scale). Repeatable")
     p.add_argument("--adapter_alpha", type=float, default=32.0,
                    help="LoRA alpha the adapters were trained with")
     args = p.parse_args(argv)
@@ -609,8 +618,8 @@ def main(argv=None):
         name, _, path = spec.partition("=")
         if not path:
             p.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
-        from ..core.checkpoint import load_pytree
-        lora_adapters[name] = load_pytree(path)
+        from ..utils.convert_lora import load_adapter_any
+        lora_adapters[name] = load_adapter_any(path, args.adapter_alpha)
 
     mesh = None
     if args.mesh:

@@ -229,3 +229,87 @@ def test_export_loads_into_reference_torch_model():
                                atol=2e-4)
     np.testing.assert_allclose(s_ours[:, :, 0], out.logits_all[1].numpy(),
                                atol=2e-4)
+
+
+def test_convert_peft_lora_matches_native_registration(tmp_path):
+    """A peft-format adapter (torch Linear layouts, base_model prefixes,
+    .default. infix) converts into the factor tree and reproduces the
+    SAME tokens as registering the native tree directly."""
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    from moss_ttsd_tpu.train.lora import init_lora
+    from moss_ttsd_tpu.utils.convert_lora import convert_peft_lora
+    from tests.test_decode import greedy_sampling, make_prompt, tiny_cfg
+
+    cfg = tiny_cfg()
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    model = AsteroidLM(cfg)
+    params = model.init(jax.random.PRNGKey(7),
+                        jnp.zeros((1, 4, cfg.channels), jnp.int32))
+    native = init_lora(params, jax.random.PRNGKey(3), rank=2)
+    # randomize b (init zeroes it) so the adapter changes outputs
+    native = {k: {"a": v["a"],
+                  "b": jax.random.normal(jax.random.fold_in(
+                      jax.random.PRNGKey(9), i), v["b"].shape) * 0.5}
+              for i, (k, v) in enumerate(sorted(native.items()))}
+
+    # synthesize the peft layout: per-layer torch Linear weights with
+    # realistic prefixes; lora_A.weight = a.T, lora_B.weight = b.T
+    sd = {}
+    for key, ab in native.items():
+        target = key.split("/")[-2]
+        L = ab["a"].shape[0]
+        for layer in range(L):
+            pre = (f"base_model.model.model.language_model.layers.{layer}."
+                   f"{'self_attn' if 'proj' in target and target[0] in 'qkvo' else 'mlp'}."
+                   f"{target}")
+            sd[f"{pre}.lora_A.default.weight"] = np.asarray(ab["a"][layer]).T
+            sd[f"{pre}.lora_B.default.weight"] = np.asarray(ab["b"][layer]).T
+    converted = convert_peft_lora(sd, num_layers=cfg.num_hidden_layers)
+
+    rng = np.random.default_rng(51)
+    prompt = make_prompt(cfg, rng, 6, 4)
+    batch, mask = left_pad_batch([prompt], cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+
+    def run(tree):
+        eng = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                               bucket=31, cache_dtype=jnp.float32,
+                               step_bucket=32)
+        eng.register_adapter("v", tree, alpha=8.0)
+        return eng.generate(batch, mask, max_new_tokens=10, adapter="v")
+
+    ref, got = run(native), run(converted)
+    assert ref.steps == got.steps
+    np.testing.assert_array_equal(ref.tokens, got.tokens)
+    # and differs from base (adapter not a no-op)
+    eng = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                           bucket=31, cache_dtype=jnp.float32, step_bucket=32)
+    base = eng.generate(batch, mask, max_new_tokens=10)
+    assert not (base.steps == ref.steps
+                and np.array_equal(base.tokens, ref.tokens))
+
+
+def test_load_peft_adapter_dir(tmp_path):
+    """adapter_model.safetensors + adapter_config.json load with the
+    trained alpha/rslora."""
+    import json
+    from safetensors.numpy import save_file
+    from moss_ttsd_tpu.utils.convert_lora import load_peft_adapter
+
+    sd = {
+        "base_model.model.model.language_model.layers.0.self_attn."
+        "q_proj.lora_A.weight": np.ones((2, 8), np.float32),
+        "base_model.model.model.language_model.layers.0.self_attn."
+        "q_proj.lora_B.weight": np.ones((8, 2), np.float32) * 0.5,
+    }
+    save_file(sd, str(tmp_path / "adapter_model.safetensors"))
+    (tmp_path / "adapter_config.json").write_text(json.dumps(
+        {"r": 2, "lora_alpha": 16, "use_rslora": True}))
+    tree, alpha, rslora = load_peft_adapter(str(tmp_path))
+    assert alpha == 16.0 and rslora is True
+    ab = tree["layers/block/q_proj/kernel"]
+    assert ab["a"].shape == (1, 8, 2) and ab["b"].shape == (1, 2, 8)
+    np.testing.assert_allclose(ab["b"], 0.5)

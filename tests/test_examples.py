@@ -61,3 +61,38 @@ def test_codec_roundtrip_cli(tmp_path):
     from moss_ttsd_tpu.utils.audio_io import read_wav
     wav, sr = read_wav(os.path.join(out, recons[0]))
     assert sr == 24000 and wav.shape[-1] > 0
+
+
+def test_inference_cli_with_lora_voice(tmp_path):
+    """The batch CLI registers --lora_adapter voices (peft directory
+    format) and routes per-item "voice" fields to the engine."""
+    import jax
+    import json as _json
+    from safetensors.numpy import save_file
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline, main
+    from moss_ttsd_tpu.train.lora import init_lora
+
+    pipe = build_tiny_pipeline()
+    tree = init_lora(pipe.engine.params, jax.random.PRNGKey(2), rank=2)
+    sd = {}
+    for key, ab in tree.items():
+        target = key.split("/")[-2]
+        mod = "self_attn" if target[0] in "qkvo" else "mlp"
+        for layer in range(ab["a"].shape[0]):
+            pre = (f"base_model.model.model.language_model.layers."
+                   f"{layer}.{mod}.{target}")
+            sd[f"{pre}.lora_A.weight"] = np.asarray(ab["a"][layer]).T.copy()
+            sd[f"{pre}.lora_B.weight"] = np.asarray(ab["b"][layer]).T.copy()
+    adir = tmp_path / "adapter"
+    adir.mkdir()
+    save_file(sd, str(adir / "adapter_model.safetensors"))
+    (adir / "adapter_config.json").write_text(_json.dumps(
+        {"r": 2, "lora_alpha": 8, "use_rslora": True}))
+
+    jsonl = tmp_path / "in.jsonl"
+    jsonl.write_text(
+        _json.dumps({"text": "[S1]voice cli[S2]ok", "voice": "v1"}) + "\n"
+        + _json.dumps({"text": "[S1]plain[S2]ok"}) + "\n")
+    out = tmp_path / "out"
+    main(["--jsonl", str(jsonl), "--tiny", "--output_dir", str(out),
+          "--max_new_tokens", "8", "--lora_adapter", f"v1={adir}"])
