@@ -400,6 +400,16 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
                 body = metrics.dump_json().encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
+            elif self.path in ("/v1/models", "/models"):
+                # OpenAI-compatible model listing; registered LoRA voices
+                # ride along so clients can discover the "voice" values
+                body = json.dumps({
+                    "object": "list",
+                    "data": [{"id": "moss-ttsd", "object": "model",
+                              "voices": worker.pipeline.engine.lora.names}],
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
             else:
                 return self._json_error(404, "not found")
             self.send_header("Content-Length", str(len(body)))

@@ -53,14 +53,20 @@ def test_codec_roundtrip_cli(tmp_path):
     """Codec CLI end-to-end over the bundled example voices (C15 parity)."""
     from moss_ttsd_tpu.cli.codec_roundtrip import main as rt_main
     out = str(tmp_path / "recon")
+    metrics_path = str(tmp_path / "metrics.json")
     rc = rt_main(["--input_dir", EXAMPLES, "--output_dir", out, "--tiny",
-                  "--platform", "cpu", "--batch_size", "2"])
+                  "--platform", "cpu", "--batch_size", "2",
+                  "--metrics", metrics_path])
     assert rc == 0
     recons = [f for f in os.listdir(out) if f.endswith("_recon.wav")]
     assert len(recons) == 3          # voice_s1, voice_s2, voice_both
     from moss_ttsd_tpu.utils.audio_io import read_wav
     wav, sr = read_wav(os.path.join(out, recons[0]))
     assert sr == 24000 and wav.shape[-1] > 0
+    with open(metrics_path) as f:
+        m = json.load(f)
+    assert len(m["files"]) == 3
+    assert np.isfinite(m["mean_mel_l1"]) and np.isfinite(m["mean_si_snr_db"])
 
 
 def test_inference_cli_with_lora_voice(tmp_path):

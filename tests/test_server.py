@@ -282,3 +282,10 @@ def lora_server_window():
     srv.start()
     yield srv
     srv.stop()
+
+
+def test_models_endpoint_lists_voices(lora_server):
+    base = f"http://127.0.0.1:{lora_server.port}"
+    m = json.loads(urllib.request.urlopen(f"{base}/v1/models").read())
+    assert m["data"][0]["id"] == "moss-ttsd"
+    assert "narrator" in m["data"][0]["voices"]
