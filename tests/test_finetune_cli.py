@@ -68,3 +68,52 @@ def test_lora_train_smoke(tiny_data, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "model_merged.npz"))
     assert os.path.exists(os.path.join(out, "lora_factors.npz"))
+
+
+def test_lora_artifact_serves_as_voice(tiny_data, tmp_path):
+    """Train -> serve loop: the finetune CLI's lora_factors.npz registers
+    as a multi-LoRA voice (layerwise-tree format via load_adapter_any) and
+    the pool serves a request through it."""
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.core.config import LMConfig
+    from moss_ttsd_tpu.decode.continuous import ContinuousBatcher
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.utils.convert_lora import load_adapter_any
+    from moss_ttsd_tpu.utils.mock_tokenizer import MockTokenizer
+    from tests.test_decode import greedy_sampling
+
+    out = str(tmp_path / "lora")
+    rc = finetune_main(["--data_dir", tiny_data, "--output_dir", out,
+                        "--tiny", "--lora", "--max_steps", "2"])
+    assert rc == 0
+    tree, alpha, rslora = load_adapter_any(
+        os.path.join(out, "lora_factors.npz"))
+
+    # the same tiny base model the finetune CLI trained against
+    tok = MockTokenizer()
+    cfg = LMConfig(dtype="float32", param_dtype="float32").tiny(
+        pad_token_id=tok.pad_token_id)
+    model = AsteroidLM(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, cfg.channels), jnp.int32))
+
+    cb = ContinuousBatcher(cfg, params, greedy_sampling(cfg.channels),
+                           slots=1, base=24, max_steps=16,
+                           cache_dtype=jnp.float32)
+    aid = cb.register_adapter("trained", tree, alpha=alpha,
+                              use_rslora=rslora)
+    assert aid == 1
+    # every finetune target made it into the stacks at the right geometry
+    assert set(cb.lora.stacks) == {"q_proj", "k_proj", "v_proj", "o_proj",
+                                   "gate_proj", "up_proj", "down_proj"}
+    a_q, _ = cb.lora.stacks["q_proj"]
+    assert a_q.shape[0] == cfg.num_hidden_layers
+    assert a_q.shape[2] == cfg.hidden_size
+
+    prompt = np.full((8, cfg.channels), cfg.speech_pad_token, np.int32)
+    prompt[:, 0] = np.arange(1, 9)
+    slot = cb.submit(prompt, max_new_tokens=8, adapter="trained")
+    cb.run(steps=12)
+    res = cb.collect(slot)
+    assert res.steps >= 1
