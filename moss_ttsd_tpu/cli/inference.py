@@ -108,12 +108,9 @@ def main(argv=None):
             quant=args.quant, mesh=mesh,
             codec_dtype="bfloat16" if args.dtype == "bf16" else None)
 
-    for spec in args.lora_adapter:
-        name, _, path = spec.partition("=")
-        if not path:
-            parser.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
-        from ..utils.convert_lora import load_adapter_any
-        tree, alpha, rslora = load_adapter_any(path, args.adapter_alpha)
+    from ..utils.convert_lora import parse_adapter_specs
+    for name, (tree, alpha, rslora) in parse_adapter_specs(
+            args.lora_adapter, args.adapter_alpha, parser.error).items():
         pipe.engine.register_adapter(name, tree, alpha=alpha,
                                      use_rslora=rslora)
 

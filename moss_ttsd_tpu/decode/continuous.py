@@ -273,13 +273,23 @@ class ContinuousBatcher:
         self.cache_dtype = cache_dtype
         self.mesh = mesh
         C = self.cfg.channels
+        if max_steps < C - 1:
+            raise ValueError(f"max_steps={max_steps} must be >= channels-1 "
+                             f"({C - 1}): the spliced prompt prefix would "
+                             f"not fit the pool buffer")
         self.S = base + max_steps
         self.L = base + C - 1
 
-        # three compiled programs: batch-1 prefill (the engine's own),
-        # row splice, and the pooled decode segment
+        # three compiled programs: admission prefill, row splice, and the
+        # pooled decode segment. The prefill's DecodeState buffers are sized
+        # to the shifted prompt ONLY (base + C - 1 slots, vs the engine's
+        # base + max_steps): admission never decodes in that state — the
+        # splice copies its prefix into the pool rows — so a full-capacity
+        # buffer would transiently allocate a second pool-sized KV cache per
+        # admission burst (~GBs at the server geometry) for slots that hold
+        # nothing but zeros.
         self._prefill1, _ = _build_generate_fn(
-            self.model, self.cfg, self.sampling, base, max_steps, cache_dtype)
+            self.model, self.cfg, self.sampling, base, C - 1, cache_dtype)
         psh = eng._param_shardings
         if mesh is not None:
             repl = eng._repl_sharding
@@ -303,7 +313,8 @@ class ContinuousBatcher:
         self._slot_free = [True] * slots
         # multi-LoRA registry (decode/lora_registry.py): id 0 = base model
         from .lora_registry import LoraRegistry
-        self.lora = LoraRegistry(jnp.dtype(self.cfg.dtype))
+        self.lora = LoraRegistry(jnp.dtype(self.cfg.dtype),
+                                 self.cfg.num_hidden_layers)
 
     # ------------------------------------------------------------------
 
@@ -333,20 +344,33 @@ class ContinuousBatcher:
                      aid) -> PoolState:
         """Install row ``k`` of a prefilled DecodeState into pool row ``j``.
 
+        ``s1``'s buffers cover only the prompt prefix (base + C - 1 slots —
+        see the prefill note in __init__), so tokens/key_valid/cache write
+        that prefix and the rest of the row is RESET: key_valid must drop
+        the previous occupant's valid bits (stale True bits past the prefix
+        would leak its history into attention), while stale cache contents
+        past the prefix are harmless (masked by key_valid and overwritten
+        by the ring as the row decodes).
+
         ``rng`` is the request's own PRNGKey — the pool row starts the exact
         rng chain of an isolated batch-1 engine run (whose prefill returns
         the request key unsplit). ``aid`` is the row's LoRA adapter id."""
+        Sp = s1.key_valid.shape[1]          # prompt-prefix length (static)
         row = lambda a, b: a.at[j].set(b[k])
-        cache = {name: pool.cache[name].at[:, j].set(v[:, k])
+        cache = {name: pool.cache[name].at[:, j, :, :Sp].set(v[:, k])
                  for name, v in s1.cache.items()}
+        tokens = pool.tokens.at[j].set(0)
+        tokens = tokens.at[j, :Sp].set(s1.tokens[k].astype(tokens.dtype))
+        key_valid = pool.key_valid.at[j].set(False)
+        key_valid = key_valid.at[j, :Sp].set(s1.key_valid[k])
         return PoolState(
             gstep=pool.gstep,
             active=pool.active.at[j].set(True),
             step_r=pool.step_r.at[j].set(0),
             max_r=pool.max_r.at[j].set(max_new),
-            tokens=row(pool.tokens, s1.tokens.astype(pool.tokens.dtype)),
+            tokens=tokens,
             cache=cache,
-            key_valid=row(pool.key_valid, s1.key_valid),
+            key_valid=key_valid,
             hidden_last=row(pool.hidden_last, s1.hidden_last),
             last_pos=row(pool.last_pos,
                          s1.last_pos.astype(pool.last_pos.dtype)),
@@ -425,21 +449,10 @@ class ContinuousBatcher:
         prompt (pipeline.prompt.shift_delay_pattern). Returns the slot id,
         or None when the pool is full. ``adapter`` selects a registered
         LoRA adapter for this request (None = base model)."""
-        try:
-            j = self._slot_free.index(True)
-        except ValueError:
+        if not self.free_slots:
             return None
-        aid = self.lora.id_of(adapter)
-        ids, mask = self._padded_row(shifted_prompt)
-        steps = self._resolve_steps(shifted_prompt, max_new_tokens)
-        s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
-                            jnp.asarray(mask[None]), jax.random.PRNGKey(seed),
-                            self.lora.stacks,
-                            jnp.full((1,), aid, jnp.int32))
-        self.state = self._splice(self.state, s1, jnp.int32(0), jnp.int32(j),
-                                  jnp.int32(steps), s1.rng, jnp.int32(aid))
-        self._slot_free[j] = False
-        return j
+        return self.submit_many(
+            [(shifted_prompt, max_new_tokens, seed, adapter)])[0]
 
     def submit_many(self, requests) -> List[int]:
         """Admit a burst of requests with ONE batched prefill.
@@ -475,18 +488,6 @@ class ContinuousBatcher:
             rows.append((ids, mask,
                          self._resolve_steps(prompt, max_new_tokens), seed,
                          aid))
-        if K == 1:
-            ids, mask, steps, seed, aid = rows[0]
-            j = self._slot_free.index(True)
-            s1 = self._prefill1(self.params, jnp.asarray(ids[None]),
-                                jnp.asarray(mask[None]),
-                                jax.random.PRNGKey(seed), self.lora.stacks,
-                                jnp.full((1,), aid, jnp.int32))
-            self.state = self._splice(self.state, s1, jnp.int32(0),
-                                      jnp.int32(j), jnp.int32(steps), s1.rng,
-                                      jnp.int32(aid))
-            self._slot_free[j] = False
-            return [j]
         # pad the batch to the next power of two with repeats of row 0
         # (prefill memory stays proportional to the burst, and the number
         # of compiled prefill shapes is bounded)

@@ -372,7 +372,8 @@ class GenerationEngine:
         # multi-LoRA registry (decode/lora_registry.py): id 0 = base model;
         # generate()/generate_stream() select per request via adapter=
         from .lora_registry import LoraRegistry
-        self.lora = LoraRegistry(jnp.dtype(self.cfg.dtype))
+        self.lora = LoraRegistry(jnp.dtype(self.cfg.dtype),
+                                 self.cfg.num_hidden_layers)
 
     def register_adapter(self, name: str, lora: dict, alpha: float = 32.0,
                          use_rslora: bool = True) -> int:

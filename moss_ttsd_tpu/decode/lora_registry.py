@@ -25,10 +25,16 @@ import numpy as np
 
 
 class LoraRegistry:
-    """Name -> id registry + stacked factor arrays for per-row serving."""
+    """Name -> id registry + stacked factor arrays for per-row serving.
 
-    def __init__(self, dtype=jnp.bfloat16):
+    ``num_layers`` (the model's scan length) bounds the stacked L dim:
+    adapters covering only a layer prefix/subset (peft layers_to_transform)
+    zero-pad to it, and a factor tree with MORE layers than the model is
+    rejected up front instead of failing inside the compiled scan."""
+
+    def __init__(self, dtype=jnp.bfloat16, num_layers: Optional[int] = None):
         self.dtype = jnp.dtype(dtype)
+        self.num_layers = num_layers
         self.ids: Dict[Optional[str], int] = {None: 0, "": 0}
         self._entries: List[dict] = []     # id-1 -> {target: (a, b*scale)}
         self.stacks: Dict[str, tuple] = {}  # target -> (a (L,N,in,r), b)
@@ -79,10 +85,18 @@ class LoraRegistry:
             entry[target] = (a, b * lora_scale(rank, alpha, use_rslora))
         if not entry:
             raise ValueError(f"adapter {name!r}: no LoRA factors found")
+        # commit atomically: a _rebuild failure (layer-count/shape mismatch)
+        # must leave the registry exactly as before — a half-registered name
+        # would otherwise resolve to an id that jnp.take silently CLAMPS to
+        # a different adapter's row
         self._entries.append(entry)
+        try:
+            self._rebuild()
+        except Exception:
+            self._entries.pop()
+            raise
         aid = len(self._entries)
         self.ids[name] = aid
-        self._rebuild()
         return aid
 
     @staticmethod
@@ -106,16 +120,30 @@ class LoraRegistry:
         stacks = {}
         for t in targets:
             shapes = [e[t] for e in self._entries if t in e]
-            L, fin, _ = shapes[0][0].shape
+            fin = shapes[0][0].shape[1]
             fout = shapes[0][1].shape[-1]
             r = max(a.shape[-1] for a, _ in shapes)
+            # stacked L = the model's scan length when known, else the
+            # widest adapter; shorter factor trees (layer-subset adapters)
+            # zero-pad — a zero delta IS the base model on those layers
+            L = self.num_layers or max(a.shape[0] for a, _ in shapes)
             A = np.zeros((L, N, fin, r), np.float32)
             B = np.zeros((L, N, r, fout), np.float32)
             for i, e in enumerate(self._entries):
-                if t in e:
-                    a, b = e[t]
-                    A[:, i + 1, :, :a.shape[-1]] = a
-                    B[:, i + 1, :b.shape[1]] = b
+                if t not in e:
+                    continue
+                a, b = e[t]
+                if a.shape[0] > L or b.shape[0] > L:
+                    raise ValueError(
+                        f"target {t!r}: factors cover {a.shape[0]} layers "
+                        f"but the model has {L}")
+                if a.shape[1] != fin or b.shape[-1] != fout:
+                    raise ValueError(
+                        f"target {t!r}: factor dims {a.shape[1]}->"
+                        f"{b.shape[-1]} do not match the registered "
+                        f"{fin}->{fout}")
+                A[:a.shape[0], i + 1, :, :a.shape[-1]] = a
+                B[:b.shape[0], i + 1, :b.shape[1]] = b
             stacks[t] = (jnp.asarray(A, self.dtype),
                          jnp.asarray(B, self.dtype))
         self.stacks = stacks

@@ -475,8 +475,9 @@ class AsteroidLM(nn.Module):
                    carried entirely by key_valid (slot index != time order),
                    so the attention mask is the validity mask alone.
         adapters: optional multi-LoRA stacks {target: (a (L, N, in, r),
-                   b (L, N, r, out), scale (N,))}; adapter_ids (B,) int32
-                   selects each row's adapter (0 = base). See Qwen3Block.
+                   b (L, N, r, out))} — the per-adapter scale is folded
+                   into b (see Qwen3Block); adapter_ids (B,) int32 selects
+                   each row's adapter (0 = base).
         Returns (hidden (B, T, hidden), new_cache).
         """
         c = self.cfg

@@ -265,13 +265,9 @@ def main(argv=None):
     p.add_argument("--adapter_alpha", type=float, default=32.0)
     args = p.parse_args(argv)
 
-    adapters = {}
-    for spec in args.lora_adapter:
-        name, _, path = spec.partition("=")
-        if not path:
-            p.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
-        from ..utils.convert_lora import load_adapter_any
-        adapters[name] = load_adapter_any(path, args.adapter_alpha)
+    from ..utils.convert_lora import parse_adapter_specs
+    adapters = parse_adapter_specs(args.lora_adapter, args.adapter_alpha,
+                                   p.error)
 
     base_loader = None
     if not args.tiny and args.model_path:

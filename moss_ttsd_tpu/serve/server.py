@@ -623,13 +623,9 @@ def main(argv=None):
                    help="LoRA alpha the adapters were trained with")
     args = p.parse_args(argv)
 
-    lora_adapters = {}
-    for spec in args.lora_adapter:
-        name, _, path = spec.partition("=")
-        if not path:
-            p.error(f"--lora_adapter expects NAME=PATH, got {spec!r}")
-        from ..utils.convert_lora import load_adapter_any
-        lora_adapters[name] = load_adapter_any(path, args.adapter_alpha)
+    from ..utils.convert_lora import parse_adapter_specs
+    lora_adapters = parse_adapter_specs(args.lora_adapter,
+                                        args.adapter_alpha, p.error)
 
     mesh = None
     if args.mesh:

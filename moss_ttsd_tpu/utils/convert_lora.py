@@ -13,9 +13,10 @@ touching the base weights.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -44,15 +45,27 @@ def convert_peft_lora(sd: Dict[str, "np.ndarray"],
             np.float32)
 
     per: dict = {}
+    dropped = []
     for key, t in sd.items():
         m = _KEY.search(key)
         if not m:
+            if "lora_A" in key or "lora_B" in key:
+                dropped.append(key)     # LoRA leaf on an unsupported module
             continue
         layer, target, ab = int(m.group(1)), m.group(2), m.group(3)
         per.setdefault(target, {"A": {}, "B": {}})[ab][layer] = to_np(t).T
     if not per:
         raise ValueError("no lora_A/lora_B leaves found — is this a peft "
                          "adapter state dict?")
+    if dropped:
+        # e.g. embed_tokens/lm_head adapters: converting silently would
+        # serve a partial voice — make the loss loud
+        logging.getLogger(__name__).warning(
+            "convert_peft_lora: %d LoRA leaves target unsupported modules "
+            "and were DROPPED (only %s convert): %s%s",
+            len(dropped), "q/k/v/o/gate/up/down projections",
+            ", ".join(sorted(dropped)[:4]),
+            "…" if len(dropped) > 4 else "")
     out = {}
     for target, d in per.items():
         if not d["A"] or not d["B"]:
@@ -107,3 +120,20 @@ def load_adapter_any(path: str,
         return load_peft_adapter(path)
     from ..core.checkpoint import load_pytree
     return load_pytree(path), default_alpha, True
+
+
+def parse_adapter_specs(specs: List[str], default_alpha: float = 32.0,
+                        error=None) -> Dict[str, Tuple[dict, float, bool]]:
+    """Shared CLI parsing for repeated --lora_adapter NAME=PATH flags ->
+    {name: (factor tree, alpha, use_rslora)} via load_adapter_any.
+    ``error`` is argparse's parser.error (raises ValueError when absent)."""
+    out: Dict[str, Tuple[dict, float, bool]] = {}
+    for spec in specs:
+        name, _, path = spec.partition("=")
+        if not path:
+            msg = f"--lora_adapter expects NAME=PATH, got {spec!r}"
+            if error is not None:
+                error(msg)
+            raise ValueError(msg)
+        out[name] = load_adapter_any(path, default_alpha)
+    return out

@@ -272,3 +272,38 @@ def test_multilora_int8_pool_matches_int8_engine(setup):
         assert got.steps == exp.steps
         np.testing.assert_array_equal(got.tokens[0, got.base:],
                                       exp.tokens[0, exp.base:])
+
+
+def test_registry_partial_layers_and_atomic_failure(setup):
+    """Layer-subset adapters zero-pad to the model's scan length, and a
+    failed registration leaves the registry exactly as before (a
+    half-registered id would be CLAMPED by jnp.take onto another adapter)."""
+    import pytest
+    from moss_ttsd_tpu.decode.lora_registry import LoraRegistry
+    cfg, model, params = setup
+    L, hd = cfg.num_hidden_layers, cfg.hidden_size
+    qd = cfg.num_attention_heads * cfg.head_dim
+    reg = LoraRegistry(jnp.float32, num_layers=L)
+    assert L > 1, "test needs a multi-layer tiny model"
+
+    partial = {"layers/block/q_proj/kernel": {
+        "a": np.ones((1, hd, 2), np.float32),
+        "b": np.ones((1, 2, qd), np.float32)}}
+    assert reg.register("p", partial) == 1
+    a, b = reg.stacks["q_proj"]
+    assert a.shape == (L, 2, hd, 2)
+    assert float(jnp.abs(a[1:]).sum()) == 0.0     # padded layers = zero
+
+    too_many = {"layers/block/q_proj/kernel": {
+        "a": np.ones((L + 1, hd, 2), np.float32),
+        "b": np.ones((L + 1, 2, qd), np.float32)}}
+    with pytest.raises(ValueError):
+        reg.register("bad", too_many)
+    wrong_dims = {"layers/block/q_proj/kernel": {
+        "a": np.ones((L, hd + 1, 2), np.float32),
+        "b": np.ones((L, 2, qd), np.float32)}}
+    with pytest.raises(ValueError):
+        reg.register("bad2", wrong_dims)
+    assert "bad" not in reg.ids and "bad2" not in reg.ids
+    assert reg.id_of("p") == 1
+    assert reg.stacks["q_proj"][0].shape == (L, 2, hd, 2)  # unchanged
