@@ -342,6 +342,14 @@ class XYTokenizer:
                                   len_buckets)
 
 
+def quarter_window_buckets(chunk_codes: int):
+    """Quarter-window bucket ladder shared by IncrementalDecoder and the
+    streaming pipeline (pipeline/batch.stream_item): partial windows vocode
+    through the smallest fitting fraction of the 30 s window instead of
+    always padding to it (up to 4x less tail/TTFA compute)."""
+    return sorted({-(-chunk_codes * q // 4) for q in (1, 2, 3, 4)})
+
+
 class IncrementalDecoder:
     """Incremental chunked detokenization with readback pipelining.
 
@@ -375,9 +383,8 @@ class IncrementalDecoder:
         # chunk is full by construction, so at most ONE extra compiled shape
         # shows up per run (the tail bucket) and lives in the persistent
         # compile cache
-        W = spt.chunk_codes
-        self.len_buckets = (sorted({-(-W * q // 4) for q in (1, 2, 3, 4)})
-                            if len_buckets == "auto" else [W])
+        self.len_buckets = (quarter_window_buckets(spt.chunk_codes)
+                            if len_buckets == "auto" else [spt.chunk_codes])
         # reference formula ((30 - overlap)*sr) // dsr — floor AFTER the
         # multiply, which differs from chunk_codes - (overlap*sr)//dsr by one
         # code whenever overlap*sr isn't a multiple of dsr
@@ -431,10 +438,8 @@ class IncrementalDecoder:
             if not window_done:
                 break
             if not has_content:
-                # serial-path contract: empty windows are skipped; once all
-                # rows are finished and past their data, nothing remains
-                if all(fin):
-                    break
+                # serial-path contract: a window past every row's data is
+                # skipped — nothing remains to dispatch
                 break
             self._dispatch(codes_list, lengths, self.next_chunk)
             self.next_chunk += 1

@@ -419,10 +419,12 @@ class TTSPipeline:
         while bounds[-1] < max_steps:
             bounds.append(min(bounds[-1] + chunk_steps, max_steps))
 
-        # quarter-window buckets (IncrementalDecoder.len_buckets contract):
-        # the ~1 s first chunk vocodes through a quarter-size window instead
-        # of a full padded 30 s one — 4x less TTFA vocode compute
-        buckets = sorted({-(-spt.chunk_codes * q // 4) for q in (1, 2, 3, 4)})
+        # quarter-window buckets — ONE source of truth with
+        # IncrementalDecoder.len_buckets: the ~1 s first chunk vocodes
+        # through a quarter-size window instead of a full padded 30 s one
+        # (4x less TTFA vocode compute)
+        from ..models.codec.model import quarter_window_buckets
+        buckets = quarter_window_buckets(spt.chunk_codes)
 
         def dispatch(codes, skip_frames):
             n = codes.shape[-1]
@@ -444,6 +446,7 @@ class TTSPipeline:
 
         emitted = 0
         pending = None
+        last_ids, last_end = None, 0
         for result in self.engine.generate_stream(batch, mask, max_new_tokens,
                                                   seed=seed,
                                                   boundaries=bounds,
@@ -453,10 +456,16 @@ class TTSPipeline:
                                             self.lm_cfg.speech_token_range[0])
             end = int(pp.find_max_valid_positions(
                 speech_ids, self.lm_cfg.speech_pad_token)[0]) + 1
+            last_ids, last_end = speech_ids, end
             new_p = None
             if end > emitted:
                 start = max(0, emitted - context_frames)
-                codes = np.clip(speech_ids[0, start:end].T.astype(np.int32),
+                # one dispatch covers at most one codec window (the largest
+                # bucket); frames past the cap drain in later iterations /
+                # the tail loop below, so oversized chunk_steps cannot
+                # overflow the bucket ladder
+                end_c = min(end, start + spt.chunk_codes)
+                codes = np.clip(speech_ids[0, start:end_c].T.astype(np.int32),
                                 0, K - 1)
                 new_p = dispatch(codes, emitted - start)
             if pending is not None:
@@ -471,7 +480,20 @@ class TTSPipeline:
                         yield new, spt.output_sample_rate
                 else:
                     pending = new_p
-                emitted = end
+                emitted = end_c
+        # drain: frames the per-iteration window cap deferred
+        while last_ids is not None and last_end > emitted:
+            start = max(0, emitted - context_frames)
+            end_c = min(last_end, start + spt.chunk_codes)
+            codes = np.clip(last_ids[0, start:end_c].T.astype(np.int32),
+                            0, K - 1)
+            new_p = dispatch(codes, emitted - start)
+            if pending is not None:
+                new = read(pending)
+                if new.size:
+                    yield new, spt.output_sample_rate
+            pending = new_p
+            emitted = end_c
         if pending is not None:
             new = read(pending)
             if new.size:

@@ -88,3 +88,41 @@ def test_pipeline_stream_item_total_length():
     assert audio[0] is not None
     assert total == audio[0]["audio_data"].shape[-1]
     assert all(np.isfinite(c).all() for c in chunks)
+
+
+def test_pipeline_stream_item_oversized_chunk_steps():
+    """chunk_steps larger than one codec window must not overflow the
+    vocode bucket ladder: windows cap at one codec chunk per dispatch and
+    the remainder drains, preserving the total sample count."""
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+    from moss_ttsd_tpu.pipeline.batch import TTSPipeline
+    from moss_ttsd_tpu.utils.mock_tokenizer import MockTokenizer
+
+    tok = MockTokenizer()
+    lm_cfg = LMConfig(dtype="float32", param_dtype="float32").tiny(
+        vocab_size=300, speech_vocab_size=65, speech_pad_token=64,
+        speech_token_range=(0, 290), eos_token_id=290,
+        pad_token_id=tok.pad_token_id)
+    codec_cfg = CodecConfig().tiny()
+    model = AsteroidLM(lm_cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, lm_cfg.channels), jnp.int32))
+    spt = XYTokenizer.init_random(codec_cfg, seed=0)
+    # shrink the codec window so a modest generation spans several windows
+    spt.chunk_seconds = 2
+    spt.chunk_samples = 2 * spt.input_sample_rate
+    spt.chunk_codes = spt.chunk_samples // codec_cfg.encoder_downsample_rate
+    pipe = TTSPipeline(tok, lm_cfg, params, spt,
+                       greedy_sampling(), bucket=32)
+    pipe.engine.cache_dtype = jnp.float32
+
+    steps = 2 * spt.chunk_codes + 3     # > one codec window per segment
+    item = {"text": "[S1]hello world[S2]general kenobi"}
+    chunks = [c for c, sr in pipe.stream_item(
+        item, max_new_tokens=steps, chunk_steps=10 * spt.chunk_codes,
+        first_chunk_steps=10 * spt.chunk_codes)]
+    assert chunks, "stream produced no audio"
+    total = sum(len(c) for c in chunks)
+    _, audio = pipe.process_batch([item], max_new_tokens=steps)
+    assert audio[0] is not None
+    assert total == audio[0]["audio_data"].shape[-1]
