@@ -4,10 +4,11 @@ The reference serves whole static batches (reference generation_utils.py:
 341-409): one slow request holds its whole batch hostage and new requests
 wait for a full drain. This module keeps a fixed pool of ``slots`` rows
 decoding in lockstep; requests JOIN the running pool at segment boundaries
-(a compiled batch-1 prefill + a device-side row splice) and finished rows
-are EVICTED and reused immediately — vLLM-style continuous batching, but
-with fully static shapes so XLA compiles exactly three programs (prefill,
-splice, segment) regardless of the request mix.
+(a compiled prompt-prefix prefill + a device-side row splice; bursts prefill
+batched, padded to powers of two) and finished rows are EVICTED and reused
+immediately — vLLM-style continuous batching, but with fully static shapes
+so XLA compiles a BOUNDED program set (splice, segment, and one prefill per
+power-of-two burst size) regardless of the request mix.
 
 Per-row state is the key difference from decode/engine.py: every slot
 carries its own decode-step counter, RoPE position, EOS-flush countdown and
