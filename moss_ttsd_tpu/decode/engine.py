@@ -289,26 +289,21 @@ class GenerationEngine:
         the saved reads (223 vs 229 steps/s); at >=512 slots int8 wins
         (201 vs 186) and the gap grows with cache length — enable it for
         long-form/podcast decodes, leave it off for short interactive ones."""
-        self.cfg = cfg
-        if kv_quant == "int8":
-            import dataclasses
-            cfg = dataclasses.replace(cfg, kv_quant="int8")
-            self.cfg = cfg
-        elif kv_quant is not None:
+        if kv_quant not in (None, "int8"):
             raise ValueError(f"unknown kv_quant mode {kv_quant!r}")
-        if decode_len_bucket is not None:
+        # constructor overrides of LMConfig decode policy (kv_quant="int8"
+        # int8 KV cache; decode_len_bucket lax.switch prefix reads;
+        # decode_extent_kernel extent-clamped Pallas kernels — see the
+        # LMConfig field docs for each)
+        overrides = {k: v for k, v in (("kv_quant", kv_quant),
+                                       ("decode_len_bucket", decode_len_bucket),
+                                       ("decode_extent_kernel",
+                                        decode_extent_kernel))
+                     if v is not None}
+        if overrides:
             import dataclasses
-            cfg = dataclasses.replace(cfg, decode_len_bucket=decode_len_bucket)
-            self.cfg = cfg
-        if decode_extent_kernel is not None:
-            # sequential decode through the extent-clamped Pallas kernels
-            # (block_k-granular length awareness, one compiled program)
-            # instead of the lax.switch prefix reads — see
-            # LMConfig.decode_extent_kernel
-            import dataclasses
-            cfg = dataclasses.replace(cfg,
-                                      decode_extent_kernel=decode_extent_kernel)
-            self.cfg = cfg
+            cfg = dataclasses.replace(cfg, **overrides)
+        self.cfg = cfg
         from ..ops.quantize import is_quantized_tree, quantize_lm_params
         # a tree already in quantized layout (int8 checkpoint, or random init
         # of the quantized model) skips the cast + conversion — avoids ever
@@ -369,6 +364,12 @@ class GenerationEngine:
         self.max_cached_programs = max_cached_programs
         self.cache_dtype = cache_dtype
         self._compiled: OrderedDict = OrderedDict()
+        # the HTTP streaming handler and the batching worker can drive the
+        # same engine from different threads; the LRU dict is lookup+insert+
+        # evict, so serialize _get_fns (a jitted pair already handed out
+        # stays valid after eviction — popitem only drops the cache's ref)
+        import threading
+        self._compile_lock = threading.RLock()
         # multi-LoRA registry (decode/lora_registry.py): id 0 = base model;
         # generate()/generate_stream() select per request via adapter=
         from .lora_registry import LoraRegistry
@@ -398,35 +399,39 @@ class GenerationEngine:
     def _get_fns(self, base: int, buf_steps: int):
         """(prefill, run) for one (prompt-base, buffer-capacity) key, with an
         LRU-capped cache so a long-tail serving mix (varying max_tokens /
-        prompt lengths) compiles a bounded number of programs."""
+        prompt lengths) compiles a bounded number of programs. Thread-safe
+        (see _compile_lock)."""
         key = (base, buf_steps)
-        if key in self._compiled:
-            self._compiled.move_to_end(key)
+        with self._compile_lock:
+            if key in self._compiled:
+                self._compiled.move_to_end(key)
+                return self._compiled[key]
+            logger.info("GenerationEngine: compiling (base=%d, buf_steps=%d); "
+                        "%d program pair(s) cached", base, buf_steps,
+                        len(self._compiled))
+            prefill, run = _build_generate_fn(
+                self.model, self.cfg, self.sampling, base, buf_steps,
+                self.cache_dtype)
+            # donate the carried DecodeState: without it every segmented run
+            # call (generate_stream / continuous splice) copies the full KV
+            # cache in
+            if self.mesh is not None:
+                repl = self._repl_sharding
+                io_sh = (self._param_shardings, self._data_sharding,
+                         self._data_sharding, repl, repl, repl)
+                prefill = jax.jit(prefill, in_shardings=io_sh)
+                run = jax.jit(run, in_shardings=(self._param_shardings,
+                                                 None, None, repl, repl),
+                              donate_argnums=(1,))
+            else:
+                prefill = jax.jit(prefill)
+                run = jax.jit(run, donate_argnums=(1,))
+            self._compiled[key] = (prefill, run)
+            while len(self._compiled) > self.max_cached_programs:
+                old_key, _ = self._compiled.popitem(last=False)
+                logger.info("GenerationEngine: evicting compiled pair %s",
+                            old_key)
             return self._compiled[key]
-        logger.info("GenerationEngine: compiling (base=%d, buf_steps=%d); "
-                    "%d program pair(s) cached", base, buf_steps,
-                    len(self._compiled))
-        prefill, run = _build_generate_fn(
-            self.model, self.cfg, self.sampling, base, buf_steps,
-            self.cache_dtype)
-        # donate the carried DecodeState: without it every segmented run call
-        # (generate_stream / continuous splice) copies the full KV cache in
-        if self.mesh is not None:
-            repl = self._repl_sharding
-            io_sh = (self._param_shardings, self._data_sharding,
-                     self._data_sharding, repl, repl, repl)
-            prefill = jax.jit(prefill, in_shardings=io_sh)
-            run = jax.jit(run, in_shardings=(self._param_shardings,
-                                             None, None, repl, repl),
-                          donate_argnums=(1,))
-        else:
-            prefill = jax.jit(prefill)
-            run = jax.jit(run, donate_argnums=(1,))
-        self._compiled[key] = (prefill, run)
-        while len(self._compiled) > self.max_cached_programs:
-            old_key, _ = self._compiled.popitem(last=False)
-            logger.info("GenerationEngine: evicting compiled pair %s", old_key)
-        return self._compiled[key]
 
     def _step_budget(self, max_new_tokens: Optional[int], prompt_len: int):
         """Resolve (steps to run, buffer capacity) for a request.

@@ -330,13 +330,16 @@ class TTSPipeline:
         wavs = []
         if valid_codes:
             t0 = time.perf_counter()
-            if inc is not None:
-                all_wavs = inc.finish(
-                    [c if c is not None else np.zeros((nq, 0), np.int32)
-                     for c in final_codes])["syn_wav_list"]
-                wavs = [w for c, w in zip(final_codes, all_wavs)
-                        if c is not None]
+            if inc is not None and len(valid_codes) == len(final_codes):
+                wavs = inc.finish(final_codes)["syn_wav_list"]
             else:
+                # Serial path — also taken when the overlap decoder ran but
+                # some rows produced no speech: the serial contract vocodes
+                # ONLY valid rows, and a different vocode batch dimension
+                # changes XLA reduction tiling (~2e-7 deviations, see
+                # tests/test_codec_bf16.py rows_per_call note), so the rare
+                # mixed batch re-vocodes the valid rows rather than reading
+                # back the full-batch overlap dispatches.
                 wavs = self.spt.decode(
                     valid_codes, overlap_seconds=self.vocode_overlap_s,
                     pcm16=True,

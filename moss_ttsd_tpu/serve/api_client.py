@@ -147,6 +147,11 @@ class SpeechAPIClient:
                 if n:
                     yield (np.frombuffer(raw[:n], "<i2").astype(np.float32)
                            / 32768.0, sr)
+            if carry:
+                # the connection ended mid-sample: surface the truncation
+                # instead of silently dropping the half PCM16 sample
+                raise IOError("PCM16 stream truncated mid-sample "
+                              f"({len(carry)} trailing byte)")
 
 
 def build_references(item: dict) -> List[Dict]:

@@ -16,10 +16,42 @@ from typing import Optional
 # Fixed per-language prompt voices (role of reference podcast_generate.py:19-29,
 # which points at its own recorded wavs). Self-contained: these are the repo's
 # synthesized placeholder voices (examples/make_examples.py) with their own
-# transcripts, resolved relative to the repo root so no external mount is
-# needed. Pass ``voices=`` / ``base_path=`` to use real recordings.
+# transcripts. Pass ``voices=`` / ``base_path=`` to use real recordings.
 ASSET_BASE = os.path.abspath(os.path.join(os.path.dirname(__file__),
                                           "..", ".."))
+
+
+def default_asset_base() -> str:
+    """Directory containing examples/voice_s{1,2}.wav.
+
+    In a source checkout that is the repo root (two levels above serve/).
+    For an installed package — where no examples/ tree ships — the two
+    placeholder voices are synthesized once into a user cache dir with the
+    same recipe as examples/make_examples.py, so the default podcast voices
+    work in any layout."""
+    if os.path.exists(os.path.join(ASSET_BASE, "examples", "voice_s1.wav")):
+        return ASSET_BASE
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "moss_ttsd_tpu",
+                         "assets")
+    exdir = os.path.join(cache, "examples")
+    if not os.path.exists(os.path.join(exdir, "voice_s2.wav")):
+        import numpy as np
+        from ..utils.audio_io import write_wav
+        os.makedirs(exdir, exist_ok=True)
+        sr = 16000
+        t = np.arange(3 * sr) / sr
+        for name, f0, vib_hz, seed in (("voice_s1.wav", 130.0, 5.0, 1),
+                                       ("voice_s2.wav", 210.0, 6.5, 2)):
+            rng = np.random.default_rng(seed)
+            vib = 1.0 + 0.01 * np.sin(2 * np.pi * vib_hz * t)
+            wav = np.zeros_like(t)
+            for h, amp in enumerate([1.0, 0.5, 0.33, 0.2, 0.1], start=1):
+                wav += amp * np.sin(2 * np.pi * f0 * h * vib * t
+                                    + rng.uniform(0, np.pi))
+            env = 0.4 + 0.3 * np.clip(np.sin(2 * np.pi * 2.5 * t), 0, 1)
+            wav = wav * env / np.max(np.abs(wav)) * 0.6
+            write_wav(os.path.join(exdir, name), wav.astype(np.float32), sr)
+    return cache
 DEFAULT_VOICES = {
     "zh": {"prompt_audio_speaker1": "examples/voice_s1.wav",
            "prompt_text_speaker1": "这是第一位说话人的参考音色。",
@@ -247,7 +279,8 @@ def process_input_to_audio(source: str, pipe, output_path: str,
     script = generate_podcast_script(content, language, llm_base_url,
                                      llm_api_key)
     voice = dict(voices or DEFAULT_VOICES[language])
-    item = {"base_path": base_path or ASSET_BASE, "text": script, **voice}
+    item = {"base_path": base_path or default_asset_base(),
+            "text": script, **voice}
     texts_data, audio_results = pipe.process_batch(
         [item], use_normalize=use_normalize, seed=seed)
     if not audio_results or audio_results[0] is None:

@@ -52,6 +52,18 @@ def wav_array_to_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _register_adapters(register, adapters: Optional[Dict[str, dict]],
+                       default_alpha: float) -> None:
+    """Normalize --lora_adapter specs (bare factor tree, or the peft
+    loader's (tree, alpha, use_rslora) tuple) through ONE place, so the
+    continuous pool and the static engine cannot interpret the same flag
+    differently."""
+    for name, spec in (adapters or {}).items():
+        tree, alpha, rslora = (spec if isinstance(spec, tuple)
+                               else (spec, default_alpha, True))
+        register(name, tree, alpha=alpha, use_rslora=rslora)
+
+
 class _Request:
     __slots__ = ("item", "max_new_tokens", "seed", "use_normalize", "event",
                  "wav_bytes", "error", "adapter")
@@ -194,14 +206,8 @@ class ContinuousWorker:
             max_steps=max_steps, cache_dtype=eng.cache_dtype,
             quant=eng.quant, kv_quant=kv_quant, mesh=eng.mesh)
         # per-request LoRA voices (multi-LoRA serving): registered up front
-        # so the pool's compiled shapes are final before traffic arrives.
-        # Values are factor trees, or (tree, alpha, use_rslora) tuples (the
-        # peft-adapter loader returns those with the trained scale)
-        for name, spec in (adapters or {}).items():
-            tree, alpha, rslora = (spec if isinstance(spec, tuple)
-                                   else (spec, adapter_alpha, True))
-            self.cb.register_adapter(name, tree, alpha=alpha,
-                                     use_rslora=rslora)
+        # so the pool's compiled shapes are final before traffic arrives
+        _register_adapters(self.cb.register_adapter, adapters, adapter_alpha)
         self.segment_steps = segment_steps
         self._queue: List[_Request] = []
         self._live: Dict[int, _Request] = {}        # slot -> request
@@ -545,11 +551,8 @@ class SpeechServer:
                  adapter_alpha: float = 32.0):
         # voices register on the pipeline's static engine too: the window
         # scheduler and the streaming path generate through it
-        for name, spec in (lora_adapters or {}).items():
-            tree, alpha, rslora = (spec if isinstance(spec, tuple)
-                                   else (spec, adapter_alpha, True))
-            pipeline.engine.register_adapter(name, tree, alpha=alpha,
-                                             use_rslora=rslora)
+        _register_adapters(pipeline.engine.register_adapter, lora_adapters,
+                           adapter_alpha)
         if scheduler == "continuous":
             self.worker = ContinuousWorker(
                 pipeline, slots=max_batch, base=pool_base,

@@ -298,3 +298,43 @@ def test_decode_len_bucket_token_identical():
     b = bucketed.generate(batch, mask, max_new_tokens=40, seed=0)
     assert a.steps == b.steps
     np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_get_fns_cache_thread_safe(monkeypatch):
+    """The HTTP streaming handler and the batching worker drive one engine
+    from different threads; hammer the LRU compile cache (capacity 1, so
+    every alternate key evicts) from 4 threads and require every lookup to
+    return a usable pair — the unlocked dict raced check/insert/popitem."""
+    import threading
+
+    from moss_ttsd_tpu.decode import engine as engine_mod
+
+    cfg = tiny_cfg()
+    model = AsteroidLM(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, cfg.channels), jnp.int32))
+    eng = GenerationEngine(cfg, params, greedy_sampling(), bucket=32,
+                           cache_dtype=jnp.float32, max_cached_programs=1)
+
+    def fake_build(model, cfg, sampling, base, buf_steps, cache_dtype):
+        return (lambda *a: ("prefill", base, buf_steps),
+                lambda *a: ("run", base, buf_steps))
+
+    monkeypatch.setattr(engine_mod, "_build_generate_fn", fake_build)
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(200):
+                base = 32 * (1 + (i + tid) % 3)
+                prefill, run = eng._get_fns(base, 64)
+                assert prefill is not None and run is not None
+        except Exception as e:                      # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors

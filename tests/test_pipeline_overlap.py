@@ -59,6 +59,27 @@ def test_overlap_with_rows_per_call_matches(pipe):
             np.testing.assert_array_equal(a["audio_data"], b["audio_data"])
 
 
+def test_mixed_none_row_matches_serial(pipe, monkeypatch):
+    """A batch where one row produces NO speech: the serial contract vocodes
+    only valid rows (a different vocode batch dimension changes XLA reduction
+    tiling), so the overlap path must fall back to the valid-rows-only vocode
+    and stay byte-identical."""
+    orig = type(pipe).extract_codes
+
+    def drop_last_row(self, result):
+        out = orig(self, result)
+        out[-1] = None
+        return out
+
+    monkeypatch.setattr(type(pipe), "extract_codes", drop_last_row)
+    audio_a = run(pipe, overlap=False)[1]
+    audio_b = run(pipe, overlap=True)[1]
+    assert audio_a[-1] is None and audio_b[-1] is None
+    assert audio_a[0] is not None
+    np.testing.assert_array_equal(audio_a[0]["audio_data"],
+                                  audio_b[0]["audio_data"])
+
+
 def test_single_window_takes_serial_path(pipe):
     """A generation inside one codec window has nothing to overlap — the
     pipeline must fall back to the one-shot generate (and still work)."""

@@ -137,6 +137,26 @@ def test_podcast_default_voices_self_contained():
         assert voice["prompt_text_speaker1"] and voice["prompt_text_speaker2"]
 
 
+def test_podcast_asset_base_fallback(tmp_path, monkeypatch):
+    """When the source-checkout examples/ tree is absent (installed-package
+    layout), default_asset_base synthesizes the placeholder voices into a
+    cache dir instead of returning a path with no wavs."""
+    import os
+    from moss_ttsd_tpu.serve import podcast
+    monkeypatch.setattr(podcast, "ASSET_BASE", str(tmp_path / "nowhere"))
+    monkeypatch.setenv("HOME", str(tmp_path))
+    base = podcast.default_asset_base()
+    for name in ("voice_s1.wav", "voice_s2.wav"):
+        p = os.path.join(base, "examples", name)
+        assert os.path.exists(p) and os.path.getsize(p) > 1000, p
+    # in the source checkout the repo root wins (no synthesis)
+    monkeypatch.undo()
+    import moss_ttsd_tpu
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(moss_ttsd_tpu.__file__)))
+    assert podcast.default_asset_base() == repo_root
+
+
 def test_helpers_param_count():
     import jax.numpy as jnp
     from moss_ttsd_tpu.utils.helpers import count_params_by_module
