@@ -535,6 +535,26 @@ class ContinuousBatcher:
         """Slot ids holding a completed request (ready to collect)."""
         return [j for j, _ in self.poll()]
 
+    def progress(self) -> List[tuple]:
+        """[(slot, steps, finished), ...] for every ACTIVE row — still ONE
+        device->host readback per segment. Superset of poll() for callers
+        (streaming serving) that also track live rows' step counts."""
+        packed = jnp.stack([
+            self.state.active.astype(jnp.int32),
+            (self.state.active & ~self.state.unfinished).astype(jnp.int32),
+            self.state.step_r])
+        arr = np.asarray(packed)
+        return [(j, int(arr[2, j]), bool(arr[1, j]))
+                for j in range(self.slots) if arr[0, j]]
+
+    def peek_tokens(self, slots: List[int], steps: List[int]) -> np.ndarray:
+        """Snapshot several LIVE rows' token prefixes in ONE readback:
+        (len(slots), base + max(steps), C). Does NOT free the slots; safe
+        for AR streaming because a row's written prefix never changes."""
+        upto = self.base + max(steps)
+        rows = jnp.asarray(slots, jnp.int32)
+        return np.asarray(self.state.tokens[rows, :upto])
+
     def collect_async(self, j: int, steps: Optional[int] = None):
         """Free slot j immediately; return (steps, device_tokens).
 

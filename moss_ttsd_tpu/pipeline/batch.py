@@ -45,6 +45,128 @@ class PhaseTimings:
         return dataclasses.asdict(self)
 
 
+class StreamVocoder:
+    """Sliding-window incremental vocoder for ONE growing token stream.
+
+    Converts an unshifted speech-id stream (whose prefix only ever grows —
+    true for AR generation) into PCM chunks: each ``feed`` vocodes at most
+    one codec window of new frames with ``context_frames`` of left context
+    (so chunk boundaries see real receptive field), emits only the new
+    samples, and delays each chunk's device->host readback by one feed so
+    the (slow, tunnel-bound) transfer overlaps the caller's next decode
+    segment. PCM is quantized to int16 on device (half the readback bytes).
+
+    Shared by TTSPipeline.stream_item (single-stream latency path) and the
+    continuous-pool streaming server (serve/server.py), so the two
+    streaming surfaces cannot drift. Capability the reference lacks
+    end-to-end (its Gradio path returns whole files — SURVEY §3.4).
+    """
+
+    def __init__(self, spt: XYTokenizer, context_frames: int = 25,
+                 immediate_first: bool = True, timings=None):
+        self.spt = spt
+        self.context = context_frames
+        # surface the very first chunk's audio immediately (TTFA) instead
+        # of one feed later
+        self.immediate_first = immediate_first
+        self.timings = timings
+        self.up = spt.cfg.decoder_upsample_rate      # samples per frame
+        self.K = spt.cfg.quantizer.codebook_size
+        # quarter-window buckets — ONE source of truth with
+        # IncrementalDecoder.len_buckets: a ~1 s first chunk vocodes
+        # through a quarter-size window instead of a full padded 30 s one
+        # (4x less TTFA vocode compute)
+        from ..models.codec.model import quarter_window_buckets
+        self.buckets = quarter_window_buckets(spt.chunk_codes)
+        self.emitted = 0
+        self._pending = None
+
+    @staticmethod
+    def effective_context(spt: XYTokenizer, overlap_s: int, feed_steps: int,
+                          context_frames: int = 25) -> int:
+        """Clamp the left context so one feed's sliding window (context +
+        new frames) fits a single codec chunk call."""
+        duration_codes = ((spt.chunk_seconds - overlap_s)
+                          * spt.input_sample_rate) \
+            // spt.encoder_downsample_rate
+        return min(context_frames, max(0, duration_codes - feed_steps))
+
+    @property
+    def sample_rate(self) -> int:
+        return self.spt.output_sample_rate
+
+    def _dispatch(self, speech_ids: np.ndarray, start: int, end_c: int):
+        spt = self.spt
+        codes = np.clip(speech_ids[0, start:end_c].T.astype(np.int32),
+                        0, self.K - 1)
+        n = codes.shape[-1]
+        L = next(b for b in self.buckets if b >= n)
+        buf = np.zeros((spt.nq, 1, L), np.int32)
+        buf[:, 0, :n] = codes
+        out = spt._detokenize16(spt.infer_params, jnp.asarray(buf),
+                                jnp.asarray([n]))
+        return out, self.emitted - start, n
+
+    def _read(self, p) -> np.ndarray:
+        out, skip_frames, n = p
+        t0 = time.perf_counter()
+        wav = np.asarray(out["wav"])[0].astype(np.float32) / 32768.0
+        dt = time.perf_counter() - t0
+        if self.timings is not None:
+            self.timings.vocode_s += dt
+        metrics.add("vocode_s", dt)
+        return wav[skip_frames * self.up:n * self.up]
+
+    def feed(self, speech_ids: np.ndarray, end: int) -> List[np.ndarray]:
+        """speech_ids (1, T, nq) unshifted, ``end`` = frames valid so far.
+        Returns 0-2 ready PCM chunks (float32 in [-1, 1])."""
+        out: List[np.ndarray] = []
+        new_p, end_c = None, 0
+        if end > self.emitted:
+            start = max(0, self.emitted - self.context)
+            # one dispatch covers at most one codec window (the largest
+            # bucket); frames past the cap drain in later feeds / finish,
+            # so oversized feeds cannot overflow the bucket ladder
+            end_c = min(end, start + self.spt.chunk_codes)
+            new_p = self._dispatch(speech_ids, start, end_c)
+        if self._pending is not None:
+            new = self._read(self._pending)
+            self._pending = None
+            if new.size:
+                out.append(new)
+        if new_p is not None:
+            if self.emitted == 0 and self.immediate_first:
+                new = self._read(new_p)
+                if new.size:
+                    out.append(new)
+            else:
+                self._pending = new_p
+            self.emitted = end_c
+        return out
+
+    def finish(self, speech_ids: Optional[np.ndarray],
+               end: int) -> List[np.ndarray]:
+        """Drain: vocode frames the per-feed window cap deferred, then read
+        the last pending chunk."""
+        out: List[np.ndarray] = []
+        while speech_ids is not None and end > self.emitted:
+            start = max(0, self.emitted - self.context)
+            end_c = min(end, start + self.spt.chunk_codes)
+            new_p = self._dispatch(speech_ids, start, end_c)
+            if self._pending is not None:
+                new = self._read(self._pending)
+                if new.size:
+                    out.append(new)
+            self._pending = new_p
+            self.emitted = end_c
+        if self._pending is not None:
+            new = self._read(self._pending)
+            self._pending = None
+            if new.size:
+                out.append(new)
+        return out
+
+
 class TTSPipeline:
     """Bundles tokenizer + LM engine + codec (reference load_model)."""
 
@@ -365,11 +487,8 @@ class TTSPipeline:
         (serve/server.py) so the two paths cannot drift. The clip guards a
         malformed channel-0 row outside the speech range from indexing out
         of the codebook."""
-        speech_ids = pp.unshift_outputs(result.tokens, result.base,
-                                        self.lm_cfg.channels,
-                                        self.lm_cfg.speech_token_range[0])
-        li = pp.find_max_valid_positions(speech_ids,
-                                         self.lm_cfg.speech_pad_token)
+        speech_ids, ends = self.unshift_end(result.tokens, result.base)
+        li = ends - 1
         out: List[Optional[np.ndarray]] = []
         for row in range(speech_ids.shape[0]):
             end = int(li[row]) + 1
@@ -380,6 +499,16 @@ class TTSPipeline:
             out.append(np.clip(codes, 0,
                                self.spt.cfg.quantizer.codebook_size - 1))
         return out
+
+    def unshift_end(self, tokens: np.ndarray, base: int):
+        """(B, T, C) generated tokens -> (unshifted speech_ids (B, T', C),
+        per-row valid-frame counts (B,)). The delay un-shift + last-valid-row
+        scan shared by extract_codes and the streaming paths."""
+        speech_ids = pp.unshift_outputs(tokens, base, self.lm_cfg.channels,
+                                        self.lm_cfg.speech_token_range[0])
+        li = pp.find_max_valid_positions(speech_ids,
+                                         self.lm_cfg.speech_pad_token)
+        return speech_ids, li + 1
 
     def stream_item(self, item: dict, system_prompt: str = SYSTEM_PROMPT,
                     use_normalize: bool = False,
@@ -399,105 +528,32 @@ class TTSPipeline:
         readback happens while the NEXT decode segment computes.
 
         The vocoder is re-run over a sliding window with ``context_frames``
-        of left context so chunk boundaries see real receptive field; only
-        the new samples are emitted. PCM is quantized to int16 on device
-        (half the readback bytes; serving emits 16-bit audio anyway).
-        Capability the reference lacks end-to-end (its Gradio path returns
-        whole files — SURVEY §3.4).
+        of left context (StreamVocoder) so chunk boundaries see real
+        receptive field; only the new samples are emitted. Capability the
+        reference lacks end-to-end (its Gradio path returns whole files —
+        SURVEY §3.4).
         """
         shifted, _ = self.prepare_item(item, system_prompt, use_normalize)
         batch, mask = pp.left_pad_batch([shifted], self.tokenizer.pad_token_id,
                                         self.lm_cfg.speech_pad_token)
-        spt = self.spt
-        up = spt.cfg.decoder_upsample_rate           # samples per frame @24k
-        K = spt.cfg.quantizer.codebook_size
-        # the sliding window must fit one codec chunk call
-        duration_codes = ((spt.chunk_seconds - self.vocode_overlap_s)
-                          * spt.input_sample_rate) \
-            // spt.encoder_downsample_rate
-        context_frames = min(context_frames,
-                             max(0, duration_codes - chunk_steps))
+        sv = StreamVocoder(
+            self.spt, StreamVocoder.effective_context(
+                self.spt, self.vocode_overlap_s, chunk_steps, context_frames),
+            timings=self.timings)
         max_steps, _ = self.engine._step_budget(max_new_tokens, batch.shape[1])
         bounds = [min(first_chunk_steps, chunk_steps, max_steps)]
         while bounds[-1] < max_steps:
             bounds.append(min(bounds[-1] + chunk_steps, max_steps))
 
-        # quarter-window buckets — ONE source of truth with
-        # IncrementalDecoder.len_buckets: the ~1 s first chunk vocodes
-        # through a quarter-size window instead of a full padded 30 s one
-        # (4x less TTFA vocode compute)
-        from ..models.codec.model import quarter_window_buckets
-        buckets = quarter_window_buckets(spt.chunk_codes)
-
-        def dispatch(codes, skip_frames):
-            n = codes.shape[-1]
-            L = next(b for b in buckets if b >= n)
-            buf = np.zeros((spt.nq, 1, L), np.int32)
-            buf[:, 0, :n] = codes
-            out = spt._detokenize16(spt.infer_params, jnp.asarray(buf),
-                                    jnp.asarray([n]))
-            return out, skip_frames, n
-
-        def read(p):
-            out, skip_frames, n = p
-            t0 = time.perf_counter()
-            wav = np.asarray(out["wav"])[0].astype(np.float32) / 32768.0
-            dt = time.perf_counter() - t0
-            self.timings.vocode_s += dt
-            metrics.add("vocode_s", dt)
-            return wav[skip_frames * up:n * up]
-
-        emitted = 0
-        pending = None
         last_ids, last_end = None, 0
         for result in self.engine.generate_stream(batch, mask, max_new_tokens,
                                                   seed=seed,
                                                   boundaries=bounds,
                                                   adapter=adapter):
-            speech_ids = pp.unshift_outputs(result.tokens, result.base,
-                                            self.lm_cfg.channels,
-                                            self.lm_cfg.speech_token_range[0])
-            end = int(pp.find_max_valid_positions(
-                speech_ids, self.lm_cfg.speech_pad_token)[0]) + 1
+            speech_ids, ends = self.unshift_end(result.tokens, result.base)
+            end = int(ends[0])
             last_ids, last_end = speech_ids, end
-            new_p = None
-            if end > emitted:
-                start = max(0, emitted - context_frames)
-                # one dispatch covers at most one codec window (the largest
-                # bucket); frames past the cap drain in later iterations /
-                # the tail loop below, so oversized chunk_steps cannot
-                # overflow the bucket ladder
-                end_c = min(end, start + spt.chunk_codes)
-                codes = np.clip(speech_ids[0, start:end_c].T.astype(np.int32),
-                                0, K - 1)
-                new_p = dispatch(codes, emitted - start)
-            if pending is not None:
-                new = read(pending)
-                pending = None
-                if new.size:
-                    yield new, spt.output_sample_rate
-            if new_p is not None:
-                if emitted == 0:        # first audio: surface immediately
-                    new = read(new_p)
-                    if new.size:
-                        yield new, spt.output_sample_rate
-                else:
-                    pending = new_p
-                emitted = end_c
-        # drain: frames the per-iteration window cap deferred
-        while last_ids is not None and last_end > emitted:
-            start = max(0, emitted - context_frames)
-            end_c = min(last_end, start + spt.chunk_codes)
-            codes = np.clip(last_ids[0, start:end_c].T.astype(np.int32),
-                            0, K - 1)
-            new_p = dispatch(codes, emitted - start)
-            if pending is not None:
-                new = read(pending)
-                if new.size:
-                    yield new, spt.output_sample_rate
-            pending = new_p
-            emitted = end_c
-        if pending is not None:
-            new = read(pending)
-            if new.size:
-                yield new, spt.output_sample_rate
+            for chunk in sv.feed(speech_ids, end):
+                yield chunk, sv.sample_rate
+        for chunk in sv.finish(last_ids, last_end):
+            yield chunk, sv.sample_rate

@@ -66,7 +66,8 @@ def _register_adapters(register, adapters: Optional[Dict[str, dict]],
 
 class _Request:
     __slots__ = ("item", "max_new_tokens", "seed", "use_normalize", "event",
-                 "wav_bytes", "error", "adapter")
+                 "wav_bytes", "error", "adapter", "stream_q", "cancelled",
+                 "sv")
 
     def __init__(self, item, max_new_tokens, seed, use_normalize,
                  adapter=None):
@@ -78,6 +79,19 @@ class _Request:
         self.event = threading.Event()
         self.wav_bytes: Optional[bytes] = None
         self.error: Optional[str] = None
+        # streaming requests (continuous scheduler): PCM chunks flow through
+        # stream_q (np chunk | str error | None end-of-stream); cancelled is
+        # set by the handler on client disconnect/timeout so the worker
+        # frees the pool slot at the next segment boundary
+        self.stream_q = None
+        self.cancelled = False
+        self.sv = None                  # per-request StreamVocoder
+
+    def fail(self, msg: str) -> None:
+        self.error = msg
+        if self.stream_q is not None:
+            self.stream_q.put(msg)
+        self.event.set()
 
 
 class BatchingWorker:
@@ -246,16 +260,17 @@ class ContinuousWorker:
                 del self._queue[:len(burst)]
             prepared = []                       # [(req, shifted_prompt)]
             for req in burst:
+                if req.cancelled:       # client gave up while queued
+                    req.event.set()
+                    continue
                 try:
                     shifted, _ = self.pipeline.prepare_item(
                         req.item, use_normalize=req.use_normalize)
                     prepared.append((req, shifted))
                 except ValueError as e:
-                    req.error = f"bad request: {e}"
-                    req.event.set()
+                    req.fail(f"bad request: {e}")
                 except Exception as e:              # noqa: BLE001
-                    req.error = f"server error: {e}"
-                    req.event.set()
+                    req.fail(f"server error: {e}")
             if not prepared:
                 continue
             try:
@@ -264,6 +279,7 @@ class ContinuousWorker:
                      for req, shifted in prepared])
                 for (req, _), slot in zip(prepared, slots):
                     self._live[slot] = req
+                    self._attach_stream(req)
                     metrics.add("server_continuous_joins", 1)
                 continue
             except ValueError:
@@ -271,8 +287,7 @@ class ContinuousWorker:
             except Exception as e:                  # noqa: BLE001
                 # device/compile/runtime failures are NOT the client's fault
                 for req, _ in prepared:
-                    req.error = f"server error: {e}"
-                    req.event.set()
+                    req.fail(f"server error: {e}")
                 continue
             for req, shifted in prepared:
                 try:
@@ -282,32 +297,84 @@ class ContinuousWorker:
                 except ValueError as e:
                     # deliberate rejections (oversized prompt, over-capacity
                     # budget) are client errors
-                    req.error = f"bad request: {e}"
-                    req.event.set()
+                    req.fail(f"bad request: {e}")
                     continue
                 except Exception as e:              # noqa: BLE001
-                    req.error = f"server error: {e}"
-                    req.event.set()
+                    req.fail(f"server error: {e}")
                     continue
                 self._live[slot] = req
+                self._attach_stream(req)
                 metrics.add("server_continuous_joins", 1)
 
-    def _drain_finished(self) -> None:
-        done = self.cb.poll()         # one readback: (slot, steps) pairs
+    def _attach_stream(self, req: _Request) -> None:
+        """Give an admitted streaming request its own incremental vocoder
+        (pipeline.batch.StreamVocoder): each pool segment's new frames
+        vocode with sliding left context while the pool keeps decoding."""
+        if req.stream_q is not None and req.sv is None:
+            from ..pipeline.batch import StreamVocoder
+            spt = self.pipeline.spt
+            req.sv = StreamVocoder(
+                spt, StreamVocoder.effective_context(
+                    spt, self.pipeline.vocode_overlap_s, self.segment_steps))
+
+    def _service(self) -> None:
+        """One progress readback per segment: feed live streams, reclaim
+        cancelled ones, collect + vocode the finished requests."""
+        finished, stream_rows = [], []
+        for slot, steps, fin in self.cb.progress():
+            req = self._live.get(slot)
+            if req is None:                   # orphan (shouldn't happen):
+                self.cb.release(slot)         # reclaim defensively
+                continue
+            if req.cancelled:                 # client went away mid-stream
+                self.cb.release(slot)
+                del self._live[slot]
+                metrics.add("server_stream_cancelled", 1)
+                continue
+            if fin:
+                finished.append((slot, steps))
+            elif req.stream_q is not None and steps > 0:
+                stream_rows.append((slot, steps))
+        if stream_rows:
+            # ONE readback snapshots every live stream's token prefix
+            toks = self.cb.peek_tokens([j for j, _ in stream_rows],
+                                       [s for _, s in stream_rows])
+            for (slot, steps), row in zip(stream_rows, toks):
+                req = self._live[slot]
+                try:
+                    ids, ends = self.pipeline.unshift_end(
+                        row[None, :self.cb.base + steps], self.cb.base)
+                    for chunk in req.sv.feed(ids, int(ends[0])):
+                        req.stream_q.put(chunk)
+                except Exception as e:              # noqa: BLE001
+                    req.fail(f"vocode error: {e}")
+                    self.cb.release(slot)
+                    del self._live[slot]
+        self._drain_finished(finished)
+
+    def _drain_finished(self, done: List[tuple]) -> None:
         if not done:
             return
         spt = self.pipeline.spt
         reqs, codes_list = [], []
         for slot, steps in done:
-            req = self._live.pop(slot, None)
-            if req is None:                   # orphan (shouldn't happen):
-                self.cb.release(slot)         # reclaim defensively
-                continue
+            req = self._live.pop(slot)
             res = self.cb.collect(slot, steps)
+            if req.stream_q is not None:
+                try:
+                    ids, ends = self.pipeline.unshift_end(res.tokens,
+                                                          res.base)
+                    for chunk in req.sv.finish(ids, int(ends[0])):
+                        req.stream_q.put(chunk)
+                    req.stream_q.put(None)          # clean end-of-stream
+                    metrics.add("server_streamed", 1)
+                    req.event.set()
+                except Exception as e:              # noqa: BLE001
+                    req.fail(f"vocode error: {e}")
+                continue
             codes = self.pipeline.extract_codes(res)[0]
             if codes is None:
-                req.error = "generation produced no speech tokens"
-                req.event.set()
+                req.fail("generation produced no speech tokens")
                 continue
             reqs.append(req)
             codes_list.append(codes)
@@ -322,8 +389,7 @@ class ContinuousWorker:
                 req.event.set()
         except Exception as e:                      # noqa: BLE001
             for req in reqs:
-                req.error = f"vocode error: {e}"
-                req.event.set()
+                req.fail(f"vocode error: {e}")
 
     def _loop(self) -> None:
         while True:
@@ -332,11 +398,9 @@ class ContinuousWorker:
                     self._cv.wait()
                 if self._stop:
                     for r in self._queue:
-                        r.error = "server shutting down"
-                        r.event.set()
+                        r.fail("server shutting down")
                     for r in self._live.values():
-                        r.error = "server shutting down"
-                        r.event.set()
+                        r.fail("server shutting down")
                     return
             try:
                 if self._live:
@@ -350,7 +414,7 @@ class ContinuousWorker:
                     self.cb.run(steps=self.segment_steps)
                     metrics.add("server_continuous_segments", 1)
                     self._admit()
-                    self._drain_finished()
+                    self._service()
                 else:
                     self._admit()
             except Exception as e:                  # noqa: BLE001
@@ -359,8 +423,7 @@ class ContinuousWorker:
                 # with no owner: poll() reports them forever, _admit can
                 # never place new requests, the worker busy-spins dead)
                 for slot, r in list(self._live.items()):
-                    r.error = f"server error: {e}"
-                    r.event.set()
+                    r.fail(f"server error: {e}")
                     self.cb.release(slot)
                 self._live.clear()
 
@@ -465,6 +528,10 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             except Exception as e:                  # noqa: BLE001
                 return self._json_error(400, f"bad reference audio: {e}")
             if stream:
+                if isinstance(worker, ContinuousWorker):
+                    return self._stream_pool(
+                        item, max_tokens, seed,
+                        bool(payload.get("normalize", False)), voice)
                 return self._stream_speech(
                     item, max_tokens, seed,
                     bool(payload.get("normalize", False)), voice)
@@ -484,6 +551,53 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             self.end_headers()
             self.wfile.write(req.wav_bytes)
 
+        def _stream_pool(self, item, max_tokens, seed, normalize,
+                         voice=None) -> None:
+            """Stream raw PCM out of the CONTINUOUS pool.
+
+            Unlike the static-engine path below, concurrent streams each
+            hold a pool slot, so N streams decode together (no global
+            stream lock) and non-streaming requests keep joining the same
+            pool around them. Client disconnect or timeout cancels the
+            request; the worker frees its slot at the next segment
+            boundary."""
+            import queue as _queue
+            req = _Request(item, max_tokens, seed, normalize, adapter=voice)
+            req.stream_q = _queue.Queue()
+            worker.submit(req)
+            try:
+                first = req.stream_q.get(timeout=request_timeout_s)
+            except _queue.Empty:
+                req.cancelled = True
+                return self._json_error(504, "generation timed out")
+            if isinstance(first, str):
+                code = 400 if first.startswith("bad request") else 500
+                return self._json_error(code, first)
+            if first is None:
+                return self._json_error(
+                    500, "generation produced no speech tokens")
+            sr = worker.pipeline.spt.output_sample_rate
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"audio/L16; rate={sr}; channels=1")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            chunk = first
+            try:
+                while chunk is not None:
+                    if isinstance(chunk, str):
+                        # mid-stream server error: the body is already
+                        # partial, so the only honest signal is an early
+                        # close (the PCM16 client sees truncation)
+                        break
+                    pcm = (np.clip(chunk, -1.0, 1.0)
+                           * 32767.0).astype("<i2").tobytes()
+                    self.wfile.write(pcm)
+                    self.wfile.flush()
+                    chunk = req.stream_q.get(timeout=request_timeout_s)
+            except (_queue.Empty, BrokenPipeError, ConnectionResetError):
+                req.cancelled = True    # worker frees the slot next segment
+
         def _stream_speech(self, item, max_tokens, seed, normalize,
                            voice=None) -> None:
             """Stream raw 16-bit PCM as generation progresses.
@@ -493,10 +607,12 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             instead of after the whole synthesis. The response has no
             Content-Length and the connection closes at end-of-audio
             (HTTP/1.0 delimited body — every HTTP client understands it).
-            Streaming bypasses the batching worker (it is the latency path);
-            concurrent streaming requests serialize on a lock. Capability
-            the reference lacks end-to-end (its hosted API and Gradio both
-            return whole files, use_api.py:171-206, SURVEY §3.4).
+            This is the WINDOW-scheduler path: it bypasses the batching
+            worker (latency) and concurrent streams serialize on a lock —
+            run the continuous scheduler (_stream_pool above) for
+            concurrent streaming. Capability the reference lacks
+            end-to-end (its hosted API and Gradio both return whole files,
+            use_api.py:171-206, SURVEY §3.4).
             """
             pipe = worker.pipeline
             with stream_lock:

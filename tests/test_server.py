@@ -289,3 +289,125 @@ def test_models_endpoint_lists_voices(lora_server):
     m = json.loads(urllib.request.urlopen(f"{base}/v1/models").read())
     assert m["data"][0]["id"] == "moss-ttsd"
     assert "narrator" in m["data"][0]["voices"]
+
+
+# -- continuous-pool streaming -----------------------------------------------
+
+def _stream_pcm(port, payload):
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/v1/audio/speech", json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200, r.read()
+    assert r.headers["Content-Type"].startswith("audio/L16")
+    pcm = r.read()
+    conn.close()
+    return pcm
+
+
+def test_continuous_streaming_pcm(continuous_server):
+    """stream=true on the continuous scheduler rides the pool (no global
+    stream lock): raw PCM16 arrives as the pool decodes the slot."""
+    pcm = _stream_pcm(continuous_server.port,
+                      {"input": "[S1]pool stream[S2]ok", "stream": True,
+                       "max_tokens": 20, "seed": 2})
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+    wav = np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0
+    assert wav.size > 100 and np.isfinite(wav).all()
+
+
+def test_continuous_concurrent_streams(continuous_server):
+    """Two streams run CONCURRENTLY in the pool while a non-streaming
+    request joins the same pool around them."""
+    from moss_ttsd_tpu.utils.profiling import metrics
+    metrics.reset()
+    port = continuous_server.port
+    out = [None] * 3
+
+    def stream(i):
+        out[i] = _stream_pcm(port, {"input": f"[S1]stream {i}[S2]go",
+                                    "stream": True, "max_tokens": 20,
+                                    "seed": i})
+
+    def plain():
+        base = f"http://127.0.0.1:{port}"
+        r = _post(f"{base}/v1/audio/speech",
+                  {"input": "[S1]plain rider[S2]ok", "max_tokens": 12})
+        out[2] = r.read()
+
+    threads = [threading.Thread(target=stream, args=(0,)),
+               threading.Thread(target=stream, args=(1,)),
+               threading.Thread(target=plain)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(o for o in out)
+    wav, _ = wav_bytes_to_array(out[2])
+    assert len(wav) > 0
+    assert metrics.snapshot().get("server_streamed", 0) >= 2
+
+
+def test_pool_stream_matches_stream_item():
+    """Pool streaming is byte-identical to the single-stream stream_item
+    path when fed at the same boundaries: the pool reproduces the isolated
+    engine's tokens (per-request rng), and both vocode through the shared
+    StreamVocoder (same sliding windows, same bucketed dispatches)."""
+    import queue
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from moss_ttsd_tpu.serve.server import ContinuousWorker, _Request
+
+    pipe = build_tiny_pipeline()
+    worker = ContinuousWorker(pipe, slots=2, base=192, max_steps=32,
+                              segment_steps=4)
+    try:
+        item = {"text": "[S1]pool stream parity[S2]ok"}
+        req = _Request(item, 20, 5, False)
+        req.stream_q = queue.Queue()
+        worker.submit(req)
+        chunks = []
+        while True:
+            c = req.stream_q.get(timeout=300)
+            if c is None:
+                break
+            assert not isinstance(c, str), c
+            chunks.append(c)
+    finally:
+        worker.shutdown()
+    ref = [c for c, _ in pipe.stream_item(item, max_new_tokens=20, seed=5,
+                                          chunk_steps=4,
+                                          first_chunk_steps=4)]
+    assert chunks and ref
+    np.testing.assert_array_equal(np.concatenate(chunks),
+                                  np.concatenate(ref))
+
+
+def test_pool_stream_cancel_frees_slot():
+    """A cancelled stream's slot is reclaimed at the next segment boundary
+    and the pool keeps serving."""
+    import queue
+    import time
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from moss_ttsd_tpu.serve.server import ContinuousWorker, _Request
+
+    pipe = build_tiny_pipeline()
+    worker = ContinuousWorker(pipe, slots=2, base=192, max_steps=64,
+                              segment_steps=4)
+    try:
+        req = _Request({"text": "[S1]cancel me please[S2]ok"}, 60, 0, False)
+        req.stream_q = queue.Queue()
+        worker.submit(req)
+        first = req.stream_q.get(timeout=300)
+        assert not isinstance(first, str), first
+        req.cancelled = True
+        deadline = time.time() + 120
+        while time.time() < deadline and worker.cb.free_slots < 2:
+            time.sleep(0.2)
+        assert worker.cb.free_slots == 2
+        req2 = _Request({"text": "[S1]after cancel[S2]ok"}, 8, 0, False)
+        worker.submit(req2)
+        assert req2.event.wait(300)
+        assert req2.error is None and req2.wav_bytes
+    finally:
+        worker.shutdown()
