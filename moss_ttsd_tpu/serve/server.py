@@ -40,6 +40,12 @@ from .api_client import wav_bytes_to_array
 MAX_TOKENS_CAP = 16384
 
 
+class ServerBusy(Exception):
+    """Admission queue at capacity — the handler maps this to HTTP 429 so
+    overload sheds load at the door instead of growing an unbounded queue
+    whose tail would time out anyway."""
+
+
 def wav_array_to_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     """float32 (T,) -> 16-bit PCM wav bytes."""
     buf = io.BytesIO()
@@ -98,10 +104,11 @@ class BatchingWorker:
     """Collects concurrent requests into one batched generate call."""
 
     def __init__(self, pipeline, max_batch: int = 8,
-                 batch_window_s: float = 0.05):
+                 batch_window_s: float = 0.05, max_queue: int = 64):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
+        self.max_queue = max_queue
         self._queue: List[_Request] = []
         self._cv = threading.Condition()
         self._stop = False
@@ -110,6 +117,9 @@ class BatchingWorker:
 
     def submit(self, req: _Request) -> None:
         with self._cv:
+            if len(self._queue) >= self.max_queue:
+                metrics.add("server_rejected_busy", 1)
+                raise ServerBusy(f"queue full ({self.max_queue} waiting)")
             self._queue.append(req)
             self._cv.notify()
 
@@ -204,7 +214,7 @@ class ContinuousWorker:
                  max_steps: int = 2048, segment_steps: int = 25,
                  kv_quant: Optional[str] = "auto",
                  adapters: Optional[Dict[str, dict]] = None,
-                 adapter_alpha: float = 32.0):
+                 adapter_alpha: float = 32.0, max_queue: int = 64):
         from ..decode.continuous import ContinuousBatcher
         self.pipeline = pipeline
         eng = pipeline.engine
@@ -223,6 +233,7 @@ class ContinuousWorker:
         # so the pool's compiled shapes are final before traffic arrives
         _register_adapters(self.cb.register_adapter, adapters, adapter_alpha)
         self.segment_steps = segment_steps
+        self.max_queue = max_queue
         self._queue: List[_Request] = []
         self._live: Dict[int, _Request] = {}        # slot -> request
         self._cv = threading.Condition()
@@ -232,6 +243,9 @@ class ContinuousWorker:
 
     def submit(self, req: _Request) -> None:
         with self._cv:
+            if len(self._queue) >= self.max_queue:
+                metrics.add("server_rejected_busy", 1)
+                raise ServerBusy(f"queue full ({self.max_queue} waiting)")
             self._queue.append(req)
             self._cv.notify()
 
@@ -539,12 +553,19 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             req = _Request(item, max_tokens, seed,
                            bool(payload.get("normalize", False)),
                            adapter=voice)
-            worker.submit(req)
+            import time as _time
+            t0 = _time.perf_counter()
+            try:
+                worker.submit(req)
+            except ServerBusy as e:
+                return self._json_error(429, f"server busy: {e}")
             if not req.event.wait(request_timeout_s):
                 return self._json_error(504, "generation timed out")
             if req.error:
                 code = 400 if req.error.startswith("bad request") else 500
                 return self._json_error(code, req.error)
+            metrics.observe("server_request_latency_s",
+                            _time.perf_counter() - t0)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(req.wav_bytes)))
@@ -562,14 +583,20 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             request; the worker frees its slot at the next segment
             boundary."""
             import queue as _queue
+            import time as _time
             req = _Request(item, max_tokens, seed, normalize, adapter=voice)
             req.stream_q = _queue.Queue()
-            worker.submit(req)
+            t0 = _time.perf_counter()
+            try:
+                worker.submit(req)
+            except ServerBusy as e:
+                return self._json_error(429, f"server busy: {e}")
             try:
                 first = req.stream_q.get(timeout=request_timeout_s)
             except _queue.Empty:
                 req.cancelled = True
                 return self._json_error(504, "generation timed out")
+            metrics.observe("server_ttfa_s", _time.perf_counter() - t0)
             if isinstance(first, str):
                 code = 400 if first.startswith("bad request") else 500
                 return self._json_error(code, first)
@@ -615,6 +642,8 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             use_api.py:171-206, SURVEY §3.4).
             """
             pipe = worker.pipeline
+            import time as _time
+            t0 = _time.perf_counter()
             with stream_lock:
                 gen = pipe.stream_item(item, use_normalize=normalize,
                                        max_new_tokens=max_tokens, seed=seed,
@@ -630,6 +659,7 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
                     return self._json_error(400, f"bad request: {e}")
                 except Exception as e:              # noqa: BLE001
                     return self._json_error(500, f"server error: {e}")
+                metrics.observe("server_ttfa_s", _time.perf_counter() - t0)
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  f"audio/L16; rate={sr}; channels=1")
@@ -664,7 +694,7 @@ class SpeechServer:
                  pool_max_steps: int = 2048, segment_steps: int = 25,
                  pool_kv_quant: Optional[str] = "auto",
                  lora_adapters: Optional[Dict[str, dict]] = None,
-                 adapter_alpha: float = 32.0):
+                 adapter_alpha: float = 32.0, max_queue: int = 64):
         # voices register on the pipeline's static engine too: the window
         # scheduler and the streaming path generate through it
         _register_adapters(pipeline.engine.register_adapter, lora_adapters,
@@ -674,14 +704,28 @@ class SpeechServer:
                 pipeline, slots=max_batch, base=pool_base,
                 max_steps=pool_max_steps, segment_steps=segment_steps,
                 kv_quant=pool_kv_quant, adapters=lora_adapters,
-                adapter_alpha=adapter_alpha)
+                adapter_alpha=adapter_alpha, max_queue=max_queue)
         elif scheduler == "window":
-            self.worker = BatchingWorker(pipeline, max_batch, batch_window_s)
+            self.worker = BatchingWorker(pipeline, max_batch, batch_window_s,
+                                         max_queue=max_queue)
         else:
             raise ValueError(f"unknown scheduler {scheduler!r}")
         self.httpd = ThreadingHTTPServer((host, port),
                                          make_handler(self.worker))
         self._thread: Optional[threading.Thread] = None
+
+    def warmup(self, max_tokens: int = 8, timeout_s: float = 1800.0) -> None:
+        """Compile the serving programs before traffic arrives: one tiny
+        request through the scheduler traces prefill + decode + vocode (the
+        full-size codec takes minutes to compile cold — pair with the
+        persistent compile cache so restarts skip it entirely)."""
+        req = _Request({"text": "[S1]warm up.[S2]ready."}, max_tokens, 0,
+                       False)
+        self.worker.submit(req)
+        if not req.event.wait(timeout_s):
+            raise RuntimeError("warmup timed out")
+        if req.error:
+            raise RuntimeError(f"warmup failed: {req.error}")
 
     @property
     def port(self) -> int:
@@ -740,7 +784,29 @@ def main(argv=None):
                         "adapter_config.json scale). Repeatable")
     p.add_argument("--adapter_alpha", type=float, default=32.0,
                    help="LoRA alpha the adapters were trained with")
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="admission-queue bound; requests beyond it get 429")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the serving programs (one tiny request "
+                        "through the scheduler) before accepting traffic")
+    p.add_argument("--jax_cache_dir", default=None, metavar="DIR",
+                   help="persistent XLA compile cache (restart skips the "
+                        "minutes-long cold codec compile); default "
+                        "<repo>/.jax_cache, empty string disables")
     args = p.parse_args(argv)
+
+    import os
+
+    import jax
+    cache_dir = args.jax_cache_dir
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ..utils.convert_lora import parse_adapter_specs
     lora_adapters = parse_adapter_specs(args.lora_adapter,
@@ -765,7 +831,11 @@ def main(argv=None):
                           segment_steps=args.segment_steps,
                           pool_kv_quant=args.pool_kv_quant,
                           lora_adapters=lora_adapters or None,
-                          adapter_alpha=args.adapter_alpha)
+                          adapter_alpha=args.adapter_alpha,
+                          max_queue=args.max_queue)
+    if args.warmup:
+        print("warming up (compiling serving programs)...")
+        server.warmup()
     print(f"serving on {args.host}:{server.port} "
           f"(scheduler={args.scheduler}, max_batch={args.max_batch})")
     server.start()

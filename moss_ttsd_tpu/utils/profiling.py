@@ -64,10 +64,24 @@ class Metrics:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._counters: Dict[str, float] = {}
+        self._windows: Dict[str, "deque"] = {}
 
     def add(self, name: str, value: float = 1.0) -> None:
         with self._lock:
             self._counters[name] = self._counters.get(name, 0.0) + value
+
+    def observe(self, name: str, value: float, window: int = 1024) -> None:
+        """Record one sample into a bounded sliding window; snapshot()
+        exports {name}_p50/_p95 over the window plus a cumulative
+        {name}_observed count (request-latency style observability)."""
+        from collections import deque
+        with self._lock:
+            w = self._windows.get(name)
+            if w is None:
+                w = self._windows[name] = deque(maxlen=window)
+            w.append(float(value))
+            self._counters[name + "_observed"] = \
+                self._counters.get(name + "_observed", 0.0) + 1
 
     def set(self, name: str, value: float) -> None:
         with self._lock:
@@ -88,7 +102,14 @@ class Metrics:
 
     def snapshot(self) -> Dict[str, float]:
         with self._lock:
-            return dict(self._counters)
+            out = dict(self._counters)
+            for name, w in self._windows.items():
+                if w:
+                    v = sorted(w)
+                    out[name + "_p50"] = v[len(v) // 2]
+                    out[name + "_p95"] = v[min(len(v) - 1,
+                                               int(len(v) * 0.95))]
+            return out
 
     def dump_json(self) -> str:
         return json.dumps(self.snapshot(), sort_keys=True)
@@ -96,6 +117,7 @@ class Metrics:
     def reset(self) -> None:
         with self._lock:
             self._counters.clear()
+            self._windows.clear()
 
 
 metrics = Metrics()

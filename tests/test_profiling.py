@@ -96,3 +96,26 @@ def test_lm_param_count_matches_init():
         jax.random.PRNGKey(0))
     actual = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     assert lm_param_count(cfg) == actual
+
+
+def test_metrics_observe_percentiles():
+    from moss_ttsd_tpu.utils.profiling import Metrics
+    m = Metrics()
+    for v in [1.0, 2.0, 3.0, 4.0, 100.0]:
+        m.observe("lat", v)
+    snap = m.snapshot()
+    assert snap["lat_observed"] == 5
+    assert snap["lat_p50"] == 3.0
+    assert snap["lat_p95"] == 100.0
+    m.reset()
+    assert "lat_p50" not in m.snapshot()
+
+
+def test_metrics_observe_window_bound():
+    from moss_ttsd_tpu.utils.profiling import Metrics
+    m = Metrics()
+    for v in range(2000):
+        m.observe("x", float(v), window=100)
+    snap = m.snapshot()
+    assert snap["x_observed"] == 2000
+    assert snap["x_p50"] >= 1900          # only the last 100 remain

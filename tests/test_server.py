@@ -411,3 +411,37 @@ def test_pool_stream_cancel_frees_slot():
         assert req2.error is None and req2.wav_bytes
     finally:
         worker.shutdown()
+
+
+# -- serving hygiene: queue bounds, latency metrics, warmup ------------------
+
+def test_queue_bound_returns_429(server):
+    base = f"http://127.0.0.1:{server.port}"
+    import urllib.error
+    old = server.worker.max_queue
+    server.worker.max_queue = 0
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/audio/speech",
+                  {"input": "[S1]busy[S2]ok", "max_tokens": 8})
+        assert e.value.code == 429, e.value.read()
+    finally:
+        server.worker.max_queue = old
+    # and the server still serves once the bound lifts
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]ok now[S2]yes", "max_tokens": 8})
+    assert r.status == 200
+
+
+def test_request_latency_percentiles_exported(server):
+    base = f"http://127.0.0.1:{server.port}"
+    _post(f"{base}/v1/audio/speech",
+          {"input": "[S1]latency sample[S2]ok", "max_tokens": 8}).read()
+    m = json.loads(urllib.request.urlopen(f"{base}/v1/metrics").read())
+    assert m.get("server_request_latency_s_observed", 0) >= 1
+    assert m.get("server_request_latency_s_p50", 0) > 0
+    assert m["server_request_latency_s_p95"] >= m["server_request_latency_s_p50"]
+
+
+def test_warmup_roundtrip(server):
+    server.warmup(max_tokens=8, timeout_s=300)
