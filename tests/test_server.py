@@ -445,3 +445,7 @@ def test_request_latency_percentiles_exported(server):
 
 def test_warmup_roundtrip(server):
     server.warmup(max_tokens=8, timeout_s=300)
+
+
+def test_warmup_roundtrip_continuous(continuous_server):
+    continuous_server.warmup(max_tokens=8, timeout_s=300)
