@@ -156,6 +156,9 @@ class BatchingWorker:
                 if self._stop:
                     return
                 continue
+            batch = [r for r in batch if not r.cancelled]
+            if not batch:
+                continue
             metrics.add("server_batches", 1)
             metrics.add("server_batched_requests", len(batch))
             try:
@@ -343,7 +346,7 @@ class ContinuousWorker:
             if req.cancelled:                 # client went away mid-stream
                 self.cb.release(slot)
                 del self._live[slot]
-                metrics.add("server_stream_cancelled", 1)
+                metrics.add("server_cancelled", 1)
                 continue
             if fin:
                 finished.append((slot, steps))
@@ -560,6 +563,11 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             except ServerBusy as e:
                 return self._json_error(429, f"server busy: {e}")
             if not req.event.wait(request_timeout_s):
+                # nobody is waiting for the result any more: mark it so the
+                # worker skips it while queued (window) or frees its pool
+                # slot at the next segment boundary (continuous) instead of
+                # decoding to completion for a closed connection
+                req.cancelled = True
                 return self._json_error(504, "generation timed out")
             if req.error:
                 code = 400 if req.error.startswith("bad request") else 500
@@ -799,7 +807,10 @@ def main(argv=None):
 
     import jax
     cache_dir = args.jax_cache_dir
-    if cache_dir is None:
+    if cache_dir is None and jax.default_backend() != "cpu":
+        # default the cache on for accelerator backends only: its value is
+        # skipping the minutes-long codec compile, while on CPU a cached AOT
+        # entry compiled under different host machine features can SIGILL
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache")

@@ -443,6 +443,57 @@ def test_request_latency_percentiles_exported(server):
     assert m["server_request_latency_s_p95"] >= m["server_request_latency_s_p50"]
 
 
+def test_pool_nonstream_cancel_frees_slot():
+    """A timed-out (504) NON-stream request is abandoned by its handler;
+    the pool must reclaim its slot at the next segment boundary instead of
+    decoding its full budget for a closed connection."""
+    import time
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from moss_ttsd_tpu.serve.server import ContinuousWorker, _Request
+
+    pipe = build_tiny_pipeline()
+    worker = ContinuousWorker(pipe, slots=2, base=192, max_steps=64,
+                              segment_steps=4)
+    try:
+        req = _Request({"text": "[S1]abandon me[S2]ok"}, 60, 0, False)
+        worker.submit(req)
+        deadline = time.time() + 120            # wait until it holds a slot
+        while time.time() < deadline and worker.cb.free_slots == 2:
+            time.sleep(0.2)
+        assert worker.cb.free_slots < 2
+        req.cancelled = True                    # what the 504 path does
+        deadline = time.time() + 120
+        while time.time() < deadline and worker.cb.free_slots < 2:
+            time.sleep(0.2)
+        assert worker.cb.free_slots == 2
+        req2 = _Request({"text": "[S1]after abandon[S2]ok"}, 8, 0, False)
+        worker.submit(req2)
+        assert req2.event.wait(300)
+        assert req2.error is None and req2.wav_bytes
+    finally:
+        worker.shutdown()
+
+
+def test_window_cancel_skips_queued_request():
+    """The window scheduler drops cancelled requests at batch-take time."""
+    from moss_ttsd_tpu.cli.inference import build_tiny_pipeline
+    from moss_ttsd_tpu.serve.server import BatchingWorker, _Request
+
+    pipe = build_tiny_pipeline()
+    worker = BatchingWorker(pipe, max_batch=2, batch_window_s=0.5)
+    try:
+        dead = _Request({"text": "[S1]never run[S2]ok"}, 8, 0, False)
+        dead.cancelled = True
+        live = _Request({"text": "[S1]do run[S2]ok"}, 8, 0, False)
+        worker.submit(dead)
+        worker.submit(live)
+        assert live.event.wait(300)
+        assert live.error is None and live.wav_bytes
+        assert not dead.event.is_set()          # skipped, never generated
+    finally:
+        worker.shutdown()
+
+
 def test_warmup_roundtrip(server):
     server.warmup(max_tokens=8, timeout_s=300)
 
