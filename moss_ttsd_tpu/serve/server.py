@@ -121,6 +121,7 @@ class BatchingWorker:
                 metrics.add("server_rejected_busy", 1)
                 raise ServerBusy(f"queue full ({self.max_queue} waiting)")
             self._queue.append(req)
+            metrics.set("server_queue_depth", len(self._queue))
             self._cv.notify()
 
     def shutdown(self) -> None:
@@ -147,6 +148,7 @@ class BatchingWorker:
                 self._cv.wait(remaining)
             batch = self._queue[:self.max_batch]
             del self._queue[:len(batch)]
+            metrics.set("server_queue_depth", len(self._queue))
             return batch
 
     def _loop(self) -> None:
@@ -250,6 +252,7 @@ class ContinuousWorker:
                 metrics.add("server_rejected_busy", 1)
                 raise ServerBusy(f"queue full ({self.max_queue} waiting)")
             self._queue.append(req)
+            metrics.set("server_queue_depth", len(self._queue))
             self._cv.notify()
 
     def shutdown(self) -> None:
@@ -275,6 +278,7 @@ class ContinuousWorker:
                     return
                 burst = self._queue[:self.cb.free_slots]
                 del self._queue[:len(burst)]
+                metrics.set("server_queue_depth", len(self._queue))
             prepared = []                       # [(req, shifted_prompt)]
             for req in burst:
                 if req.cancelled:       # client gave up while queued
@@ -434,6 +438,7 @@ class ContinuousWorker:
                     self._service()
                 else:
                     self._admit()
+                metrics.set("server_pool_active_slots", len(self._live))
             except Exception as e:                  # noqa: BLE001
                 # fail every in-flight request AND reclaim its pool slot —
                 # clearing _live alone would leak the slots (active rows

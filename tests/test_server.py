@@ -441,6 +441,7 @@ def test_request_latency_percentiles_exported(server):
     assert m.get("server_request_latency_s_observed", 0) >= 1
     assert m.get("server_request_latency_s_p50", 0) > 0
     assert m["server_request_latency_s_p95"] >= m["server_request_latency_s_p50"]
+    assert "server_queue_depth" in m          # occupancy gauges exported
 
 
 def test_pool_nonstream_cancel_frees_slot():
