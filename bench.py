@@ -118,8 +118,12 @@ def main():
     spt = XYTokenizer.init_random(CodecConfig(), seed=0, dtype="bfloat16")
     codes = [nprng.integers(0, 1024, (8, steps)).astype(np.int32)
              for _ in range(B)]
+    t0 = time.perf_counter()
     spt.decode(codes, overlap_seconds=10, pcm16=True,
                rows_per_call=4)   # compile
+    codec_compile_s = time.perf_counter() - t0
+    print(f"codec first call (compile + run): {codec_compile_s:.1f}s",
+          file=sys.stderr)
     # best-of-5: vocode wall time is dominated by the device->host audio
     # readback, whose bandwidth through the axon tunnel swings 4-60 MB/s
     # run-to-run (measured 0.89-1.97 s for the same call within one hour)
@@ -194,6 +198,7 @@ def main():
         "transfer_tax_s": round(transfer_s, 2),
         "rtf_sustained_3batch": round(rtf_sustained, 2),
         "rtf_excl_host_transfer": round(rtf_excl, 2),
+        "codec_first_call_s": round(codec_compile_s, 1),
     }))
 
 

@@ -107,6 +107,39 @@ class TransformerLayer(nn.Module):
         return x
 
 
+class _ScanTransformerLayer(nn.Module):
+    """scan-body wrapper: carry = x, broadcast mask, no per-layer outputs."""
+
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        x = TransformerLayer(self.d_model, self.num_heads, self.ffn_dim,
+                             name="layer")(x, mask)
+        return x, None
+
+
+def transformer_stack(num_layers: int, d_model: int, num_heads: int,
+                      ffn_dim: int, name: str = "layers"):
+    """The N identical transformer layers as ONE `nn.scan` over stacked
+    (L, ...) weights instead of N Python-unrolled blocks: XLA compiles a
+    single layer body (the 12-layer encoders x2 + adapters each used to emit
+    per-layer HLO — the dominant share of the codec's cold compile), same
+    pattern as the LM backbone scan (models/lm.py). Numerics are identical:
+    scan executes the very same per-layer ops on slices of the stacked
+    params. Param tree: ``{name}/layer/...`` with a leading (L,) axis
+    (utils/convert_codec.py stacks reference per-layer weights to match)."""
+    return nn.scan(
+        _ScanTransformerLayer,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast,),
+        length=num_layers,
+    )(d_model, num_heads, ffn_dim, name=name)
+
+
 class AudioEncoder(nn.Module):
     """Mel -> hidden states at half rate (reference OmniAudioEncoder,
     modules.py:208-326): conv(k3,p1) + GELU, conv(k3,s2,p1) + GELU, +sinusoid
@@ -132,9 +165,9 @@ class AudioEncoder(nn.Module):
         x = (x.astype(jnp.float32) + pos).astype(x.dtype)
 
         mask = length_mask(out_lengths, T)
-        for i in range(c.encoder_layers):
-            x = TransformerLayer(c.d_model, c.encoder_attention_heads,
-                                 c.encoder_ffn_dim, name=f"layer_{i}")(x, mask)
+        x, _ = transformer_stack(c.encoder_layers, c.d_model,
+                                 c.encoder_attention_heads,
+                                 c.encoder_ffn_dim)(x, mask)
         x = nn.LayerNorm(name="final_ln")(x)
         x = jnp.where(mask[:, :, None], x, 0)
         return x, out_lengths
@@ -158,9 +191,9 @@ class AudioDecoder(nn.Module):
         x = (x.astype(jnp.float32) + pos).astype(x.dtype)
 
         mask = length_mask(lengths, T)
-        for i in range(c.decoder_layers):
-            x = TransformerLayer(c.d_model, c.decoder_attention_heads,
-                                 c.decoder_ffn_dim, name=f"layer_{i}")(x, mask)
+        x, _ = transformer_stack(c.decoder_layers, c.d_model,
+                                 c.decoder_attention_heads,
+                                 c.decoder_ffn_dim)(x, mask)
         x = nn.LayerNorm(name="final_ln")(x)
         x = jnp.where(mask[:, :, None], x, 0)
 
@@ -188,9 +221,9 @@ class AdapterTransformer(nn.Module):
         pos = jnp.asarray(sinusoid_table(c.max_source_positions, c.d_model))[:T]
         x = (x.astype(jnp.float32) + pos).astype(x.dtype)
         mask = length_mask(lengths, T)
-        for i in range(c.encoder_layers):
-            x = TransformerLayer(c.d_model, c.encoder_attention_heads,
-                                 c.encoder_ffn_dim, name=f"layer_{i}")(x, mask)
+        x, _ = transformer_stack(c.encoder_layers, c.d_model,
+                                 c.encoder_attention_heads,
+                                 c.encoder_ffn_dim)(x, mask)
         x = nn.LayerNorm(name="final_ln")(x)
         x = jnp.where(mask[:, :, None], x, 0)
         if c.output_dim != c.d_model:

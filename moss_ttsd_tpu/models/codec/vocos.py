@@ -90,9 +90,32 @@ class ConvNeXtBlock(nn.Module):
         return residual + gamma * x
 
 
+class _ScanConvNeXtBlock(nn.Module):
+    """scan-body wrapper: carry = x, broadcast mask/cond_id."""
+
+    dim: int
+    intermediate_dim: int
+    layer_scale_init: float
+    adanorm_num_embeddings: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 cond_id: Optional[jnp.ndarray]):
+        x = ConvNeXtBlock(self.dim, self.intermediate_dim,
+                          self.layer_scale_init, self.adanorm_num_embeddings,
+                          name="block")(x, mask, cond_id)
+        return x, None
+
+
 class VocosBackbone(nn.Module):
     """Reference modules.py:1347-1410: embed conv k7, LN (plain/adaptive),
-    N ConvNeXt blocks, LN."""
+    N ConvNeXt blocks, LN.
+
+    The N identical blocks run as ONE `nn.scan` over stacked (L, ...) weights
+    (param tree ``blocks/block/...``) instead of N Python-unrolled block
+    bodies — XLA compiles a single block (the 30-block stack was a major
+    share of the codec's cold compile); numerics are unchanged (same ops on
+    slices of the stacked params)."""
 
     cfg: VocosConfig
 
@@ -109,10 +132,15 @@ class VocosBackbone(nn.Module):
         else:
             x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         scale = 1.0 / c.num_layers
-        for i in range(c.num_layers):
-            x = ConvNeXtBlock(c.dim, c.intermediate_dim, scale,
-                              c.adanorm_num_embeddings,
-                              name=f"block_{i}")(x, mask, cond_id)
+        blocks = nn.scan(
+            _ScanConvNeXtBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=c.num_layers,
+        )(c.dim, c.intermediate_dim, scale, c.adanorm_num_embeddings,
+          name="blocks")
+        x, _ = blocks(x, mask, cond_id)
         return nn.LayerNorm(epsilon=1e-6, name="final_ln")(x)
 
 

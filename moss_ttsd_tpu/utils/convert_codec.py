@@ -103,6 +103,21 @@ def _transformer_layer(sd: _SD, prefix: str):
     }
 
 
+def _stack_trees(per_layer):
+    """Stack identical per-layer param trees into one (L, ...) tree — the
+    layout of the scanned stacks (transformer_stack / VocosBackbone blocks)."""
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_layer)
+
+
+def _transformer_layers(sd: _SD, prefix: str, num_layers: int):
+    """Reference per-layer `layers.{i}.*` weights -> scanned `layers/layer/...`
+    stacked tree (models/codec/transformer.py transformer_stack)."""
+    return {"layer": _stack_trees(
+        [_transformer_layer(sd, f"{prefix}.layers.{i}")
+         for i in range(num_layers)])}
+
+
 def _audio_encoder(sd: _SD, prefix: str, num_layers: int):
     out = {
         "conv1": {"kernel": conv_kernel(sd.get(f"{prefix}.conv1.weight")),
@@ -110,9 +125,8 @@ def _audio_encoder(sd: _SD, prefix: str, num_layers: int):
         "conv2": {"kernel": conv_kernel(sd.get(f"{prefix}.conv2.weight")),
                   "bias": sd.get(f"{prefix}.conv2.bias")},
         "final_ln": layer_norm(sd, f"{prefix}.layer_norm"),
+        "layers": _transformer_layers(sd, prefix, num_layers),
     }
-    for i in range(num_layers):
-        out[f"layer_{i}"] = _transformer_layer(sd, f"{prefix}.layers.{i}")
     return out
 
 
@@ -123,20 +137,18 @@ def _audio_decoder(sd: _SD, prefix: str, num_layers: int):
         "deconv2": {"kernel": deconv_kernel(sd.get(f"{prefix}.deconv2.weight")),
                     "bias": sd.get(f"{prefix}.deconv2.bias")},
         "final_ln": layer_norm(sd, f"{prefix}.layer_norm"),
+        "layers": _transformer_layers(sd, prefix, num_layers),
     }
-    for i in range(num_layers):
-        out[f"layer_{i}"] = _transformer_layer(sd, f"{prefix}.layers.{i}")
     return out
 
 
 def _adapter(sd: _SD, prefix: str, num_layers: int):
-    out = {"final_ln": layer_norm(sd, f"{prefix}.layer_norm")}
+    out = {"final_ln": layer_norm(sd, f"{prefix}.layer_norm"),
+           "layers": _transformer_layers(sd, prefix, num_layers)}
     if f"{prefix}.proj.weight" in sd:
         out["in_proj"] = dense(sd, f"{prefix}.proj")
     if f"{prefix}.out_proj.weight" in sd:
         out["out_proj"] = dense(sd, f"{prefix}.out_proj")
-    for i in range(num_layers):
-        out[f"layer_{i}"] = _transformer_layer(sd, f"{prefix}.layers.{i}")
     return out
 
 
@@ -152,15 +164,9 @@ def _norm(sd: _SD, prefix: str, adanorm: bool):
 
 def _convnext_backbone(sd: _SD, prefix: str, num_layers: int,
                        adanorm: bool = False):
-    backbone = {
-        "embed": {"kernel": conv_kernel(sd.get(f"{prefix}.embed.weight")),
-                  "bias": sd.get(f"{prefix}.embed.bias")},
-        "norm": _norm(sd, f"{prefix}.norm", adanorm),
-        "final_ln": layer_norm(sd, f"{prefix}.final_layer_norm"),
-    }
-    for i in range(num_layers):
+    def block(i):
         p = f"{prefix}.convnext.{i}"
-        backbone[f"block_{i}"] = {
+        return {
             "dwconv": {"kernel": conv_kernel(sd.get(f"{p}.dwconv.weight")),
                        "bias": sd.get(f"{p}.dwconv.bias")},
             "norm": _norm(sd, f"{p}.norm", adanorm),
@@ -168,7 +174,16 @@ def _convnext_backbone(sd: _SD, prefix: str, num_layers: int,
             "pwconv2": dense(sd, f"{p}.pwconv2"),
             "gamma": sd.get(f"{p}.gamma"),
         }
-    return backbone
+
+    return {
+        "embed": {"kernel": conv_kernel(sd.get(f"{prefix}.embed.weight")),
+                  "bias": sd.get(f"{prefix}.embed.bias")},
+        "norm": _norm(sd, f"{prefix}.norm", adanorm),
+        "final_ln": layer_norm(sd, f"{prefix}.final_layer_norm"),
+        # scanned ConvNeXt stack (models/codec/vocos.py VocosBackbone)
+        "blocks": {"block": _stack_trees([block(i)
+                                          for i in range(num_layers)])},
+    }
 
 
 def _resnet_backbone(sd: _SD, prefix: str, num_blocks: int):
