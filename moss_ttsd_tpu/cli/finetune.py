@@ -65,6 +65,7 @@ def main(argv=None):
         with open(args.lora_config) as f:
             lc.update(yaml.safe_load(f) or {})
 
+    import dataclasses
     if args.tiny:
         from ..utils.mock_tokenizer import MockTokenizer
         tokenizer = MockTokenizer()
@@ -80,6 +81,9 @@ def main(argv=None):
         cfg = LMConfig.from_hf_config_json(
             os.path.join(args.model_path, "config.json"))
         params = load_asteroid_checkpoint(args.model_path, cfg)
+    if "bf16" in tc:       # reference training_config.yaml:5 (compute dtype;
+        cfg = dataclasses.replace(   # params stay fp32 masters)
+            cfg, dtype="bfloat16" if tc["bf16"] else "float32")
 
     dataset = TrainingDataset(args.data_dir, cfg.channels,
                               tokenizer.pad_token_id, cfg.speech_pad_token)
@@ -87,16 +91,23 @@ def main(argv=None):
         print("no training data found", file=sys.stderr)
         return 1
 
-    batch_size = int(tc.get("per_device_train_batch_size", 1)) * jax.device_count()
+    # effective batch = per-device x devices x accumulation (reference
+    # training_config.yaml:1-2 via HF Trainer); one "step" below is one
+    # OPTIMIZER step over grad_accum micro batches
+    micro_bs = int(tc.get("per_device_train_batch_size", 1)) * jax.device_count()
+    grad_accum = max(1, int(tc.get("gradient_accumulation_steps", 1)))
+    batch_size = micro_bs * grad_accum
     epochs = int(tc.get("num_train_epochs", 1))
     steps_per_epoch = max(1, len(dataset) // batch_size)
     total_steps = args.max_steps or steps_per_epoch * epochs
+    remat = bool(tc.get("gradient_checkpointing", True))
     optimizer = make_optimizer(
         learning_rate=float(tc.get("learning_rate", 1e-4)),
         warmup_ratio=float(tc.get("warmup_ratio", 0.1)),
         total_steps=total_steps,
         weight_decay=float(tc.get("weight_decay", 0.0)),
-        grad_clip=float(tc.get("max_grad_norm", 1.0)))
+        grad_clip=float(tc.get("max_grad_norm", 1.0)),
+        lr_scheduler_type=str(tc.get("lr_scheduler_type", "cosine")))
 
     # data-parallel mesh over every device (the reference's torchrun DDP,
     # finetune.py:219): params/state replicated, batch sharded over "data",
@@ -105,13 +116,15 @@ def main(argv=None):
     from ..parallel.mesh import make_mesh
     mesh = make_mesh(data=jax.device_count(), model=1)
     repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P("data"))
+    # with accumulation the batch leaves carry a leading (K,) micro axis;
+    # rows stay sharded over "data" either way
+    data_sh = NamedSharding(mesh, P("data") if grad_accum == 1
+                            else P(None, "data"))
 
     if args.lora:
         # layerwise adapters (models/lm.py LoRADense): backward cotangents
         # stay rank-sized, vs the merge-based step's full-tree cotangent
         # (~2x params in fp32 — an OOM at the 1.7B geometry on one chip)
-        import dataclasses
         from ..train.lora import (graft_lora_params,
                                   make_layerwise_lora_step, split_lora_tree)
         lcfg = dataclasses.replace(
@@ -125,13 +138,15 @@ def main(argv=None):
         frozen = jax.device_put(frozen, repl)
         state = TrainState(jnp.zeros((), jnp.int32), trainable,
                            optimizer.init(trainable))
-        lora_step = jax.jit(make_layerwise_lora_step(lcfg, optimizer),
+        lora_step = jax.jit(make_layerwise_lora_step(
+            lcfg, optimizer, remat=remat, grad_accum_steps=grad_accum),
                             in_shardings=(repl, data_sh, repl),
                             out_shardings=(repl, None))
         step_fn = lambda s, b: lora_step(s, b, frozen)
     else:
         state = init_train_state(cfg, optimizer, params=params)
-        step_fn = jax.jit(make_train_step(cfg, optimizer),
+        step_fn = jax.jit(make_train_step(
+            cfg, optimizer, remat=remat, grad_accum_steps=grad_accum),
                           in_shardings=(repl, data_sh),
                           out_shardings=(repl, None))
 
@@ -139,6 +154,7 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
     save_every = args.save_steps if args.save_steps is not None else int(
         tc.get("save_steps", 0))
+    save_limit = int(tc.get("save_total_limit", 0) or 0)
     log_every = max(1, int(tc.get("logging_steps", 10) or 10))
 
     start_step = 0
@@ -161,24 +177,48 @@ def main(argv=None):
         tiled = np.concatenate([order] * max(reps, 1))
         return tiled[(bi * batch_size) % len(dataset):][:batch_size]
 
-    t0 = time.perf_counter()
-    step = start_step
-    for step in range(start_step + 1, total_steps + 1):
+    def make_batch(step: int):
         idx = batch_indices(step - 1)
         batch = collate([dataset[i] for i in idx], tokenizer.pad_token_id,
                         pad_token=cfg.speech_pad_token,
                         max_length=int(tc.get("max_length", 16000)),
                         pad_to_multiple=64)
+        if grad_accum > 1:
+            # (K*B, T, ...) -> (K, B, T, ...) micro axis for the scanned
+            # accumulation step; joint collate keeps one padded length
+            batch = {k: v.reshape((grad_accum, micro_bs) + v.shape[1:])
+                     for k, v in batch.items()}
+        return batch
+
+    steps = range(start_step + 1, total_steps + 1)
+    workers = int(tc.get("dataloader_num_workers", 1))
+    if workers > 0:
+        from ..train.data import Prefetcher
+        batches = Prefetcher(make_batch, steps, depth=1 + workers)
+    else:
+        batches = ((s, make_batch(s)) for s in steps)
+
+    from ..train.telemetry import TrainLogger
+    logger = TrainLogger(args.output_dir)
+    t0 = time.perf_counter()
+    step = start_step
+    for step, batch in batches:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         if step % log_every == 0 or step == total_steps:
             done = step - start_step
+            sps = done / max(time.perf_counter() - t0, 1e-9)
+            logger.log(step, {"loss": float(metrics["loss"]),
+                              "grad_norm": float(metrics["grad_norm"]),
+                              "steps_per_sec": sps,
+                              "epoch": step / steps_per_epoch})
             print(f"step {step}/{total_steps} loss={float(metrics['loss']):.4f} "
                   f"grad_norm={float(metrics['grad_norm']):.3f} "
-                  f"({(time.perf_counter() - t0) / max(done, 1):.2f}s/step)")
+                  f"({1.0 / max(sps, 1e-9):.2f}s/step)")
         if save_every and (step % save_every == 0 or step == total_steps):
-            save_train_state(ckpt_dir, state, step)
+            save_train_state(ckpt_dir, state, step, keep=save_limit)
             print(f"checkpointed step {step} -> {ckpt_dir}")
+    logger.close()
 
     if args.lora:
         from ..train.lora import fold_lora_tree, merge_lora_tree

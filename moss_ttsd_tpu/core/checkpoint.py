@@ -53,12 +53,26 @@ def load_pytree(path: str) -> dict:
 
 # -- Orbax (sharded training state) ----------------------------------------
 
-def save_train_state(ckpt_dir: str, state, step: int) -> None:
+def save_train_state(ckpt_dir: str, state, step: int,
+                     keep: int = 0) -> None:
+    """Orbax-save ``state`` under <ckpt_dir>/step_<step>.
+
+    ``keep`` > 0 rotates old checkpoints, retaining only the ``keep``
+    highest steps (the reference's HF Trainer save_total_limit,
+    /root/reference/finetune/training_config.yaml:8, finetune.py:207-208)."""
     import orbax.checkpoint as ocp
-    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    root = os.path.abspath(ckpt_dir)
+    path = os.path.join(root, f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    if keep > 0:
+        import shutil
+        steps = sorted(int(d.split("_")[1]) for d in os.listdir(root)
+                       if d.startswith("step_") and d.split("_")[1].isdigit())
+        for old in steps[:-keep]:
+            shutil.rmtree(os.path.join(root, f"step_{old}"),
+                          ignore_errors=True)
 
 
 def restore_train_state(ckpt_dir: str, step: int, abstract_state):

@@ -198,3 +198,42 @@ def collate(instances: Sequence[Dict[str, np.ndarray]], text_pad_id: int,
         labels[b, :n] = inst["labels"][:n]
         mask[b, :n] = inst["attention_mask"][:n]
     return {"input_ids": ids, "labels": labels, "attention_mask": mask}
+
+
+class Prefetcher:
+    """Async host input pipeline — one background thread double-buffering
+    batch assembly (the reference's dataloader_num_workers,
+    /root/reference/finetune/training_config.yaml:9): the dataset[i] +
+    collate work for step i+1 runs while the device executes step i, so at
+    real geometry (16k-token sequences) the host never shadows device time.
+
+    ``make_batch(step)`` is called on the worker thread for each step in
+    ``steps``; iterate the Prefetcher to receive (step, batch) in order.
+    Worker exceptions re-raise on the consuming thread."""
+
+    _DONE = object()
+
+    def __init__(self, make_batch, steps, depth: int = 2):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+
+        def worker():
+            try:
+                for s in steps:
+                    self._q.put((s, make_batch(s)))
+                self._q.put(self._DONE)
+            except BaseException as e:            # surfaced on next()
+                self._q.put(e)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -159,12 +159,16 @@ def fold_lora_tree(params: Dict, cfg) -> Dict:
 
 
 def make_layerwise_lora_step(cfg, optimizer, loss_weights=None,
-                             remat: bool = True, ce_chunks: int = 8):
+                             remat: bool = True, ce_chunks: int = 8,
+                             grad_accum_steps: int = 1):
     """train_step(state, batch, frozen) for a cfg with lora_rank > 0.
 
     state.params is the TRAINABLE subtree (lora_a/lora_b leaves only);
-    ``frozen`` is the base subtree passed as a runtime device input."""
-    from .step import DEFAULT_LOSS_WEIGHTS, TrainState
+    ``frozen`` is the base subtree passed as a runtime device input.
+    ``grad_accum_steps`` K > 1 expects a leading (K,) micro axis on every
+    batch leaf (see train/step.py accum_value_and_grad — exact big-batch
+    equivalence; the accumulator here is only rank-sized)."""
+    from .step import DEFAULT_LOSS_WEIGHTS, TrainState, accum_value_and_grad
     from ..models.lm import AsteroidLM
     from ..ops.chunked_ce import asteroid_loss
 
@@ -175,7 +179,7 @@ def make_layerwise_lora_step(cfg, optimizer, loss_weights=None,
     model = AsteroidLM(cfg)
     weights = loss_weights or DEFAULT_LOSS_WEIGHTS
 
-    def loss_fn(trainable, batch, frozen):
+    def loss_fn(trainable, batch, counts, frozen):
         full = merge_lora_tree(frozen, trainable)
         mask = batch["attention_mask"]
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
@@ -184,13 +188,18 @@ def make_layerwise_lora_step(cfg, optimizer, loss_weights=None,
                                 method=AsteroidLM.backbone)
         total, per = asteroid_loss(
             hidden, batch["labels"], frozen["params"]["embed_text"],
-            frozen["params"]["embed_speech"], weights, num_chunks=ce_chunks)
+            frozen["params"]["embed_speech"], weights, num_chunks=ce_chunks,
+            counts=counts)
         return total, per
 
     def train_step(state: TrainState, batch, frozen):
         import optax
-        (loss, per), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, frozen)
+        if grad_accum_steps > 1:
+            (loss, per), grads = accum_value_and_grad(
+                loss_fn, state.params, batch, frozen)
+        else:
+            (loss, per), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, None, frozen)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         new_tr = optax.apply_updates(state.params, updates)

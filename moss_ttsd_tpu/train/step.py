@@ -31,23 +31,70 @@ class TrainState(NamedTuple):
 
 def make_optimizer(learning_rate: float = 1e-4, warmup_ratio: float = 0.1,
                    total_steps: int = 10_000, weight_decay: float = 0.0,
-                   grad_clip: float = 1.0):
-    """AdamW + cosine schedule with linear warmup (reference
-    training_config.yaml semantics via HF TrainingArguments)."""
+                   grad_clip: float = 1.0, lr_scheduler_type: str = "cosine"):
+    """AdamW + linear-warmup schedule (reference training_config.yaml
+    semantics via HF TrainingArguments; ``lr_scheduler_type`` supports the
+    reference's "cosine" plus HF's "linear" and "constant")."""
     warmup = max(1, int(total_steps * warmup_ratio))
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, learning_rate, warmup, max(total_steps, warmup + 1))
+    end = max(total_steps, warmup + 1)
+    if lr_scheduler_type == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(0.0, learning_rate,
+                                                   warmup, end)
+    elif lr_scheduler_type == "linear":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup),
+             optax.linear_schedule(learning_rate, 0.0, end - warmup)],
+            [warmup])
+    elif lr_scheduler_type == "constant":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup),
+             optax.constant_schedule(learning_rate)], [warmup])
+    else:
+        raise ValueError(f"unknown lr_scheduler_type {lr_scheduler_type!r}")
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=weight_decay))
 
 
+def accum_value_and_grad(loss_fn, params, batch, *extra):
+    """Gradient accumulation over a (K, ...) micro-batched ``batch``.
+
+    ``loss_fn(params, micro_batch, counts, *extra) -> (loss, per_channel)``
+    must normalize by the SHARED ``counts`` (valid_label_counts over the
+    whole superbatch) — the per-micro losses are then linear in the micro
+    batches, so summed micro gradients equal the one-big-batch gradient
+    EXACTLY (tests/test_train.py proves bitwise fp32 equality up to reduction
+    order). Reference semantics: gradient_accumulation_steps
+    (/root/reference/finetune/training_config.yaml:2, HF Trainer).
+
+    Memory: one params-shaped gradient accumulator rides the lax.scan carry;
+    each micro forward/backward peaks like a single micro-batch step.
+    """
+    from ..ops.chunked_ce import valid_label_counts
+    counts = valid_label_counts(batch["labels"])
+    vag = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def body(acc, micro):
+        (loss, per), g = vag(params, micro, counts, *extra)
+        return jax.tree.map(jnp.add, acc, g), (loss, per)
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    grads, (losses, pers) = jax.lax.scan(body, zeros, batch)
+    return (losses.sum(), pers.sum(axis=0)), grads
+
+
 def make_train_step(cfg: LMConfig, optimizer,
                     loss_weights: Sequence[float] = DEFAULT_LOSS_WEIGHTS,
-                    remat: bool = True, ce_chunks: int = 8):
+                    remat: bool = True, ce_chunks: int = 8,
+                    grad_accum_steps: int = 1):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: {"input_ids": (B, T, C), "labels": (B, T, C), "attention_mask": (B, T)}.
+    With ``grad_accum_steps`` K > 1, every batch leaf gains a leading (K,)
+    micro axis and the step scans K forward/backwards before ONE optimizer
+    update — the only way to reach the reference's effective batch sizes at
+    16k-token sequences on one chip (reference finetune.py:222-230 via HF
+    Trainer's gradient_accumulation_steps).
     """
     if remat:
         # per-layer remat (models/lm.py nn.remat'd scan block): backward
@@ -57,7 +104,7 @@ def make_train_step(cfg: LMConfig, optimizer,
         cfg = dataclasses.replace(cfg, remat_layers=True)
     model = AsteroidLM(cfg)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, counts=None):
         ids = batch["input_ids"]
         mask = batch["attention_mask"]
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
@@ -67,12 +114,16 @@ def make_train_step(cfg: LMConfig, optimizer,
         embed_speech = params["params"]["embed_speech"]
         total, per_channel = asteroid_loss(
             hidden, batch["labels"], embed_text, embed_speech, loss_weights,
-            num_chunks=ce_chunks)
+            num_chunks=ce_chunks, counts=counts)
         return total, per_channel
 
     def train_step(state: TrainState, batch):
-        (loss, per_channel), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+        if grad_accum_steps > 1:
+            (loss, per_channel), grads = accum_value_and_grad(
+                loss_fn, state.params, batch)
+        else:
+            (loss, per_channel), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "loss_per_channel": per_channel,

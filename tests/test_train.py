@@ -255,6 +255,142 @@ def test_layerwise_lora_matches_merge_based_step():
     assert not any(p[-1].key in ("lora_a", "lora_b") for p, _ in flat_f)
 
 
+def _toy_batch(cfg, B=4, T=12, seed=7):
+    """Batch with per-row -100 masking so micro batches have UNEQUAL valid
+    counts — the case where naive mean-of-means accumulation diverges."""
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, 30, (B, T, cfg.channels)).astype(np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (B, T))
+    labels = rng.integers(0, 30, (B, T, cfg.channels)).astype(np.int32)
+    for b in range(B):
+        labels[b, : 1 + b] = IGNORE_INDEX        # row-varying masking
+    return {"input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(labels),
+            "attention_mask": jnp.ones((B, T), jnp.int32)}
+
+
+def test_grad_accum_matches_big_batch():
+    """K-microbatch accumulation == one batchxK step, exactly (fp32): the
+    shared valid-count denominator makes summed micro grads equal the
+    big-batch grad (VERDICT r3 #2; reference gradient_accumulation_steps,
+    finetune/training_config.yaml:2)."""
+    cfg = tiny_cfg()
+    opt = make_optimizer(learning_rate=3e-3, total_steps=10, warmup_ratio=0.0)
+    state = init_train_state(cfg, opt, jax.random.PRNGKey(5))
+    batch = _toy_batch(cfg, B=4)
+
+    big = jax.jit(make_train_step(cfg, opt, remat=False, ce_chunks=2))
+    accum = jax.jit(make_train_step(cfg, opt, remat=False, ce_chunks=2,
+                                    grad_accum_steps=2))
+    micro = {k: v.reshape((2, 2) + v.shape[1:]) for k, v in batch.items()}
+
+    st_big, m_big = big(state, batch)
+    st_acc, m_acc = accum(state, micro)
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_big["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_acc["grad_norm"]),
+                               float(m_big["grad_norm"]), rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(st_acc.params)[0],
+            jax.tree_util.tree_flatten_with_path(st_big.params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=str([k.key for k in pa]))
+
+
+def test_grad_accum_lora_matches_big_batch():
+    """Same exactness for the layerwise LoRA step (rank-sized accumulator)."""
+    import dataclasses
+    from moss_ttsd_tpu.models.lm import AsteroidLM
+    from moss_ttsd_tpu.train.lora import (graft_lora_params,
+                                          make_layerwise_lora_step,
+                                          split_lora_tree)
+
+    cfg = dataclasses.replace(tiny_cfg(), lora_rank=2, lora_alpha=4.0)
+    frozen, trainable = split_lora_tree(graft_lora_params(
+        AsteroidLM(dataclasses.replace(cfg, lora_rank=0)).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 6, cfg.channels), jnp.int32)),
+        cfg, jax.random.PRNGKey(1)))
+    opt = make_optimizer(learning_rate=3e-3, total_steps=10, warmup_ratio=0.0)
+    state = TrainState(jnp.zeros((), jnp.int32), trainable,
+                       opt.init(trainable))
+    batch = _toy_batch(cfg, B=4, seed=11)
+
+    big = jax.jit(make_layerwise_lora_step(cfg, opt, remat=False, ce_chunks=2))
+    accum = jax.jit(make_layerwise_lora_step(cfg, opt, remat=False,
+                                             ce_chunks=2, grad_accum_steps=2))
+    micro = {k: v.reshape((2, 2) + v.shape[1:]) for k, v in batch.items()}
+
+    st_big, m_big = big(state, batch, frozen)
+    st_acc, m_acc = accum(state, micro, frozen)
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_big["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st_acc.params),
+                    jax.tree.leaves(st_big.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_lr_scheduler_types():
+    """make_optimizer supports the HF lr_scheduler_type surface the
+    reference config names (training_config.yaml:11)."""
+    for kind in ("cosine", "linear", "constant"):
+        make_optimizer(lr_scheduler_type=kind, total_steps=10)
+    with pytest.raises(ValueError):
+        make_optimizer(lr_scheduler_type="polynomial", total_steps=10)
+
+
+def test_save_train_state_rotation(tmp_path):
+    """save_total_limit semantics: only the `keep` newest step dirs survive
+    (reference finetune.py:207-208)."""
+    import os
+    from moss_ttsd_tpu.core.checkpoint import latest_step, save_train_state
+
+    state = {"w": jnp.arange(4.0)}
+    ckpt = str(tmp_path / "ckpts")
+    for step in (1, 2, 3, 4):
+        save_train_state(ckpt, state, step, keep=2)
+    dirs = sorted(d for d in os.listdir(ckpt) if d.startswith("step_"))
+    assert dirs == ["step_3", "step_4"]
+    assert latest_step(ckpt) == 4
+
+
+def test_prefetcher_order_and_error():
+    from moss_ttsd_tpu.train.data import Prefetcher
+
+    got = list(Prefetcher(lambda s: s * s, range(1, 6), depth=2))
+    assert got == [(s, s * s) for s in range(1, 6)]
+
+    def boom(s):
+        if s == 3:
+            raise RuntimeError("bad batch")
+        return s
+
+    it = iter(Prefetcher(boom, range(1, 6), depth=1))
+    assert next(it) == (1, 1)
+    assert next(it) == (2, 2)
+    with pytest.raises(RuntimeError, match="bad batch"):
+        for _ in it:
+            pass
+
+
+def test_train_logger_sinks(tmp_path):
+    """TrainLogger writes the jsonl event log and the metrics registry."""
+    import json as _json
+    from moss_ttsd_tpu.train.telemetry import TrainLogger
+    from moss_ttsd_tpu.utils.profiling import metrics
+
+    with TrainLogger(str(tmp_path), use_tensorboard=False) as lg:
+        lg.log(1, {"loss": 2.5, "grad_norm": 0.7})
+        lg.log(2, {"loss": 2.0, "grad_norm": 0.6})
+    lines = [_json.loads(l) for l in
+             open(tmp_path / "train_log.jsonl").read().splitlines()]
+    assert [l["step"] for l in lines] == [1, 2]
+    assert lines[1]["loss"] == 2.0
+    assert metrics.get("train_loss") == 2.0
+    assert metrics.get("train_step") == 2
+
+
 def test_lora_targets_subset_limits_adapters():
     """cfg.lora_targets restricts which projections carry adapters (the
     reference peft target_modules contract)."""
