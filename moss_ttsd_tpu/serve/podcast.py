@@ -34,7 +34,10 @@ def default_asset_base() -> str:
     cache = os.path.join(os.path.expanduser("~"), ".cache", "moss_ttsd_tpu",
                          "assets")
     exdir = os.path.join(cache, "examples")
-    if not os.path.exists(os.path.join(exdir, "voice_s2.wav")):
+    sentinel = os.path.join(exdir, ".voices_ready")
+    if not os.path.exists(sentinel):
+        import tempfile
+
         import numpy as np
         from ..utils.audio_io import write_wav
         os.makedirs(exdir, exist_ok=True)
@@ -50,7 +53,15 @@ def default_asset_base() -> str:
                                     + rng.uniform(0, np.pi))
             env = 0.4 + 0.3 * np.clip(np.sin(2 * np.pi * 2.5 * t), 0, 1)
             wav = wav * env / np.max(np.abs(wav)) * 0.6
-            write_wav(os.path.join(exdir, name), wav.astype(np.float32), sr)
+            # write-then-rename so a concurrent process never reads a
+            # half-written wav; the sentinel (written last) gates the whole
+            # set, so readers only proceed once both voices are in place
+            fd, tmp = tempfile.mkstemp(suffix=".wav", dir=exdir)
+            os.close(fd)
+            write_wav(tmp, wav.astype(np.float32), sr)
+            os.replace(tmp, os.path.join(exdir, name))
+        with open(sentinel, "w") as f:
+            f.write("ok\n")
     return cache
 DEFAULT_VOICES = {
     "zh": {"prompt_audio_speaker1": "examples/voice_s1.wav",

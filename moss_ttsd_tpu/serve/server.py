@@ -243,10 +243,48 @@ class ContinuousWorker:
         self._live: Dict[int, _Request] = {}        # slot -> request
         self._cv = threading.Condition()
         self._stop = False
+        # over-capacity fallback (lazy): requests the pool cannot hold ride
+        # the static engine instead of 400ing (see _route_overflow)
+        self._overflow: Optional[BatchingWorker] = None
+        self._overflow_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def _route_overflow(self, req: _Request) -> bool:
+        """Serve an over-pool-capacity request through a static-engine
+        fallback worker inside the same server instead of rejecting it.
+
+        The pool's per-slot budget (max_steps, default 2048 ~ 2.7 min of
+        audio) is a throughput choice, not the product's length cap — the
+        reference surface accepts 16384 tokens (use_api.py:184) and the
+        window scheduler in this same binary serves them. Routed requests
+        share the device with the pool (XLA serializes the dispatches), so
+        pool segment latency degrades while one runs — counted in
+        ``server_routed_overflow`` so operators can size pools accordingly.
+
+        Streaming requests cannot ride the batched fallback; returns False
+        so the caller rejects them with a actionable message."""
+        if req.stream_q is not None:
+            return False
+        with self._overflow_lock:
+            if self._overflow is None:
+                self._overflow = BatchingWorker(
+                    self.pipeline, max_batch=2, batch_window_s=0.2,
+                    max_queue=max(2, self.max_queue // 4))
+        metrics.add("server_routed_overflow", 1)
+        self._overflow.submit(req)      # ServerBusy propagates (-> 429)
+        return True
+
     def submit(self, req: _Request) -> None:
+        if (req.max_new_tokens is not None
+                and req.max_new_tokens > self.cb.max_steps):
+            if self._route_overflow(req):
+                return
+            req.fail(f"bad request: stream max_tokens "
+                     f"({req.max_new_tokens}) exceeds the pool capacity "
+                     f"({self.cb.max_steps}); drop stream, lower max_tokens, "
+                     f"or raise --pool_max_steps")
+            return
         with self._cv:
             if len(self._queue) >= self.max_queue:
                 metrics.add("server_rejected_busy", 1)
@@ -260,6 +298,8 @@ class ContinuousWorker:
             self._stop = True
             self._cv.notify()
         self._thread.join(timeout=5)
+        if self._overflow is not None:
+            self._overflow.shutdown()
 
     # -- pool plumbing --------------------------------------------------
 
@@ -287,9 +327,22 @@ class ContinuousWorker:
                 try:
                     shifted, _ = self.pipeline.prepare_item(
                         req.item, use_normalize=req.use_normalize)
+                    if shifted.shape[0] > self.cb.L:
+                        # prompt exceeds the pool's prompt bucket: route to
+                        # the static fallback (same contract as the
+                        # max_new_tokens check in submit)
+                        if not self._route_overflow(req):
+                            req.fail(
+                                f"bad request: stream prompt "
+                                f"({shifted.shape[0]} rows) exceeds the "
+                                f"pool bucket ({self.cb.L}); raise "
+                                f"--pool_base or drop stream")
+                        continue
                     prepared.append((req, shifted))
                 except ValueError as e:
                     req.fail(f"bad request: {e}")
+                except ServerBusy as e:
+                    req.fail(f"server busy: {e}")
                 except Exception as e:              # noqa: BLE001
                     req.fail(f"server error: {e}")
             if not prepared:
@@ -379,7 +432,13 @@ class ContinuousWorker:
         spt = self.pipeline.spt
         reqs, codes_list = [], []
         for slot, steps in done:
-            req = self._live.pop(slot)
+            req = self._live.pop(slot, None)
+            if req is None:
+                # finished/_live desync: reclaim the slot and keep serving —
+                # a bare KeyError here would hit _loop's catch-all and fail
+                # EVERY in-flight request (same orphan handling as _service)
+                self.cb.release(slot)
+                continue
             res = self.cb.collect(slot, steps)
             if req.stream_q is not None:
                 try:
@@ -469,6 +528,11 @@ def _references_to_item(text: str, references: List[Dict]) -> dict:
 
 def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
     stream_lock = threading.Lock()      # one streaming generation at a time
+    # window-scheduler streams serialize on stream_lock; bound the number of
+    # waiters against max_queue (like non-stream admission) so unbounded
+    # concurrent stream:true requests can't each pin an HTTP thread forever
+    stream_gate = threading.Condition()
+    stream_waiting = [0]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):    # quiet by default
@@ -575,7 +639,9 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
                 req.cancelled = True
                 return self._json_error(504, "generation timed out")
             if req.error:
-                code = 400 if req.error.startswith("bad request") else 500
+                code = (400 if req.error.startswith("bad request")
+                        else 429 if req.error.startswith("server busy")
+                        else 500)
                 return self._json_error(code, req.error)
             metrics.observe("server_request_latency_s",
                             _time.perf_counter() - t0)
@@ -611,7 +677,9 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
                 return self._json_error(504, "generation timed out")
             metrics.observe("server_ttfa_s", _time.perf_counter() - t0)
             if isinstance(first, str):
-                code = 400 if first.startswith("bad request") else 500
+                code = (400 if first.startswith("bad request")
+                        else 429 if first.startswith("server busy")
+                        else 500)
                 return self._json_error(code, first)
             if first is None:
                 return self._json_error(
@@ -657,7 +725,26 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
             pipe = worker.pipeline
             import time as _time
             t0 = _time.perf_counter()
-            with stream_lock:
+            # bounded admission (ADVICE r3): count waiters against max_queue
+            # and time out the lock wait instead of pinning threads forever
+            with stream_gate:
+                if stream_waiting[0] >= max(1, worker.max_queue):
+                    metrics.add("server_rejected_busy", 1)
+                    return self._json_error(
+                        429, "busy: too many streams waiting (window "
+                             "scheduler streams one at a time — run "
+                             "--scheduler continuous for concurrent streams)")
+                stream_waiting[0] += 1
+            try:
+                acquired = stream_lock.acquire(timeout=request_timeout_s)
+            finally:
+                with stream_gate:
+                    stream_waiting[0] -= 1
+            if not acquired:
+                metrics.add("server_rejected_busy", 1)
+                return self._json_error(
+                    503, "busy: timed out waiting for the stream slot")
+            try:
                 gen = pipe.stream_item(item, use_normalize=normalize,
                                        max_new_tokens=max_tokens, seed=seed,
                                        adapter=voice)
@@ -689,6 +776,8 @@ def make_handler(worker: BatchingWorker, request_timeout_s: float = 600.0):
                     metrics.add("server_streamed", 1)
                 except (BrokenPipeError, ConnectionResetError):
                     gen.close()         # client went away: stop generating
+            finally:
+                stream_lock.release()
 
     return Handler
 
@@ -734,7 +823,10 @@ class SpeechServer:
         persistent compile cache so restarts skip it entirely)."""
         req = _Request({"text": "[S1]warm up.[S2]ready."}, max_tokens, 0,
                        False)
-        self.worker.submit(req)
+        try:
+            self.worker.submit(req)
+        except ServerBusy as e:     # keep the documented RuntimeError contract
+            raise RuntimeError(f"warmup rejected: {e}") from e
         if not req.event.wait(timeout_s):
             raise RuntimeError("warmup timed out")
         if req.error:

@@ -135,14 +135,44 @@ def test_continuous_scheduler_serves_requests(continuous_server):
     assert snap.get("server_continuous_joins", 0) >= 3
 
 
-def test_continuous_scheduler_rejects_oversized_prompt(continuous_server):
+def test_continuous_scheduler_routes_oversized_prompt(continuous_server):
+    """A prompt over the pool bucket is no longer a client error — it rides
+    the static-engine fallback inside the same server (VERDICT r3 #3: the
+    pool's slot geometry is a throughput choice, not the product's cap)."""
+    from moss_ttsd_tpu.utils.profiling import metrics
+    base = f"http://127.0.0.1:{continuous_server.port}"
+    before = metrics.snapshot().get("server_routed_overflow", 0)
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]" + "long words here " * 40 + "[S2]ok",
+               "max_tokens": 16})
+    wav, _ = wav_bytes_to_array(r.read())
+    assert len(wav) > 0 and np.isfinite(wav).all()
+    assert metrics.snapshot().get("server_routed_overflow", 0) == before + 1
+
+
+def test_continuous_scheduler_routes_over_budget_request(continuous_server):
+    """max_tokens beyond the pool's per-slot step budget (pool_max_steps=32
+    here; default 2048 ~ 2.7 min of audio) routes to the fallback worker and
+    succeeds — the reference surface accepts 16384 (use_api.py:184)."""
+    from moss_ttsd_tpu.utils.profiling import metrics
+    base = f"http://127.0.0.1:{continuous_server.port}"
+    before = metrics.snapshot().get("server_routed_overflow", 0)
+    r = _post(f"{base}/v1/audio/speech",
+              {"input": "[S1]long request[S2]ok", "max_tokens": 48})
+    wav, _ = wav_bytes_to_array(r.read())
+    assert len(wav) > 0 and np.isfinite(wav).all()
+    assert metrics.snapshot().get("server_routed_overflow", 0) == before + 1
+
+
+def test_continuous_stream_over_budget_is_400(continuous_server):
+    """Streams cannot ride the batched fallback: over-capacity stream
+    requests get an actionable 400 instead of silently degrading."""
     import urllib.error
     base = f"http://127.0.0.1:{continuous_server.port}"
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{base}/v1/audio/speech",
-              {"input": "[S1]" + "long words here " * 40 + "[S2]ok",
-               "max_tokens": 4})
-    assert e.value.code == 400      # client error, not server fault
+              {"input": "[S1]hi[S2]ok", "max_tokens": 48, "stream": True})
+    assert e.value.code == 400
 
 
 def test_streaming_endpoint_emits_pcm_chunks(server):
