@@ -641,6 +641,121 @@ def bench_codec_train(batch=2, secs=10, trials=3, tiny=False):
          batch=batch, clip_secs=secs, ms_per_step=round(best * 1e3, 1))
 
 
+def bench_pool_breakdown(slots=8, base=512, max_steps=2048, segment=64,
+                         trials=3, tiny=False):
+    """Stub-isolation breakdown of the continuous-pool decode body (the
+    static decode step's README breakdown, applied to the pool — VERDICT r3
+    #4: quantify the pooled-vs-static throughput tax at the serving
+    geometry).
+
+    Variants strip body components CUMULATIVELY via _build_segment_fn's
+    ablate knob (shape-preserving stubs keep upstream ops alive so XLA can't
+    DCE them): variant_i − variant_{i+1} = that component's per-step cost.
+    The last variant is backbone+attention+bookkeeping only. A static
+    GenerationEngine at the SAME (bucket, step_bucket, quant, kv_quant)
+    geometry anchors the tax statement.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.decode.continuous import (ContinuousBatcher,
+                                                 _build_segment_fn)
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+
+    if tiny:
+        base, max_steps, segment = 64, 96, 16
+    quant = "int8"                  # make_bench_lm pre-quantizes the params
+    kv_quant = None if tiny else "int8"
+
+    log("pool_breakdown: init LM params...")
+    cfg, params, sampling = make_bench_lm(tiny, max_steps)
+    cb = ContinuousBatcher(cfg, params, sampling, slots=slots, base=base,
+                           max_steps=max_steps, quant=quant,
+                           kv_quant=kv_quant)
+    rng = np.random.default_rng(0)
+
+    def fill():
+        """All slots occupied with fresh long-budget requests."""
+        cb.state = cb._init_state(0)
+        cb._slot_free = [True] * slots
+        reqs = []
+        for i in range(slots):
+            L = int(rng.integers(base // 2, base - cfg.channels + 1))
+            p = np.full((L, cfg.channels), cfg.speech_pad_token, np.int32)
+            p[:, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), L)
+            reqs.append((p, max_steps, i))
+        cb.submit_many(reqs)
+        return cb.state
+
+    variants = [
+        ("full", frozenset()),
+        ("sampling", frozenset({"sampling"})),
+        ("logits", frozenset({"sampling", "logits"})),
+        ("tf_flush", frozenset({"sampling", "logits", "tf_flush"})),
+        ("tokenwrite", frozenset({"sampling", "logits", "tf_flush",
+                                  "tokenwrite"})),
+        ("presence", frozenset({"sampling", "logits", "tf_flush",
+                                "tokenwrite", "presence"})),
+        ("extentcalc", frozenset({"sampling", "logits", "tf_flush",
+                                  "tokenwrite", "presence", "extentcalc"})),
+    ]
+    import jax
+    steps_per_s = {}
+    for name, abl in variants:
+        seg = jax.jit(_build_segment_fn(cb.model, cb.cfg, cb.sampling, base,
+                                        max_steps, ablate=abl),
+                      donate_argnums=(1,))
+        st = fill()
+        st = seg(cb.params, st, jnp.int32(segment), cb.lora.stacks)
+        int(jax.device_get(st.gstep))               # compile + warm
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            st = seg(cb.params, st, jnp.int32(segment), cb.lora.stacks)
+            int(jax.device_get(st.gstep))           # value readback (tunnel)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        del st
+        steps_per_s[name] = segment / best
+        log(f"pool_breakdown [{name:10s}] {segment / best:7.1f} steps/s "
+            f"({1e3 * best / segment:.3f} ms/step)")
+
+    # per-component cost = cumulative-variant deltas
+    order = [n for n, _ in variants]
+    for prev, cur in zip(order, order[1:]):
+        delta_ms = 1e3 * (1.0 / steps_per_s[prev] - 1.0 / steps_per_s[cur])
+        log(f"pool_breakdown component {cur}: {delta_ms:+.3f} ms/step")
+        emit(f"pool_component_{cur}_ms", delta_ms, "ms/step")
+
+    # static engine at the SAME geometry (bench.py methodology: generate
+    # wall / decode steps, prefill amortized over a long decode)
+    log("pool_breakdown: static engine at matched geometry...")
+    eng = GenerationEngine(cfg, params, sampling, bucket=base, quant=quant,
+                           step_bucket=max_steps, kv_quant=kv_quant)
+    B = slots
+    L = base - cfg.channels
+    ids = np.full((B, L, cfg.channels), cfg.speech_pad_token, np.int32)
+    ids[:, :, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), (B, L))
+    mask = np.ones((B, L), np.int32)
+    n_steps = min(4 * segment, max_steps)
+    eng.generate(ids, mask, max_new_tokens=n_steps, seed=0)
+    best = None
+    for i in range(trials):
+        t0 = time.perf_counter()
+        res = eng.generate(ids, mask, max_new_tokens=n_steps, seed=1 + i)
+        jax.block_until_ready(res.tokens)
+        float(jnp.sum(res.tokens[:, -1]))           # force value readback
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    static_sps = n_steps / best
+    log(f"pool_breakdown static engine: {static_sps:.1f} steps/s")
+
+    emit("pool_steps_per_s", steps_per_s["full"], "steps/s",
+         static_matched=round(static_sps, 1),
+         backbone_only=round(steps_per_s["extentcalc"], 1),
+         tax_pct=round(100 * (1 - steps_per_s["full"] / static_sps), 1))
+    return steps_per_s, static_sps
+
+
 def bench_multilora(slots=8, n_adapters=4, rank=16, trials=3, tiny=False):
     """Multi-LoRA pool tax: pooled decode steps/s with every row on its own
     LoRA adapter vs the plain pool. The adapter path adds per-row factor
@@ -716,7 +831,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="codec,clone,ttfa,longform",
                     help="comma list of codec,clone,ttfa,longform,serving,"
-                         "batchsweep,finetune,codectrain,multilora")
+                         "batchsweep,finetune,codectrain,multilora,"
+                         "poolbreakdown")
     ap.add_argument("--steps", type=int, default=256,
                     help="decode steps for the voice-clone config")
     ap.add_argument("--batch", type=int, default=8)
@@ -768,6 +884,9 @@ def main(argv=None):
     if "multilora" in configs:
         bench_multilora(slots=2 if args.tiny else 8,
                         n_adapters=2 if args.tiny else 4, tiny=args.tiny)
+
+    if "poolbreakdown" in configs:
+        bench_pool_breakdown(slots=2 if args.tiny else 8, tiny=args.tiny)
 
 
 if __name__ == "__main__":

@@ -69,9 +69,21 @@ class PoolState(NamedTuple):
 
 def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
                       sampling: SamplingConfig, base: int, max_steps: int,
-                      len_aware: bool = True):
+                      len_aware: bool = True,
+                      ablate: frozenset = frozenset()):
     """Compiled ``segment(params, state, k)``: advance every live row by up
     to ``k`` decode steps (rows stop individually at EOS or their budget).
+
+    ``ablate`` is a BENCH-ONLY knob (bench_full.py pool_breakdown): each
+    named component of the body is replaced by a shape-preserving stub that
+    keeps its inputs alive (so XLA cannot dead-code-eliminate upstream work)
+    — stripping components cumulatively attributes the pool's per-step cost
+    the way the static decode step was accounted (README stub-isolation
+    breakdown). Production callers always pass the default empty set.
+    Components: "sampling" (per-row rng chain + channel sampling),
+    "logits" (lm heads), "tf_flush" (teacher-forcing + EOS flush machinery),
+    "tokenwrite" (per-row token-buffer writes), "presence" (repetition-
+    penalty presence scatters), "extentcalc" (per-row extent reduction).
 
     Cache writes use RING addressing: every pool step writes all rows at the
     SAME scalar slot ``base + gstep % max_steps`` (frozen rows gated to keep
@@ -102,10 +114,17 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         S = state.tokens.shape[1]
         adv = state.active & state.unfinished            # rows that advance
 
-        text_logits, speech_logits = model.apply(
-            params, state.hidden_last, method=AsteroidLM.logits_all)
-        text_logits = text_logits[:, 0]
-        speech_logits = speech_logits[:, 0]
+        if "logits" in ablate:
+            B = state.hidden_last.shape[0]
+            dep = state.hidden_last.astype(jnp.float32).sum() * 0.0
+            text_logits = jnp.zeros((B, cfg.vocab_size), jnp.float32) + dep
+            speech_logits = jnp.zeros(
+                (B, C - 1, cfg.speech_vocab_size), jnp.float32) + dep
+        else:
+            text_logits, speech_logits = model.apply(
+                params, state.hidden_last, method=AsteroidLM.logits_all)
+            text_logits = text_logits[:, 0]
+            speech_logits = speech_logits[:, 0]
 
         # Per-row sampling with per-row rng keys (request-seed
         # reproducibility, reference set_seed inference.py:71): each row
@@ -115,56 +134,80 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         # sample_channels_rowkeys replicates its per-channel splits +
         # categorical draws bit-for-bit while keeping all heavy ops batched
         # (tests/test_continuous.py::test_sampled_per_request_seed_determinism).
-        split2 = jax.vmap(jax.random.split)(state.rng_r)      # (B, 2, 2)
-        rng_r, step_keys = split2[:, 0], split2[:, 1]
-        next_tokens = sample_channels_rowkeys(
-            step_keys, text_logits, speech_logits, state.presence_text,
-            state.presence_speech, srow, ch_params, prefilter, approx_topk,
-            eos, pad_speech)
+        if "sampling" in ablate:
+            dep = ((text_logits.sum() + speech_logits.sum()) * 0.0
+                   ).astype(jnp.int32)
+            rng_r = state.rng_r
+            next_tokens = jnp.full((srow.shape[0], C), speech_lo,
+                                   jnp.int32) + dep
+        else:
+            split2 = jax.vmap(jax.random.split)(state.rng_r)  # (B, 2, 2)
+            rng_r, step_keys = split2[:, 0], split2[:, 1]
+            next_tokens = sample_channels_rowkeys(
+                step_keys, text_logits, speech_logits, state.presence_text,
+                state.presence_speech, srow, ch_params, prefilter,
+                approx_topk, eos, pad_speech)
 
-        # adv-gated: a frozen row samples garbage (its output is discarded
-        # below) and must not re-arm the flush countdown
-        trigger = adv & (~is_speech(next_tokens[:, 0])) & (state.needs < 0)
-        needs = jnp.where(trigger, C - 1, state.needs)
+        if "tf_flush" in ablate:
+            needs = state.needs
+        else:
+            # adv-gated: a frozen row samples garbage (its output is
+            # discarded below) and must not re-arm the flush countdown
+            trigger = adv & (~is_speech(next_tokens[:, 0])) & (state.needs < 0)
+            needs = jnp.where(trigger, C - 1, state.needs)
 
-        # teacher forcing: per-row read of the shifted-prompt tail row
-        tf_row = jax.vmap(
-            lambda t, c: jax.lax.dynamic_slice(t, (c, 0), (1, C))[0]
-        )(state.tokens, cur_r)                           # (B, C)
-        chan = jnp.arange(C)
-        tf_mask = (srow[:, None] < C - 1) & (chan[None, :] > srow[:, None])
-        next_tokens = jnp.where(tf_mask, tf_row, next_tokens)
+            # teacher forcing: per-row read of the shifted-prompt tail row
+            tf_row = jax.vmap(
+                lambda t, c: jax.lax.dynamic_slice(t, (c, 0), (1, C))[0]
+            )(state.tokens, cur_r)                           # (B, C)
+            chan = jnp.arange(C)
+            tf_mask = (srow[:, None] < C - 1) & (chan[None, :] > srow[:, None])
+            next_tokens = jnp.where(tf_mask, tf_row, next_tokens)
 
-        flushing = (needs > 0) & (needs < C - 1)
-        flush_val = jnp.where(chan[None, :] == 0, eos, pad_speech)
-        flush_chan = (chan[None, :] == 0) | (needs[:, None] < C - chan[None, :])
-        next_tokens = jnp.where(flushing[:, None] & flush_chan, flush_val,
-                                next_tokens)
-        fin_fill = jnp.where(chan[None, :] == 0, eos, pad_speech)
-        next_tokens = jnp.where(adv[:, None], next_tokens, fin_fill)
+            flushing = (needs > 0) & (needs < C - 1)
+            flush_val = jnp.where(chan[None, :] == 0, eos, pad_speech)
+            flush_chan = (chan[None, :] == 0) | (needs[:, None]
+                                                 < C - chan[None, :])
+            next_tokens = jnp.where(flushing[:, None] & flush_chan, flush_val,
+                                    next_tokens)
+            fin_fill = jnp.where(chan[None, :] == 0, eos, pad_speech)
+            next_tokens = jnp.where(adv[:, None], next_tokens, fin_fill)
 
-        # per-row token write; frozen rows keep their buffer untouched (the
-        # select is over the whole (B, S, C) buffer — a few hundred KB)
-        written = jax.vmap(
-            lambda t, nt, c: jax.lax.dynamic_update_slice(t, nt[None], (c, 0))
-        )(state.tokens, next_tokens.astype(state.tokens.dtype), cur_r)
-        tokens = jnp.where(adv[:, None, None], written, state.tokens)
+        if "tokenwrite" in ablate:
+            tokens = state.tokens
+        else:
+            # per-row token write; frozen rows keep their buffer untouched
+            # (the select is over the whole (B, S, C) buffer — a few
+            # hundred KB)
+            written = jax.vmap(
+                lambda t, nt, c: jax.lax.dynamic_update_slice(
+                    t, nt[None], (c, 0))
+            )(state.tokens, next_tokens.astype(state.tokens.dtype), cur_r)
+            tokens = jnp.where(adv[:, None, None], written, state.tokens)
 
-        presence_text = jnp.where(
-            adv[:, None],
-            scatter_presence(state.presence_text, next_tokens[:, 0]),
-            state.presence_text)
-        presence_speech = jnp.where(
-            adv[:, None, None],
-            scatter_presence(state.presence_speech, next_tokens[:, 1:]),
-            state.presence_speech)
+        if "presence" in ablate:
+            presence_text = state.presence_text
+            presence_speech = state.presence_speech
+        else:
+            presence_text = jnp.where(
+                adv[:, None],
+                scatter_presence(state.presence_text, next_tokens[:, 0]),
+                state.presence_text)
+            presence_speech = jnp.where(
+                adv[:, None, None],
+                scatter_presence(state.presence_speech, next_tokens[:, 1:]),
+                state.presence_speech)
 
-        needs = jnp.where(adv & (needs > 0), needs - 1, needs)
-        stopping = (next_tokens[:, 0] == eos) | (needs == 0)
-        unfinished = state.unfinished & ~stopping
-        unfinished = unfinished | (needs > 0)
-        # per-row budget: a row that just wrote its max_r-th token stops
-        unfinished = unfinished & (srow + 1 < state.max_r)
+        if "tf_flush" in ablate:
+            # budget-only stopping (the flush countdown is stubbed out)
+            unfinished = state.unfinished & (srow + 1 < state.max_r)
+        else:
+            needs = jnp.where(adv & (needs > 0), needs - 1, needs)
+            stopping = (next_tokens[:, 0] == eos) | (needs == 0)
+            unfinished = state.unfinished & ~stopping
+            unfinished = unfinished | (needs > 0)
+            # per-row budget: a row that just wrote its max_r-th token stops
+            unfinished = unfinished & (srow + 1 < state.max_r)
 
         # forward the new token; frozen rows run too (lockstep) but their
         # cache write is gated (write_gate) and their sampled tokens are
@@ -186,10 +229,16 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         # below, so they get a 1-slot extent.
         ext = None
         if len_aware:
-            ext = jnp.where(
-                adv,
-                jnp.max(jnp.where(key_valid, iota[None, :] + 1, 0), axis=1),
-                1).astype(jnp.int32)
+            if "extentcalc" in ablate:
+                # arithmetic stand-in for the (B, S) reduction: same DMA
+                # clamping magnitude for rows live since pool start
+                ext = jnp.where(adv, base + srow + 1, 1).astype(jnp.int32)
+            else:
+                ext = jnp.where(
+                    adv,
+                    jnp.max(jnp.where(key_valid, iota[None, :] + 1, 0),
+                            axis=1),
+                    1).astype(jnp.int32)
         hidden, new_cache = model.apply(
             params, next_tokens[:, None, :], positions, key_valid,
             state.cache, slot, adv, method=AsteroidLM.backbone,
