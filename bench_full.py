@@ -726,8 +726,12 @@ def bench_pool_breakdown(slots=8, base=512, max_steps=2048, segment=64,
         log(f"pool_breakdown component {cur}: {delta_ms:+.3f} ms/step")
         emit(f"pool_component_{cur}_ms", delta_ms, "ms/step")
 
-    # static engine at the SAME geometry (bench.py methodology: generate
-    # wall / decode steps, prefill amortized over a long decode)
+    # static engine at the SAME geometry. The pool numbers above time pure
+    # decode segments (admission/prefill happen in fill(), outside the
+    # timer), so the static anchor must exclude its B=8 x ~base-row prefill
+    # too: time a long and a short generate over the SAME prompt and
+    # difference them — prefill and the per-call dispatch/readback cancel,
+    # leaving the pure decode-step rate.
     log("pool_breakdown: static engine at matched geometry...")
     eng = GenerationEngine(cfg, params, sampling, bucket=base, quant=quant,
                            step_bucket=max_steps, kv_quant=kv_quant)
@@ -737,17 +741,24 @@ def bench_pool_breakdown(slots=8, base=512, max_steps=2048, segment=64,
     ids[:, :, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), (B, L))
     mask = np.ones((B, L), np.int32)
     n_steps = min(4 * segment, max_steps)
-    eng.generate(ids, mask, max_new_tokens=n_steps, seed=0)
-    best = None
-    for i in range(trials):
+    n_short = max(1, segment // 8)
+
+    def timed_generate(n, seed):
         t0 = time.perf_counter()
-        res = eng.generate(ids, mask, max_new_tokens=n_steps, seed=1 + i)
+        res = eng.generate(ids, mask, max_new_tokens=n, seed=seed)
         jax.block_until_ready(res.tokens)
         float(jnp.sum(res.tokens[:, -1]))           # force value readback
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    static_sps = n_steps / best
-    log(f"pool_breakdown static engine: {static_sps:.1f} steps/s")
+        return time.perf_counter() - t0
+
+    timed_generate(n_steps, seed=0)                 # compile + warm
+    timed_generate(n_short, seed=0)
+    best_long = min(timed_generate(n_steps, seed=1 + i) for i in range(trials))
+    best_short = min(timed_generate(n_short, seed=1 + i) for i in range(trials))
+    decode_s = max(best_long - best_short, 1e-9)
+    static_sps = (n_steps - n_short) / decode_s
+    log(f"pool_breakdown static engine: {static_sps:.1f} steps/s decode-only "
+        f"(long {best_long:.3f}s @{n_steps} - short {best_short:.3f}s "
+        f"@{n_short}; prefill+dispatch cancelled)")
 
     emit("pool_steps_per_s", steps_per_s["full"], "steps/s",
          static_matched=round(static_sps, 1),

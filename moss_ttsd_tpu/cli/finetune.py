@@ -199,26 +199,38 @@ def main(argv=None):
         batches = ((s, make_batch(s)) for s in steps)
 
     from ..train.telemetry import TrainLogger
-    logger = TrainLogger(args.output_dir)
+    # report_to: none (HF TrainingArguments key) disables tensorboard events;
+    # jsonl + metrics registry always run
+    report_to = tc.get("report_to", "tensorboard")
+    if isinstance(report_to, str):
+        report_to = [report_to]
+    logger = TrainLogger(args.output_dir,
+                         use_tensorboard="tensorboard" in report_to)
     t0 = time.perf_counter()
     step = start_step
-    for step, batch in batches:
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        state, metrics = step_fn(state, batch)
-        if step % log_every == 0 or step == total_steps:
-            done = step - start_step
-            sps = done / max(time.perf_counter() - t0, 1e-9)
-            logger.log(step, {"loss": float(metrics["loss"]),
-                              "grad_norm": float(metrics["grad_norm"]),
-                              "steps_per_sec": sps,
-                              "epoch": step / steps_per_epoch})
-            print(f"step {step}/{total_steps} loss={float(metrics['loss']):.4f} "
-                  f"grad_norm={float(metrics['grad_norm']):.3f} "
-                  f"({1.0 / max(sps, 1e-9):.2f}s/step)")
-        if save_every and (step % save_every == 0 or step == total_steps):
-            save_train_state(ckpt_dir, state, step, keep=save_limit)
-            print(f"checkpointed step {step} -> {ckpt_dir}")
-    logger.close()
+    try:
+        for step, batch in batches:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, batch)
+            if step % log_every == 0 or step == total_steps:
+                done = step - start_step
+                sps = done / max(time.perf_counter() - t0, 1e-9)
+                logger.log(step, {"loss": float(metrics["loss"]),
+                                  "grad_norm": float(metrics["grad_norm"]),
+                                  "steps_per_sec": sps,
+                                  "epoch": step / steps_per_epoch})
+                print(f"step {step}/{total_steps} loss={float(metrics['loss']):.4f} "
+                      f"grad_norm={float(metrics['grad_norm']):.3f} "
+                      f"({1.0 / max(sps, 1e-9):.2f}s/step)")
+            if save_every and (step % save_every == 0 or step == total_steps):
+                save_train_state(ckpt_dir, state, step, keep=save_limit)
+                print(f"checkpointed step {step} -> {ckpt_dir}")
+    finally:
+        # flush/close sinks even on a crashing step — the tb/jsonl trail up
+        # to the failure is exactly what post-mortems need
+        logger.close()
+        if hasattr(batches, "close"):
+            batches.close()     # unblock the prefetch thread (train/data.py)
 
     if args.lora:
         from ..train.lora import fold_lora_tree, merge_lora_tree

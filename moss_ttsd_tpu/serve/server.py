@@ -104,11 +104,15 @@ class BatchingWorker:
     """Collects concurrent requests into one batched generate call."""
 
     def __init__(self, pipeline, max_batch: int = 8,
-                 batch_window_s: float = 0.05, max_queue: int = 64):
+                 batch_window_s: float = 0.05, max_queue: int = 64,
+                 queue_gauge: str = "server_queue_depth"):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
         self.max_queue = max_queue
+        # gauge name is per-worker so the pool's queue depth and an overflow
+        # fallback worker's don't overwrite each other on the shared registry
+        self.queue_gauge = queue_gauge
         self._queue: List[_Request] = []
         self._cv = threading.Condition()
         self._stop = False
@@ -121,7 +125,7 @@ class BatchingWorker:
                 metrics.add("server_rejected_busy", 1)
                 raise ServerBusy(f"queue full ({self.max_queue} waiting)")
             self._queue.append(req)
-            metrics.set("server_queue_depth", len(self._queue))
+            metrics.set(self.queue_gauge, len(self._queue))
             self._cv.notify()
 
     def shutdown(self) -> None:
@@ -148,7 +152,7 @@ class BatchingWorker:
                 self._cv.wait(remaining)
             batch = self._queue[:self.max_batch]
             del self._queue[:len(batch)]
-            metrics.set("server_queue_depth", len(self._queue))
+            metrics.set(self.queue_gauge, len(self._queue))
             return batch
 
     def _loop(self) -> None:
@@ -270,9 +274,12 @@ class ContinuousWorker:
             if self._overflow is None:
                 self._overflow = BatchingWorker(
                     self.pipeline, max_batch=2, batch_window_s=0.2,
-                    max_queue=max(2, self.max_queue // 4))
-        metrics.add("server_routed_overflow", 1)
+                    max_queue=max(2, self.max_queue // 4),
+                    queue_gauge="server_overflow_queue_depth")
         self._overflow.submit(req)      # ServerBusy propagates (-> 429)
+        # count only requests actually admitted to the fallback — a busy
+        # rejection must not inflate the sizing metric
+        metrics.add("server_routed_overflow", 1)
         return True
 
     def submit(self, req: _Request) -> None:

@@ -209,7 +209,11 @@ class Prefetcher:
 
     ``make_batch(step)`` is called on the worker thread for each step in
     ``steps``; iterate the Prefetcher to receive (step, batch) in order.
-    Worker exceptions re-raise on the consuming thread."""
+    Worker exceptions re-raise on the consuming thread. If the consumer
+    abandons iteration (e.g. step_fn raised), call ``close()`` — without it
+    the worker would block forever on the bounded queue, pinning depth+1
+    assembled batches (tens of MB at 16k-token geometry) for the process
+    lifetime."""
 
     _DONE = object()
 
@@ -217,11 +221,22 @@ class Prefetcher:
         import queue
         import threading
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for s in steps:
-                    self._q.put((s, make_batch(s)))
+                    batch = make_batch(s)
+                    # bounded put that re-checks the stop flag so close()
+                    # can unblock a worker stuck on a full queue
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put((s, batch), timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
                 self._q.put(self._DONE)
             except BaseException as e:            # surfaced on next()
                 self._q.put(e)
@@ -237,3 +252,13 @@ class Prefetcher:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def close(self) -> None:
+        """Stop the worker and drop buffered batches (idempotent)."""
+        self._stop.set()
+        while True:                 # drain so a blocked put() sees the flag
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break
+        self._thread.join(timeout=5.0)

@@ -29,28 +29,37 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def make_optimizer(learning_rate: float = 1e-4, warmup_ratio: float = 0.1,
-                   total_steps: int = 10_000, weight_decay: float = 0.0,
-                   grad_clip: float = 1.0, lr_scheduler_type: str = "cosine"):
-    """AdamW + linear-warmup schedule (reference training_config.yaml
-    semantics via HF TrainingArguments; ``lr_scheduler_type`` supports the
-    reference's "cosine" plus HF's "linear" and "constant")."""
+def make_lr_schedule(learning_rate: float, warmup_ratio: float,
+                     total_steps: int, lr_scheduler_type: str):
+    """HF TrainingArguments lr_scheduler_type semantics: "cosine"/"linear"
+    warm up then decay, "constant" is flat from step 0 (HF applies NO warmup
+    for it), "constant_with_warmup" ramps then holds."""
     warmup = max(1, int(total_steps * warmup_ratio))
     end = max(total_steps, warmup + 1)
     if lr_scheduler_type == "cosine":
-        sched = optax.warmup_cosine_decay_schedule(0.0, learning_rate,
-                                                   warmup, end)
-    elif lr_scheduler_type == "linear":
-        sched = optax.join_schedules(
+        return optax.warmup_cosine_decay_schedule(0.0, learning_rate,
+                                                  warmup, end)
+    if lr_scheduler_type == "linear":
+        return optax.join_schedules(
             [optax.linear_schedule(0.0, learning_rate, warmup),
              optax.linear_schedule(learning_rate, 0.0, end - warmup)],
             [warmup])
-    elif lr_scheduler_type == "constant":
-        sched = optax.join_schedules(
+    if lr_scheduler_type == "constant":
+        return optax.constant_schedule(learning_rate)
+    if lr_scheduler_type == "constant_with_warmup":
+        return optax.join_schedules(
             [optax.linear_schedule(0.0, learning_rate, warmup),
              optax.constant_schedule(learning_rate)], [warmup])
-    else:
-        raise ValueError(f"unknown lr_scheduler_type {lr_scheduler_type!r}")
+    raise ValueError(f"unknown lr_scheduler_type {lr_scheduler_type!r}")
+
+
+def make_optimizer(learning_rate: float = 1e-4, warmup_ratio: float = 0.1,
+                   total_steps: int = 10_000, weight_decay: float = 0.0,
+                   grad_clip: float = 1.0, lr_scheduler_type: str = "cosine"):
+    """AdamW + warmup schedule (reference training_config.yaml semantics via
+    HF TrainingArguments; see make_lr_schedule for the scheduler surface)."""
+    sched = make_lr_schedule(learning_rate, warmup_ratio, total_steps,
+                             lr_scheduler_type)
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=weight_decay))

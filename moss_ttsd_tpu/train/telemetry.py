@@ -27,14 +27,23 @@ class TrainLogger:
         self.jsonl_path = os.path.join(output_dir, "train_log.jsonl")
         self._f = open(self.jsonl_path, "a")
         self.tb = None
-        if use_tensorboard:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-                self.tb = SummaryWriter(os.path.join(output_dir, "tb"))
-            except Exception:
-                self.tb = None      # torch-free env: jsonl + registry only
+        # Defer the torch import to the first log() — smoke runs that never
+        # log (and runs with report_to: none) skip the multi-second import
+        # and never write tb event files.
+        self._tb_dir = os.path.join(output_dir, "tb") if use_tensorboard else None
+
+    def _ensure_tb(self):
+        if self._tb_dir is None:
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(self._tb_dir)
+        except Exception:
+            self.tb = None          # torch-free env: jsonl + registry only
+        self._tb_dir = None         # only attempt once
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
+        self._ensure_tb()
         scalars = {k: float(v) for k, v in scalars.items()}
         rec = {"step": int(step), "time": time.time(), **scalars}
         self._f.write(json.dumps(rec) + "\n")

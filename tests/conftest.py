@@ -14,3 +14,26 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (config override must land before first backend use)
 jax.config.update("jax_platforms", "cpu")
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+# Smoke tier (VERDICT r3 #7): tests listed in slow_tests.txt get
+# pytest.mark.slow so `pytest -m "not slow"` is a <10-min iteration loop.
+# The manifest is generated from a full --durations=0 run (call time >=15s);
+# regenerate with:
+#   grep -E "^[0-9.]+s call" <log> | sort -rn | awk '$1+0>=15 {print $3}' \
+#     | sed 's|^tests/||' | sort > tests/slow_tests.txt
+# The full suite (no -m filter) stays the CI tier.
+_slow_manifest = pathlib.Path(__file__).with_name("slow_tests.txt")
+_SLOW_IDS = frozenset(
+    line.strip() for line in _slow_manifest.read_text().splitlines()
+    if line.strip() and not line.startswith("#"))
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("tests/", "", 1)
+        if nodeid in _SLOW_IDS or nodeid.split("[")[0] in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)

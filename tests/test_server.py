@@ -162,6 +162,40 @@ def test_continuous_scheduler_routes_over_budget_request(continuous_server):
     wav, _ = wav_bytes_to_array(r.read())
     assert len(wav) > 0 and np.isfinite(wav).all()
     assert metrics.snapshot().get("server_routed_overflow", 0) == before + 1
+    # the fallback worker reports on its OWN gauge so it never clobbers the
+    # pool's server_queue_depth on the shared registry
+    assert "server_overflow_queue_depth" in metrics.snapshot()
+    assert continuous_server.worker._overflow.queue_gauge == \
+        "server_overflow_queue_depth"
+
+
+def test_overflow_busy_rejection_not_counted_as_routed(continuous_server):
+    """server_routed_overflow counts only requests actually admitted to the
+    fallback — a ServerBusy rejection must not inflate the sizing metric."""
+    from moss_ttsd_tpu.serve.server import ServerBusy, _Request
+    from moss_ttsd_tpu.utils.profiling import metrics
+    worker = continuous_server.worker
+    saved = worker._overflow
+
+    class _Busy:
+        queue_gauge = "server_overflow_queue_depth"
+
+        def submit(self, req):
+            raise ServerBusy("queue full (0 waiting)")
+
+        def shutdown(self):
+            pass
+
+    worker._overflow = _Busy()
+    try:
+        before = metrics.snapshot().get("server_routed_overflow", 0)
+        req = _Request({"text": "[S1]hi[S2]ok"}, max_new_tokens=999,
+                       seed=0, use_normalize=False)
+        with pytest.raises(ServerBusy):
+            worker._route_overflow(req)
+        assert metrics.snapshot().get("server_routed_overflow", 0) == before
+    finally:
+        worker._overflow = saved
 
 
 def test_continuous_stream_over_budget_is_400(continuous_server):

@@ -333,11 +333,51 @@ def test_grad_accum_lora_matches_big_batch():
 
 def test_lr_scheduler_types():
     """make_optimizer supports the HF lr_scheduler_type surface the
-    reference config names (training_config.yaml:11)."""
-    for kind in ("cosine", "linear", "constant"):
+    reference config names (training_config.yaml:11) with HF semantics:
+    'constant' is flat from step 0 (no warmup); 'constant_with_warmup'
+    ramps then holds."""
+    from moss_ttsd_tpu.train.step import make_lr_schedule
+
+    for kind in ("cosine", "linear", "constant", "constant_with_warmup"):
         make_optimizer(lr_scheduler_type=kind, total_steps=10)
     with pytest.raises(ValueError):
         make_optimizer(lr_scheduler_type="polynomial", total_steps=10)
+
+    lr, total = 1e-3, 100
+    const = make_lr_schedule(lr, 0.1, total, "constant")
+    assert float(const(0)) == pytest.approx(lr)         # NO warmup ramp
+    assert float(const(total - 1)) == pytest.approx(lr)
+    cww = make_lr_schedule(lr, 0.1, total, "constant_with_warmup")
+    assert float(cww(0)) < lr / 2                       # ramping
+    assert float(cww(50)) == pytest.approx(lr)          # held after warmup
+    assert float(cww(total - 1)) == pytest.approx(lr)
+    cos = make_lr_schedule(lr, 0.1, total, "cosine")
+    assert float(cos(0)) < lr / 2
+    assert float(cos(10)) == pytest.approx(lr, rel=1e-3)  # warmup peak
+    assert float(cos(total)) < lr / 10                  # decayed
+
+
+def test_prefetcher_close_unblocks_worker(tmp_path):
+    """close() stops a worker blocked on the bounded queue when the consumer
+    abandons iteration (e.g. step_fn raised) — without it the thread pins
+    depth+1 assembled batches for the process lifetime."""
+    import threading
+    import time as _time
+    from moss_ttsd_tpu.train.data import Prefetcher
+
+    produced = []
+    pf = Prefetcher(lambda s: produced.append(s) or s, range(100), depth=1)
+    it = iter(pf)
+    next(it)                        # consume one, worker refills + blocks
+    _time.sleep(0.3)
+    pf.close()
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
+    n_after_close = len(produced)
+    _time.sleep(0.3)
+    assert len(produced) == n_after_close   # worker really stopped
+    assert n_after_close < 100
+    pf.close()                      # idempotent
 
 
 def test_save_train_state_rotation(tmp_path):
