@@ -91,10 +91,27 @@ def main(argv=None):
         print("no training data found", file=sys.stderr)
         return 1
 
+    # pipeline_stages > 1 selects the GPipe pipeline-parallel step
+    # (parallel/pipeline.py): layer weights shard over a "pipe" mesh axis
+    # and the gradient-accumulation micro axis doubles as the pipeline's
+    # microbatch stream (same shared-denominator exactness either way)
+    pp_stages = int(tc.get("pipeline_stages", 0) or 0)
+    if pp_stages > 1:
+        if args.lora:
+            print("pipeline_stages is for full finetuning; the layerwise "
+                  "LoRA step shards DP/TP instead", file=sys.stderr)
+            return 1
+        if jax.device_count() % pp_stages:
+            print(f"pipeline_stages={pp_stages} must divide the "
+                  f"{jax.device_count()} devices", file=sys.stderr)
+            return 1
+    data_devices = (jax.device_count() // pp_stages if pp_stages > 1
+                    else jax.device_count())
+
     # effective batch = per-device x devices x accumulation (reference
     # training_config.yaml:1-2 via HF Trainer); one "step" below is one
     # OPTIMIZER step over grad_accum micro batches
-    micro_bs = int(tc.get("per_device_train_batch_size", 1)) * jax.device_count()
+    micro_bs = int(tc.get("per_device_train_batch_size", 1)) * data_devices
     grad_accum = max(1, int(tc.get("gradient_accumulation_steps", 1)))
     batch_size = micro_bs * grad_accum
     epochs = int(tc.get("num_train_epochs", 1))
@@ -121,7 +138,23 @@ def main(argv=None):
     data_sh = NamedSharding(mesh, P("data") if grad_accum == 1
                             else P(None, "data"))
 
-    if args.lora:
+    if pp_stages > 1:
+        from ..parallel.pipeline import (make_pp_mesh, make_pp_train_step,
+                                         pp_batch_specs, pp_param_specs)
+        from ..train.step import train_state_specs
+        pp_mesh = make_pp_mesh(pipe=pp_stages, data=data_devices)
+        state = init_train_state(cfg, optimizer, params=params)
+        wrap = lambda specs: jax.tree.map(
+            lambda sp: NamedSharding(pp_mesh, sp), specs,
+            is_leaf=lambda x: isinstance(x, P))
+        state_sh = wrap(train_state_specs(
+            optimizer, state, pp_param_specs(state.params, pp_stages)))
+        state = jax.tree.map(jax.device_put, state, state_sh)
+        step_fn = jax.jit(
+            make_pp_train_step(cfg, optimizer, pp_mesh, remat=remat),
+            in_shardings=(state_sh, wrap(pp_batch_specs())),
+            out_shardings=(state_sh, None))
+    elif args.lora:
         # layerwise adapters (models/lm.py LoRADense): backward cotangents
         # stay rank-sized, vs the merge-based step's full-tree cotangent
         # (~2x params in fp32 — an OOM at the 1.7B geometry on one chip)
@@ -183,9 +216,10 @@ def main(argv=None):
                         pad_token=cfg.speech_pad_token,
                         max_length=int(tc.get("max_length", 16000)),
                         pad_to_multiple=64)
-        if grad_accum > 1:
+        if grad_accum > 1 or pp_stages > 1:
             # (K*B, T, ...) -> (K, B, T, ...) micro axis for the scanned
-            # accumulation step; joint collate keeps one padded length
+            # accumulation step OR the pipeline's microbatch stream; joint
+            # collate keeps one padded length
             batch = {k: v.reshape((grad_accum, micro_bs) + v.shape[1:])
                      for k, v in batch.items()}
         return batch

@@ -117,3 +117,32 @@ def test_lora_artifact_serves_as_voice(tiny_data, tmp_path):
     cb.run(steps=12)
     res = cb.collect(slot)
     assert res.steps >= 1
+
+
+def test_pp_train_matches_dp(tiny_data, tmp_path):
+    """pipeline_stages: 2 in the training config runs the GPipe step
+    (parallel/pipeline.py) and, at matched effective batch, trains to the
+    same weights as the plain DP+accumulation run."""
+    import yaml
+
+    def run(out, extra_cfg):
+        cfg = {"gradient_accumulation_steps": 2, "logging_steps": 1,
+               "lr_scheduler_type": "constant", "report_to": "none"}
+        cfg.update(extra_cfg)
+        cfg_path = str(tmp_path / f"{os.path.basename(out)}.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        rc = finetune_main(["--data_dir", tiny_data, "--output_dir", out,
+                            "--tiny", "--max_steps", "3",
+                            "--training_config", cfg_path])
+        assert rc == 0
+        return np.load(os.path.join(out, "model.npz"))
+
+    # DP: 8 data devices x per_device 1 x accum 2 = 16 rows/step
+    # PP: pipe 2 x 4 data devices x per_device 2 x accum(=microbatch) 2 = 16
+    dp = run(str(tmp_path / "dp"), {"per_device_train_batch_size": 1})
+    pp = run(str(tmp_path / "pp"), {"per_device_train_batch_size": 2,
+                                    "pipeline_stages": 2})
+    assert set(dp.files) == set(pp.files)
+    for k in dp.files:
+        np.testing.assert_allclose(pp[k], dp[k], atol=2e-6, err_msg=k)
