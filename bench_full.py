@@ -767,6 +767,63 @@ def bench_pool_breakdown(slots=8, base=512, max_steps=2048, segment=64,
     return steps_per_s, static_sps
 
 
+def bench_attention_share(decode_steps=256, prompt=64, trials=3, tiny=False):
+    """Split the decode-step backbone cost into matmuls vs attention.
+
+    The README stub-isolation breakdown attributes the serving decode step
+    to sampling / logits heads / backbone+attention but never splits the
+    backbone itself. This config runs the REAL engine (bench.py serving
+    config: B=8, w8a16, length-aware attention) twice — full body vs
+    cfg.ablate_attention (attn = q: projections + cache writes alive, all
+    scores/softmax/AV and cache reads gone) — and differences them with the
+    long-minus-short methodology so prefill and per-call dispatch cancel.
+    The remainder after subtracting attention and the known heads/sampling
+    shares is the matmul+elementwise floor to judge against the HBM roof."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+
+    B = 2 if tiny else 8
+    steps = 16 if tiny else decode_steps
+    cfg, params, sampling = make_bench_lm(tiny, steps)
+    rng = np.random.default_rng(0)
+    ids = np.full((B, prompt, cfg.channels), cfg.speech_pad_token, np.int32)
+    ids[:, :, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), (B, prompt))
+    mask = np.ones((B, prompt), np.int32)
+    n_short = max(1, steps // 8)
+
+    def decode_rate(ablate):
+        cfg_i = dataclasses.replace(cfg, ablate_attention=ablate)
+        eng = GenerationEngine(cfg_i, params, sampling, bucket=prompt,
+                               quant="int8")
+
+        def timed(n, seed):
+            t0 = time.perf_counter()
+            res = eng.generate(ids, mask, max_new_tokens=n, seed=seed)
+            jax.block_until_ready(res.tokens)
+            float(jnp.sum(res.tokens[:, -1]))       # force value readback
+            assert res.steps == n, (res.steps, n)
+            return time.perf_counter() - t0
+
+        timed(steps, seed=0)                        # compile + warm
+        timed(n_short, seed=0)
+        best_long = min(timed(steps, seed=1 + i) for i in range(trials))
+        best_short = min(timed(n_short, seed=1 + i) for i in range(trials))
+        ms = (best_long - best_short) / (steps - n_short) * 1e3
+        log(f"attnshare ablate={ablate}: {1e3 / ms:.1f} steps/s "
+            f"({ms:.3f} ms/step; long {best_long:.3f}s short {best_short:.3f}s)")
+        return ms
+
+    full_ms = decode_rate(False)
+    noattn_ms = decode_rate(True)
+    attn_ms = full_ms - noattn_ms
+    emit("decode_attention_ms_per_step", attn_ms, "ms/step",
+         full_ms=round(full_ms, 3), backbone_noattn_ms=round(noattn_ms, 3),
+         attention_share=round(attn_ms / full_ms, 3))
+
+
 def bench_multilora(slots=8, n_adapters=4, rank=16, trials=3, tiny=False):
     """Multi-LoRA pool tax: pooled decode steps/s with every row on its own
     LoRA adapter vs the plain pool. The adapter path adds per-row factor
@@ -843,7 +900,7 @@ def main(argv=None):
     ap.add_argument("--configs", default="codec,clone,ttfa,longform",
                     help="comma list of codec,clone,ttfa,longform,serving,"
                          "batchsweep,finetune,codectrain,multilora,"
-                         "poolbreakdown")
+                         "poolbreakdown,attnshare")
     ap.add_argument("--steps", type=int, default=256,
                     help="decode steps for the voice-clone config")
     ap.add_argument("--batch", type=int, default=8)
@@ -898,6 +955,9 @@ def main(argv=None):
 
     if "poolbreakdown" in configs:
         bench_pool_breakdown(slots=2 if args.tiny else 8, tiny=args.tiny)
+
+    if "attnshare" in configs:
+        bench_attention_share(decode_steps=args.steps, tiny=args.tiny)
 
 
 if __name__ == "__main__":

@@ -134,6 +134,13 @@ class LMConfig:
     # fp32 score matrices alone are ~7.5 GB at B=4, T=1024, 1.7B geometry).
     # Training-only knob; no effect on an inference forward (no grads).
     remat_layers: bool = False
+    # BENCH-ONLY (bench_full --configs attnshare): replace decode/prefill
+    # attention with a shape-preserving stub (attn = q) that keeps the
+    # q/k/v/o + MLP matmuls and the cache WRITES alive but removes
+    # scores/softmax/AV and every cache READ — differencing a full decode
+    # against this isolates attention's true per-step cost inside the
+    # backbone. Never set in production paths.
+    ablate_attention: bool = False
 
     @property
     def num_kv_groups(self) -> int:

@@ -242,7 +242,11 @@ class Qwen3Block(nn.Module):
             else:
                 cache["k"] = cache_write(cache["k"], k_hs)
                 cache["v"] = cache_write(cache["v"], v_hs)
-            if pallas_prefill and T > 1:
+            if c.ablate_attention:
+                # bench-only stub (core/config.py ablate_attention): keeps
+                # the projections + cache writes alive, drops all reads
+                attn = q
+            elif pallas_prefill and T > 1:
                 # prefill: queries only see keys < T, i.e. the current k/v
                 # (with kv8 the prefill attends over the EXACT bf16 k/v; only
                 # later decode steps read the quantized slots)

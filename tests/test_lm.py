@@ -160,3 +160,31 @@ def test_embed_sum_semantics(oracle):
     theirs = sum(embeds[i](torch.from_numpy(ids[..., i])) for i in range(cfg.channels))
     np.testing.assert_allclose(np.asarray(ours)[0, 0],
                                theirs.detach().numpy()[0, 0], atol=1e-5)
+
+
+def test_ablate_attention_stub_is_shape_preserving():
+    """The bench-only cfg.ablate_attention knob (bench_full attnshare) keeps
+    the decode step runnable: same shapes/dtypes/cache layout, different
+    values (attention really was removed)."""
+    import dataclasses
+    cfg = tiny_cfg()
+    model = AsteroidLM(cfg)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, 30, (2, 1, cfg.channels)), jnp.int32)
+    params = model.init(rng, ids)
+    cache = init_cache(cfg, 2, 16, dtype=jnp.float32)
+    pos = jnp.zeros((2, 1), jnp.int32)
+    kv = jnp.ones((2, 16), bool)
+
+    outs = {}
+    for ablate in (False, True):
+        m = AsteroidLM(dataclasses.replace(cfg, ablate_attention=ablate))
+        hidden, new_cache = m.apply(params, ids, pos, kv, cache, 0,
+                                    method=AsteroidLM.backbone)
+        assert hidden.shape == (2, 1, cfg.hidden_size)
+        assert np.isfinite(np.asarray(hidden)).all()
+        # the cache write survives the stub (only reads are removed)
+        assert not np.allclose(np.asarray(new_cache["k"][0, :, :, 0]), 0.0)
+        outs[ablate] = np.asarray(hidden)
+    assert not np.allclose(outs[False], outs[True])
