@@ -105,6 +105,10 @@ def main(argv=None):
             print(f"pipeline_stages={pp_stages} must divide the "
                   f"{jax.device_count()} devices", file=sys.stderr)
             return 1
+        if cfg.num_hidden_layers % pp_stages:
+            print(f"pipeline_stages={pp_stages} must divide the model's "
+                  f"{cfg.num_hidden_layers} layers", file=sys.stderr)
+            return 1
     data_devices = (jax.device_count() // pp_stages if pp_stages > 1
                     else jax.device_count())
 
@@ -126,17 +130,20 @@ def main(argv=None):
         grad_clip=float(tc.get("max_grad_norm", 1.0)),
         lr_scheduler_type=str(tc.get("lr_scheduler_type", "cosine")))
 
-    # data-parallel mesh over every device (the reference's torchrun DDP,
-    # finetune.py:219): params/state replicated, batch sharded over "data",
-    # gradient all-reduce inserted by GSPMD
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..parallel.mesh import make_mesh
-    mesh = make_mesh(data=jax.device_count(), model=1)
-    repl = NamedSharding(mesh, P())
-    # with accumulation the batch leaves carry a leading (K,) micro axis;
-    # rows stay sharded over "data" either way
-    data_sh = NamedSharding(mesh, P("data") if grad_accum == 1
-                            else P(None, "data"))
+
+    def dp_shardings():
+        # data-parallel mesh over every device (the reference's torchrun DDP,
+        # finetune.py:219): params/state replicated, batch sharded over
+        # "data", gradient all-reduce inserted by GSPMD. Built only on the
+        # DP branches — the PP step shards over its own (pipe, data) mesh.
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(data=jax.device_count(), model=1)
+        # with accumulation the batch leaves carry a leading (K,) micro axis;
+        # rows stay sharded over "data" either way
+        return (NamedSharding(mesh, P()),
+                NamedSharding(mesh, P("data") if grad_accum == 1
+                              else P(None, "data")))
 
     if pp_stages > 1:
         from ..parallel.pipeline import (make_pp_mesh, make_pp_train_step,
@@ -160,6 +167,7 @@ def main(argv=None):
         # (~2x params in fp32 — an OOM at the 1.7B geometry on one chip)
         from ..train.lora import (graft_lora_params,
                                   make_layerwise_lora_step, split_lora_tree)
+        repl, data_sh = dp_shardings()
         lcfg = dataclasses.replace(
             cfg, lora_rank=int(lc["r"]), lora_alpha=float(lc["lora_alpha"]),
             lora_rslora=bool(lc["use_rslora"]),
@@ -177,6 +185,7 @@ def main(argv=None):
                             out_shardings=(repl, None))
         step_fn = lambda s, b: lora_step(s, b, frozen)
     else:
+        repl, data_sh = dp_shardings()
         state = init_train_state(cfg, optimizer, params=params)
         step_fn = jax.jit(make_train_step(
             cfg, optimizer, remat=remat, grad_accum_steps=grad_accum),

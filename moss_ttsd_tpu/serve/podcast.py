@@ -58,8 +58,15 @@ def default_asset_base() -> str:
             # set, so readers only proceed once both voices are in place
             fd, tmp = tempfile.mkstemp(suffix=".wav", dir=exdir)
             os.close(fd)
-            write_wav(tmp, wav.astype(np.float32), sr)
-            os.replace(tmp, os.path.join(exdir, name))
+            try:
+                write_wav(tmp, wav.astype(np.float32), sr)
+                os.replace(tmp, os.path.join(exdir, name))
+            finally:
+                # a failed write/replace must not strand tmp files in the
+                # shared cache dir (the sentinel never lands, so every later
+                # call would re-enter and add another orphan)
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         with open(sentinel, "w") as f:
             f.write("ok\n")
     return cache

@@ -251,6 +251,7 @@ class ContinuousWorker:
         # the static engine instead of 400ing (see _route_overflow)
         self._overflow: Optional[BatchingWorker] = None
         self._overflow_lock = threading.Lock()
+        self._overflow_closed = False   # set under _overflow_lock at shutdown
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -271,12 +272,16 @@ class ContinuousWorker:
         if req.stream_q is not None:
             return False
         with self._overflow_lock:
+            if self._overflow_closed:   # racing with shutdown(): a worker
+                # created now would never be joined — shed the request instead
+                raise ServerBusy("server shutting down")
             if self._overflow is None:
                 self._overflow = BatchingWorker(
                     self.pipeline, max_batch=2, batch_window_s=0.2,
                     max_queue=max(2, self.max_queue // 4),
                     queue_gauge="server_overflow_queue_depth")
-        self._overflow.submit(req)      # ServerBusy propagates (-> 429)
+            overflow = self._overflow
+        overflow.submit(req)            # ServerBusy propagates (-> 429)
         # count only requests actually admitted to the fallback — a busy
         # rejection must not inflate the sizing metric
         metrics.add("server_routed_overflow", 1)
@@ -305,8 +310,11 @@ class ContinuousWorker:
             self._stop = True
             self._cv.notify()
         self._thread.join(timeout=5)
-        if self._overflow is not None:
-            self._overflow.shutdown()
+        with self._overflow_lock:       # close the lazy-creation window so a
+            self._overflow_closed = True  # concurrent route can't spawn a
+            overflow = self._overflow     # worker that never gets joined
+        if overflow is not None:
+            overflow.shutdown()
 
     # -- pool plumbing --------------------------------------------------
 
@@ -337,7 +345,11 @@ class ContinuousWorker:
                     if shifted.shape[0] > self.cb.L:
                         # prompt exceeds the pool's prompt bucket: route to
                         # the static fallback (same contract as the
-                        # max_new_tokens check in submit)
+                        # max_new_tokens check in submit). The fallback
+                        # re-prepares from req.item (the wav encode is
+                        # LRU-absorbed; tokenize is ms) — detecting the
+                        # overflow needs the tokenized length, so this branch
+                        # cannot decide before preparing.
                         if not self._route_overflow(req):
                             req.fail(
                                 f"bad request: stream prompt "

@@ -23,15 +23,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dp_step_matches_single_process():
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(repo, "tests", "multihost_worker.py")
+def _run_workers(repo: str, worker: str, env: dict):
     coordinator = f"127.0.0.1:{_free_port()}"
-
-    env = dict(os.environ)
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in (repo, env.get("PYTHONPATH", "")) if p)
     procs = [
         subprocess.Popen(
             [sys.executable, worker, coordinator, "2", str(pid), "4"],
@@ -39,16 +32,37 @@ def test_two_process_dp_step_matches_single_process():
             env=env, cwd=repo)
         for pid in range(2)
     ]
-    outs = []
+    outs, errs = [], []
     try:
         for p in procs:
             out, err = p.communicate(timeout=600)
-            assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
-            outs.append(json.loads(out.strip().splitlines()[-1]))
+            outs.append(out)
+            errs.append(err)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs, errs
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo, env.get("PYTHONPATH", "")) if p)
+
+    # _free_port closes the probe socket before the coordinator rebinds it
+    # (jax.distributed offers no port-0 mode), so another process can steal
+    # the port in between — retry once with a fresh port before failing
+    for attempt in range(2):
+        procs, raw_outs, errs = _run_workers(repo, worker, env)
+        if all(p.returncode == 0 for p in procs):
+            break
+        assert attempt == 0, (
+            "worker failed twice:\n" + "\n".join(e[-4000:] for e in errs))
+    outs = [json.loads(o.strip().splitlines()[-1]) for o in raw_outs]
 
     assert all(o["devices"] == 8 for o in outs)
     # both processes observe the same replicated loss

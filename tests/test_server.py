@@ -198,6 +198,24 @@ def test_overflow_busy_rejection_not_counted_as_routed(continuous_server):
         worker._overflow = saved
 
 
+def test_route_overflow_rejects_after_shutdown_flag(continuous_server):
+    """shutdown() closes the lazy-creation window under _overflow_lock; a
+    route racing with it must shed (ServerBusy) instead of spawning a
+    BatchingWorker that would never be joined."""
+    from moss_ttsd_tpu.serve.server import ServerBusy, _Request
+    worker = continuous_server.worker
+    saved_worker, saved_flag = worker._overflow, worker._overflow_closed
+    worker._overflow, worker._overflow_closed = None, True
+    try:
+        req = _Request({"text": "[S1]hi[S2]ok"}, max_new_tokens=999,
+                       seed=0, use_normalize=False)
+        with pytest.raises(ServerBusy):
+            worker._route_overflow(req)
+        assert worker._overflow is None     # no orphan worker created
+    finally:
+        worker._overflow, worker._overflow_closed = saved_worker, saved_flag
+
+
 def test_continuous_stream_over_budget_is_400(continuous_server):
     """Streams cannot ride the batched fallback: over-capacity stream
     requests get an actionable 400 instead of silently degrading."""
