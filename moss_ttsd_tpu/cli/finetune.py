@@ -109,8 +109,24 @@ def main(argv=None):
             print(f"pipeline_stages={pp_stages} must divide the model's "
                   f"{cfg.num_hidden_layers} layers", file=sys.stderr)
             return 1
+    # sequence_parallel > 1 shards the TIME axis of every batch leaf over a
+    # "seq" mesh axis (parallel/mesh.py make_mesh(seq=)): at 16k-token
+    # sequences the per-device activation footprint divides by N while the
+    # attention contraction over sharded keys rides ICI collectives. Rows
+    # still shard over "data", so effective batch math is unchanged.
+    sp = int(tc.get("sequence_parallel", 1) or 1)
+    if sp > 1:
+        if pp_stages > 1 or args.lora:
+            print("sequence_parallel composes with the full-finetune DP "
+                  "step only (not pipeline_stages or --lora)",
+                  file=sys.stderr)
+            return 1
+        if jax.device_count() % sp:
+            print(f"sequence_parallel={sp} must divide the "
+                  f"{jax.device_count()} devices", file=sys.stderr)
+            return 1
     data_devices = (jax.device_count() // pp_stages if pp_stages > 1
-                    else jax.device_count())
+                    else jax.device_count() // sp)
 
     # effective batch = per-device x devices x accumulation (reference
     # training_config.yaml:1-2 via HF Trainer); one "step" below is one
@@ -138,12 +154,14 @@ def main(argv=None):
         # "data", gradient all-reduce inserted by GSPMD. Built only on the
         # DP branches — the PP step shards over its own (pipe, data) mesh.
         from ..parallel.mesh import make_mesh
-        mesh = make_mesh(data=jax.device_count(), model=1)
+        mesh = make_mesh(data=data_devices, model=1, seq=sp)
         # with accumulation the batch leaves carry a leading (K,) micro axis;
-        # rows stay sharded over "data" either way
-        return (NamedSharding(mesh, P()),
-                NamedSharding(mesh, P("data") if grad_accum == 1
-                              else P(None, "data")))
+        # rows stay sharded over "data" either way. Under sequence
+        # parallelism the time axis additionally shards over "seq" (collate
+        # pads T to a multiple of 64, so any sp <= 64 divides it).
+        row = ("data", "seq") if sp > 1 else ("data",)
+        spec = P(*row) if grad_accum == 1 else P(None, *row)
+        return NamedSharding(mesh, P()), NamedSharding(mesh, spec), mesh
 
     if pp_stages > 1:
         from ..parallel.pipeline import (make_pp_mesh, make_pp_train_step,
@@ -167,7 +185,7 @@ def main(argv=None):
         # (~2x params in fp32 — an OOM at the 1.7B geometry on one chip)
         from ..train.lora import (graft_lora_params,
                                   make_layerwise_lora_step, split_lora_tree)
-        repl, data_sh = dp_shardings()
+        repl, data_sh, _ = dp_shardings()
         lcfg = dataclasses.replace(
             cfg, lora_rank=int(lc["r"]), lora_alpha=float(lc["lora_alpha"]),
             lora_rslora=bool(lc["use_rslora"]),
@@ -185,10 +203,13 @@ def main(argv=None):
                             out_shardings=(repl, None))
         step_fn = lambda s, b: lora_step(s, b, frozen)
     else:
-        repl, data_sh = dp_shardings()
+        repl, data_sh, mesh = dp_shardings()
+        hidden_sh = (NamedSharding(mesh, P("data", "seq")) if sp > 1
+                     else None)
         state = init_train_state(cfg, optimizer, params=params)
         step_fn = jax.jit(make_train_step(
-            cfg, optimizer, remat=remat, grad_accum_steps=grad_accum),
+            cfg, optimizer, remat=remat, grad_accum_steps=grad_accum,
+            hidden_sharding=hidden_sh),
                           in_shardings=(repl, data_sh),
                           out_shardings=(repl, None))
 

@@ -470,6 +470,8 @@ class ContinuousBatcher:
 
     def _resolve_steps(self, shifted_prompt: np.ndarray,
                        max_new_tokens: Optional[int]) -> int:
+        if max_new_tokens is not None and max_new_tokens < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new_tokens}")
         if max_new_tokens is None and self.sampling.max_length is not None:
             # HF max_length total cap, counted like the static engine
             # (decode/engine.py _step_budget: the reference loop starts from
@@ -489,8 +491,9 @@ class ContinuousBatcher:
                 f"per-slot capacity ({self.max_steps}); raise max_steps= "
                 f"or route the request to the static engine (window "
                 f"scheduler)")
-        return min(max_new_tokens or self.sampling.max_new_tokens,
-                   self.max_steps)
+        if max_new_tokens is None:
+            max_new_tokens = self.sampling.max_new_tokens
+        return min(max_new_tokens, self.max_steps)
 
     def submit(self, shifted_prompt: np.ndarray,
                max_new_tokens: Optional[int] = None,

@@ -360,6 +360,16 @@ class GenerationEngine:
         # 256-step serving config: 229 steps/s with a 256-slot bucket vs
         # 186 with a 512-slot one (bf16 KV, w8a16). Larger buckets only pay
         # off for workloads whose max_tokens genuinely varies per request.
+        if step_bucket < cfg.channels - 1:
+            # prefill writes the (B, base + C-1, C) teacher-forcing tail into
+            # a buffer of capacity base + buf_steps, and buf_steps is always
+            # >= step_bucket — reject here rather than let the slice-shape
+            # mismatch surface as an opaque trace-time broadcast error.
+            raise ValueError(
+                f"step_bucket={step_bucket} must be >= channels-1 "
+                f"({cfg.channels - 1}) to hold the teacher-forcing tail")
+        if max_cached_programs < 1:
+            raise ValueError("max_cached_programs must be >= 1")
         self.step_bucket = step_bucket
         self.max_cached_programs = max_cached_programs
         self.cache_dtype = cache_dtype
@@ -444,7 +454,10 @@ class GenerationEngine:
         Buffer capacity is bucketed upward so the number of distinct compiled
         programs stays bounded.
         """
-        steps = max_new_tokens or self.sampling.max_new_tokens
+        if max_new_tokens is not None and max_new_tokens < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new_tokens}")
+        steps = (self.sampling.max_new_tokens if max_new_tokens is None
+                 else max_new_tokens)
         if self.sampling.max_length is not None and max_new_tokens is None:
             counted = prompt_len - (self.cfg.channels - 1)
             steps = min(steps, max(1, self.sampling.max_length - counted))

@@ -18,6 +18,7 @@ paths make them testable on CPU.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,59 @@ def flash_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return flash_decode_hs(q, kt, vt, key_valid, scale, block_k, interpret)
 
 
+def _decode_specs(q, key_valid, Hkv, S, bk, extent, layer):
+    """Shared plumbing for the single-query decode wrappers (bf16 + int8).
+
+    Normalizes the scalar-prefetch operands (per-row extent vector, layer
+    index) and builds the extent-clamped index maps and block specs — the
+    clamp logic (`last = max((ext-1)//bk, 0); blk = min(s, last)`) must stay
+    identical between the two serving paths, so it lives here once. See
+    flash_decode_hs for the extent/layer contract. Returns
+    (qg, validi, ext, lay, q_spec, kv_spec, sc_spec, valid_spec, scratch).
+    """
+    B, _, H, D = q.shape
+    G = H // Hkv
+    layered = layer is not None
+    qg = q[:, 0].reshape(B, Hkv, G, D)                 # (B, Hkv, G, D)
+    # (B, 1, S): TPU block shapes need the 2nd-to-last dim to equal the array's
+    validi = key_valid.astype(jnp.int32)[:, None, :]
+    ext = jnp.full((B,), S, jnp.int32) if extent is None else \
+        jnp.broadcast_to(jnp.asarray(extent, jnp.int32).reshape(-1), (B,))
+    lay = jnp.asarray(0 if layer is None else layer, jnp.int32).reshape(1)
+
+    def _blk(b, s, ext_ref):
+        # out-of-extent key blocks repeat the last in-extent block index:
+        # Mosaic skips the DMA when an operand's block index is unchanged
+        # from the previous grid step, and the kernel skips their compute
+        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
+        return jnp.minimum(s, last)
+
+    def q_map(b, s, ext_ref, lay_ref):
+        return (b, 0, 0, 0)
+
+    def kv_map(b, s, ext_ref, lay_ref):
+        blk = _blk(b, s, ext_ref)
+        return (lay_ref[0], b, 0, blk, 0) if layered else (b, 0, blk, 0)
+
+    def sc_map(b, s, ext_ref, lay_ref):
+        blk = _blk(b, s, ext_ref)
+        return (lay_ref[0], b, 0, blk) if layered else (b, 0, blk)
+
+    def valid_map(b, s, ext_ref, lay_ref):
+        return (b, 0, _blk(b, s, ext_ref))
+
+    kv_block = (1, 1, Hkv, bk, D) if layered else (1, Hkv, bk, D)
+    sc_block = (1, 1, Hkv, bk) if layered else (1, Hkv, bk)
+    scratch = [pltpu.VMEM((Hkv, G, 1), jnp.float32),
+               pltpu.VMEM((Hkv, G, 1), jnp.float32),
+               pltpu.VMEM((Hkv, G, D), jnp.float32)]
+    return (qg, validi, ext, lay,
+            pl.BlockSpec((1, Hkv, G, D), q_map),
+            pl.BlockSpec(kv_block, kv_map),
+            pl.BlockSpec(sc_block, sc_map),
+            pl.BlockSpec((1, 1, bk), valid_map), scratch)
+
+
 def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
                     key_valid: jnp.ndarray, scale: float,
                     block_k: int = 512, interpret: bool = False,
@@ -138,50 +192,22 @@ def flash_decode_hs(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
 
     Returns (B, 1, H, D)."""
     B, _, H, D = q.shape
-    layered = layer is not None
     Hkv, S = kt.shape[-3], kt.shape[-2]
     G = H // Hkv
     bk = min(block_k, S)
     n_s = -(-S // bk)                                   # ceil; ragged tail masked
 
-    qg = q[:, 0].reshape(B, Hkv, G, D)                 # (B, Hkv, G, D)
-    # (B, 1, S): TPU block shapes need the 2nd-to-last dim to equal the array's
-    validi = key_valid.astype(jnp.int32)[:, None, :]
-    ext = jnp.full((B,), S, jnp.int32) if extent is None else \
-        jnp.broadcast_to(jnp.asarray(extent, jnp.int32).reshape(-1), (B,))
-    lay = jnp.asarray(0 if layer is None else layer, jnp.int32).reshape(1)
-
-    def q_map(b, s, ext_ref, lay_ref):
-        return (b, 0, 0, 0)
-
-    def kv_map(b, s, ext_ref, lay_ref):
-        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
-        blk = jnp.minimum(s, last)
-        return (lay_ref[0], b, 0, blk, 0) if layered else (b, 0, blk, 0)
-
-    def valid_map(b, s, ext_ref, lay_ref):
-        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
-        return (b, 0, jnp.minimum(s, last))
-
-    kv_block = (1, 1, Hkv, bk, D) if layered else (1, Hkv, bk, D)
-    grid = (B, n_s)
+    (qg, validi, ext, lay, q_spec, kv_spec, _,
+     valid_spec, scratch) = _decode_specs(q, key_valid, Hkv, S, bk,
+                                          extent, layer)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, seq_len=S, block_k=bk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, Hkv, G, D), q_map),
-                pl.BlockSpec(kv_block, kv_map),
-                pl.BlockSpec(kv_block, kv_map),
-                pl.BlockSpec((1, 1, bk), valid_map),
-            ],
-            out_specs=pl.BlockSpec((1, Hkv, G, D), q_map),
-            scratch_shapes=[
-                pltpu.VMEM((Hkv, G, 1), jnp.float32),
-                pltpu.VMEM((Hkv, G, 1), jnp.float32),
-                pltpu.VMEM((Hkv, G, D), jnp.float32),
-            ],
+            grid=(B, n_s),
+            in_specs=[q_spec, kv_spec, kv_spec, valid_spec],
+            out_specs=q_spec,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
@@ -274,58 +300,23 @@ def flash_decode_int8_hs(q: jnp.ndarray, kq: jnp.ndarray, ks: jnp.ndarray,
     (tests/test_pallas_attention.py).
     """
     B, _, H, D = q.shape
-    layered = layer is not None
     Hkv, S = kq.shape[-3], kq.shape[-2]
     G = H // Hkv
     bk = min(block_k, S)
     n_s = -(-S // bk)
 
-    qg = q[:, 0].reshape(B, Hkv, G, D)
-    validi = key_valid.astype(jnp.int32)[:, None, :]   # (B, 1, S)
-    ext = jnp.full((B,), S, jnp.int32) if extent is None else \
-        jnp.broadcast_to(jnp.asarray(extent, jnp.int32).reshape(-1), (B,))
-    lay = jnp.asarray(0 if layer is None else layer, jnp.int32).reshape(1)
-
-    def q_map(b, s, ext_ref, lay_ref):
-        return (b, 0, 0, 0)
-
-    def kv_map(b, s, ext_ref, lay_ref):
-        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
-        blk = jnp.minimum(s, last)
-        return (lay_ref[0], b, 0, blk, 0) if layered else (b, 0, blk, 0)
-
-    def sc_map(b, s, ext_ref, lay_ref):
-        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
-        blk = jnp.minimum(s, last)
-        return (lay_ref[0], b, 0, blk) if layered else (b, 0, blk)
-
-    def valid_map(b, s, ext_ref, lay_ref):
-        last = jnp.maximum((ext_ref[b] - 1) // bk, 0)
-        return (b, 0, jnp.minimum(s, last))
-
-    kv_block = (1, 1, Hkv, bk, D) if layered else (1, Hkv, bk, D)
-    sc_block = (1, 1, Hkv, bk) if layered else (1, Hkv, bk)
-    grid = (B, n_s)
+    (qg, validi, ext, lay, q_spec, kv_spec, sc_spec,
+     valid_spec, scratch) = _decode_specs(q, key_valid, Hkv, S, bk,
+                                          extent, layer)
     out = pl.pallas_call(
         functools.partial(_decode_int8_kernel, scale=scale, seq_len=S,
                           block_k=bk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, Hkv, G, D), q_map),
-                pl.BlockSpec(kv_block, kv_map),
-                pl.BlockSpec(sc_block, sc_map),
-                pl.BlockSpec(kv_block, kv_map),
-                pl.BlockSpec(sc_block, sc_map),
-                pl.BlockSpec((1, 1, bk), valid_map),
-            ],
-            out_specs=pl.BlockSpec((1, Hkv, G, D), q_map),
-            scratch_shapes=[
-                pltpu.VMEM((Hkv, G, 1), jnp.float32),
-                pltpu.VMEM((Hkv, G, 1), jnp.float32),
-                pltpu.VMEM((Hkv, G, D), jnp.float32),
-            ],
+            grid=(B, n_s),
+            in_specs=[q_spec, kv_spec, sc_spec, kv_spec, sc_spec, valid_spec],
+            out_specs=q_spec,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
@@ -408,7 +399,10 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bq = min(block_q, T)
     bk = min(block_k, T)
     if T % bq or T % bk:
-        pad_to = max(bq, bk)
+        # pad to a length both block sizes divide (lcm, not max — padding to
+        # max(bq, bk) alone never terminates when the smaller block does not
+        # divide it, e.g. bq=192, bk=256)
+        pad_to = math.lcm(bq, bk)
         Tp = -(-T // pad_to) * pad_to
         q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))

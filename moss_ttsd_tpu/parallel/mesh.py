@@ -20,13 +20,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
-              devices=None) -> Mesh:
-    """Create a ("data", "model") mesh over the available devices."""
+              devices=None, seq: int = 1) -> Mesh:
+    """Create a ("data", "model") mesh over the available devices.
+
+    With ``seq`` > 1 the mesh gains a middle "seq" axis — ("data", "seq",
+    "model") — for sequence-parallel training: batch leaves shard their
+    time axis over "seq" (P("data", "seq")) and GSPMD turns the attention
+    contraction over the sharded keys into ICI collectives. Specs that only
+    name "data"/"model" keep working unchanged on the 3-axis mesh."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"{data}x{model} != {n} devices"
+        data = n // (model * seq)
+    assert data * model * seq == n, f"{data}x{seq}x{model} != {n} devices"
+    if seq > 1:
+        arr = np.asarray(devices).reshape(data, seq, model)
+        return Mesh(arr, ("data", "seq", "model"))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

@@ -95,7 +95,8 @@ def accum_value_and_grad(loss_fn, params, batch, *extra):
 def make_train_step(cfg: LMConfig, optimizer,
                     loss_weights: Sequence[float] = DEFAULT_LOSS_WEIGHTS,
                     remat: bool = True, ce_chunks: int = 8,
-                    grad_accum_steps: int = 1):
+                    grad_accum_steps: int = 1,
+                    hidden_sharding=None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: {"input_ids": (B, T, C), "labels": (B, T, C), "attention_mask": (B, T)}.
@@ -104,6 +105,13 @@ def make_train_step(cfg: LMConfig, optimizer,
     update — the only way to reach the reference's effective batch sizes at
     16k-token sequences on one chip (reference finetune.py:222-230 via HF
     Trainer's gradient_accumulation_steps).
+
+    ``hidden_sharding`` (optional NamedSharding for the (B, T, D) backbone
+    output, e.g. P("data", "seq")): pins the activation layout for
+    sequence-parallel training so GSPMD keeps the time axis sharded through
+    the backbone instead of gathering it at the embedding — the constraint
+    propagates backward into the layer scan, and the attention contraction
+    over sharded keys lowers to ICI collectives.
     """
     if remat:
         # per-layer remat (models/lm.py nn.remat'd scan block): backward
@@ -119,6 +127,8 @@ def make_train_step(cfg: LMConfig, optimizer,
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
         hidden, _ = model.apply(params, ids, positions, mask.astype(bool),
                                 None, 0, method=AsteroidLM.backbone)
+        if hidden_sharding is not None:
+            hidden = jax.lax.with_sharding_constraint(hidden, hidden_sharding)
         embed_text = params["params"]["embed_text"]
         embed_speech = params["params"]["embed_speech"]
         total, per_channel = asteroid_loss(

@@ -12,6 +12,23 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import resource  # noqa: E402
+
+# XLA:CPU compiles recurse deeply (LLVM) on the big scanned codec/LM programs;
+# with the image's 8 MB default stack, full-suite runs have segfaulted inside
+# backend_compile_and_load once hundreds of programs were live (worker-thread
+# compiles in the server tests). Raise the soft limit before JAX starts so the
+# main thread can grow and pthread stacks inherit the larger size.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY and (_soft < 64 << 20):
+    try:
+        resource.setrlimit(
+            resource.RLIMIT_STACK,
+            (64 << 20 if _hard == resource.RLIM_INFINITY
+             else min(64 << 20, _hard), _hard))
+    except (ValueError, OSError):
+        pass
+
 import jax  # noqa: E402  (config override must land before first backend use)
 jax.config.update("jax_platforms", "cpu")
 
@@ -40,3 +57,17 @@ def pytest_collection_modifyitems(config, items):
         nodeid = item.nodeid.replace("tests/", "", 1)
         if nodeid in _SLOW_IDS or nodeid.split("[")[0] in _SLOW_IDS:
             item.add_marker(pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite compiles hundreds of distinct programs; keeping them all live
+    in one process is what pushed the full run into the XLA-compile segfault
+    (test modules pass standalone). Cross-module jit reuse is near zero —
+    each module builds its own tiny models — so this costs little and bounds
+    in-process compiler state.
+    """
+    yield
+    jax.clear_caches()

@@ -138,6 +138,19 @@ def test_explicit_budget_over_capacity_rejected(setup):
     assert cb.submit(p) is not None           # default budget clamps fine
 
 
+def test_zero_budget_rejected(setup):
+    """An explicit max_new_tokens=0 raises instead of silently falling back
+    to the config default (the old `x or default` pattern treated 0 as
+    unset and decoded a full default budget for a zero-token request)."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(3)
+    cb = make_batcher(cfg, params, slots=1, max_steps=16)
+    p = make_prompt(cfg, rng, 5, 3)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        cb.submit(p, max_new_tokens=0)
+    assert cb.free_slots == 1
+
+
 def test_sampled_mode_runs(setup):
     """Sampled (non-greedy) pool smoke: rows produce speech-range tokens."""
     from moss_ttsd_tpu.core.config import ChannelSamplingConfig, SamplingConfig

@@ -174,6 +174,28 @@ def test_compile_cache_bounded_mixed_workload(setup):
     assert len(engine._compiled) <= 4
 
 
+def test_engine_rejects_bad_budgets_and_config(setup):
+    """Constructor and generate() reject configurations that previously
+    failed deep inside jit (or silently substituted a default): a
+    step_bucket too small for the teacher-forcing tail, a zero compile
+    cache, and an explicit max_new_tokens=0 (the old `x or default`
+    pattern decoded a full default budget for it)."""
+    cfg, model, params = setup
+    with pytest.raises(ValueError, match="step_bucket"):
+        GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                         bucket=32, step_bucket=cfg.channels - 2)
+    with pytest.raises(ValueError, match="max_cached_programs"):
+        GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                         bucket=32, max_cached_programs=0)
+    eng = GenerationEngine(cfg, params, greedy_sampling(cfg.channels),
+                           bucket=32, cache_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    p = make_prompt(cfg, rng, 6, 4)
+    batch, mask = left_pad_batch([p], cfg.pad_token_id, cfg.speech_pad_token)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        eng.generate(batch, mask, max_new_tokens=0)
+
+
 def test_max_length_total_cap(setup):
     """SamplingConfig.max_length is a TOTAL length cap with the reference's
     counting: the loop starts from the shifted prompt MINUS its channels-1

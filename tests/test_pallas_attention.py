@@ -74,6 +74,23 @@ def test_flash_prefill_ragged_length():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_flash_prefill_ragged_unequal_blocks():
+    """Mismatched block_q/block_k with ragged T: the pad path must pad to a
+    length BOTH block sizes divide (lcm) — padding to max(bq, bk) alone
+    re-entered the pad branch forever when the smaller block did not divide
+    it (regression: bq=24, bk=32, T=50 -> lcm pad to 96)."""
+    rng = np.random.default_rng(7)
+    B, T, H, Hkv, D = 1, 50, 4, 2, 8
+    q, k, v = make_qkv(rng, B, T, T, H, Hkv, D)
+    valid = np.ones((B, T), bool)
+    scale = D ** -0.5
+    mask = causal_mask(0, T, T, jnp.asarray(valid))
+    ref = gqa_attention(q, k, v, mask, scale)
+    out = flash_prefill(q, k, v, jnp.asarray(valid), scale,
+                        block_q=24, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_engine_pallas_matches_xla_greedy():
     """Full decode engine with pallas kernels (interpret) == XLA engine."""
     import dataclasses

@@ -140,6 +140,47 @@ def test_train_step_dp_sharding_equivalence():
                                rtol=1e-5)
 
 
+def test_train_step_sp_sharding_equivalence():
+    """Sequence-parallel step (time axis sharded over "seq", hidden pinned
+    to P("data", "seq")) == single-device step: loss AND the updated params
+    agree, so the GSPMD collectives inserted for the attention contraction
+    over sharded keys are numerically faithful."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from moss_ttsd_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg()
+    opt = make_optimizer(learning_rate=1e-3, total_steps=10,
+                         warmup_ratio=0.0, lr_scheduler_type="constant")
+    state = init_train_state(cfg, opt, jax.random.PRNGKey(2))
+
+    rng = np.random.default_rng(5)
+    B, T = 4, 16
+    ids = rng.integers(0, 30, (B, T, cfg.channels)).astype(np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (B, T))
+    batch = {"input_ids": jnp.asarray(ids),
+             "labels": jnp.asarray(rng.integers(0, 30, (B, T, cfg.channels),
+                                                dtype=np.int32)),
+             "attention_mask": jnp.ones((B, T), jnp.int32)}
+
+    step = make_train_step(cfg, opt, remat=False, ce_chunks=2)
+    s_single, m_single = jax.jit(step)(state, batch)
+
+    mesh = make_mesh(data=2, model=1, seq=2, devices=jax.devices()[:4])
+    assert mesh.axis_names == ("data", "seq", "model")
+    sp_step = make_train_step(
+        cfg, opt, remat=False, ce_chunks=2,
+        hidden_sharding=NamedSharding(mesh, P("data", "seq")))
+    shard = lambda x: jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+    s_sp, m_sp = jax.jit(sp_step)(state, jax.tree.map(shard, batch))
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_single["loss"]),
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        s_sp.params, s_single.params)
+
+
 def test_opt_state_sharded_like_params():
     """Adam moment shardings == param shardings on a (2,4) TP mesh (no
     replicated fp32 moments on the model axis — ZeRO-style)."""
