@@ -119,6 +119,35 @@ def test_lora_artifact_serves_as_voice(tiny_data, tmp_path):
     assert res.steps >= 1
 
 
+def test_sp_train_matches_dp(tiny_data, tmp_path):
+    """sequence_parallel: 2 in the training config shards the batch time
+    axis over a "seq" mesh axis (cli/finetune.py dp_shardings) and, at
+    matched effective batch, trains to the same weights as plain DP."""
+    import yaml
+
+    def run(out, extra_cfg):
+        cfg = {"logging_steps": 1, "lr_scheduler_type": "constant",
+               "report_to": "none"}
+        cfg.update(extra_cfg)
+        cfg_path = str(tmp_path / f"{os.path.basename(out)}.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        rc = finetune_main(["--data_dir", tiny_data, "--output_dir", out,
+                            "--tiny", "--max_steps", "3",
+                            "--training_config", cfg_path])
+        assert rc == 0
+        return np.load(os.path.join(out, "model.npz"))
+
+    # DP: 8 data devices x per_device 1 = 8 rows/step
+    # SP: (data 4, seq 2) mesh x per_device 2 = 8 rows/step, T sharded 2-way
+    dp = run(str(tmp_path / "dp"), {"per_device_train_batch_size": 1})
+    sp = run(str(tmp_path / "sp"), {"per_device_train_batch_size": 2,
+                                    "sequence_parallel": 2})
+    assert set(dp.files) == set(sp.files)
+    for k in dp.files:
+        np.testing.assert_allclose(sp[k], dp[k], atol=2e-6, err_msg=k)
+
+
 def test_pp_train_matches_dp(tiny_data, tmp_path):
     """pipeline_stages: 2 in the training config runs the GPipe step
     (parallel/pipeline.py) and, at matched effective batch, trains to the
