@@ -244,7 +244,10 @@ class XYTokenizer:
             params = convert_codec_checkpoint(cfg, ckpt_path)
         else:
             from ...core.checkpoint import load_pytree
-            params = load_pytree(ckpt_path)
+            from ...utils.convert_codec import restack_legacy_pytree
+            # pre-scan native checkpoints hold per-layer layer_i/block_i
+            # subtrees; stack them into the scanned (L, ...) layout
+            params = restack_legacy_pytree(load_pytree(ckpt_path))
         return cls(cfg, params, dtype=dtype)
 
     # -- reference-parity API ---------------------------------------------

@@ -121,6 +121,12 @@ class BatchingWorker:
 
     def submit(self, req: _Request) -> None:
         with self._cv:
+            if self._stop:
+                # closes the other half of the overflow-router shutdown race:
+                # a request admitted between _route_overflow reading the live
+                # worker and shutdown() joining its loop would otherwise sit
+                # in a dead queue until the HTTP request timeout
+                raise ServerBusy("server shutting down")
             if len(self._queue) >= self.max_queue:
                 metrics.add("server_rejected_busy", 1)
                 raise ServerBusy(f"queue full ({self.max_queue} waiting)")

@@ -110,6 +110,31 @@ def _stack_trees(per_layer):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_layer)
 
 
+def restack_legacy_pytree(tree):
+    """Upgrade a pre-scan native codec pytree to the scanned layout.
+
+    Checkpoints saved before the transformer/ConvNeXt stacks ran under
+    ``nn.scan`` hold per-layer subtrees (``layer_0..layer_{N-1}``,
+    ``block_0..block_{N-1}``); the scanned modules expect ONE stacked
+    (L, ...) tree under ``layers/layer`` / ``blocks/block``
+    (models/codec/transformer.py transformer_stack, vocos.py VocosBackbone).
+    Detects the legacy keys anywhere in the tree and stacks them in place —
+    without this, an old checkpoint loads cleanly and then fails deep inside
+    flax with a missing-param error on first use. New-format trees pass
+    through untouched (detection requires a contiguous indexed run)."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {k: restack_legacy_pytree(v) for k, v in tree.items()}
+    for prefix, group, inner in (("layer_", "layers", "layer"),
+                                 ("block_", "blocks", "block")):
+        idx = sorted(int(k[len(prefix):]) for k in out
+                     if k.startswith(prefix) and k[len(prefix):].isdigit())
+        if idx and idx == list(range(len(idx))) and group not in out:
+            per = [out.pop(f"{prefix}{i}") for i in idx]
+            out[group] = {inner: _stack_trees(per)}
+    return out
+
+
 def _transformer_layers(sd: _SD, prefix: str, num_layers: int):
     """Reference per-layer `layers.{i}.*` weights -> scanned `layers/layer/...`
     stacked tree (models/codec/transformer.py transformer_stack)."""

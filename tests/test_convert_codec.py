@@ -183,3 +183,52 @@ def test_depthwise_conv_convention():
                          "bias": jnp.asarray(tc.bias.detach().numpy())}}
     ours = conv.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)))
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5)
+
+
+def test_restack_legacy_pytree_roundtrip():
+    """A pre-scan native checkpoint (per-layer layer_i/block_i subtrees)
+    upgrades to the scanned layout: unstacking a fresh init back to the
+    legacy layout and restacking restores the exact tree, and the model
+    runs on the upgraded params (load_from_checkpoint applies this on its
+    native-pytree branch)."""
+    from moss_ttsd_tpu.core.config import CodecConfig
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+    from moss_ttsd_tpu.utils.convert_codec import restack_legacy_pytree
+
+    cfg = CodecConfig().tiny()
+    tok = XYTokenizer.init_random(cfg, seed=0)
+
+    def unstack(tree):
+        # inverse of restack: {"layers": {"layer": (L, ...)}} -> layer_i
+        if not isinstance(tree, dict):
+            return tree
+        out = {k: unstack(v) for k, v in tree.items()}
+        for group, inner, prefix in (("layers", "layer", "layer_"),
+                                     ("blocks", "block", "block_")):
+            sub = out.get(group)
+            if isinstance(sub, dict) and set(sub) == {inner}:
+                stacked = sub[inner]
+                L = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+                del out[group]
+                for i in range(L):
+                    out[f"{prefix}{i}"] = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x)[i], stacked)
+        return out
+
+    legacy = unstack(tok.params)
+    # the legacy tree really is a different layout...
+    assert "layer_0" in str(jax.tree_util.tree_structure(legacy))
+    assert "block_0" in str(jax.tree_util.tree_structure(legacy))
+    restacked = restack_legacy_pytree(legacy)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restacked, tok.params)
+
+    # ...and the upgraded tree drives the scanned modules
+    upgraded = XYTokenizer(cfg, restacked)
+    wav = np.random.default_rng(0).standard_normal(
+        cfg.input_sample_rate // 4).astype(np.float32)
+    codes = upgraded.encode([wav])["codes_list"][0]
+    ref_codes = tok.encode([wav])["codes_list"][0]
+    np.testing.assert_array_equal(codes, ref_codes)

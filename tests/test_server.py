@@ -216,6 +216,21 @@ def test_route_overflow_rejects_after_shutdown_flag(continuous_server):
         worker._overflow, worker._overflow_closed = saved_worker, saved_flag
 
 
+def test_submit_after_shutdown_sheds(server):
+    """The other half of the overflow shutdown race: a request that reached
+    a worker whose shutdown() already ran must shed with ServerBusy, not sit
+    in a dead queue until the HTTP request timeout."""
+    from moss_ttsd_tpu.serve.server import (BatchingWorker, ServerBusy,
+                                            _Request)
+    worker = BatchingWorker(pipeline=None, max_batch=2, max_queue=4)
+    worker.shutdown()
+    req = _Request({"text": "[S1]hi[S2]ok"}, max_new_tokens=4,
+                   seed=0, use_normalize=False)
+    with pytest.raises(ServerBusy, match="shutting down"):
+        worker.submit(req)
+    assert not worker._queue
+
+
 def test_continuous_stream_over_budget_is_400(continuous_server):
     """Streams cannot ride the batched fallback: over-capacity stream
     requests get an actionable 400 instead of silently degrading."""
