@@ -20,7 +20,8 @@ SPT_CONFIG_PATH = "XY_Tokenizer/config/xy_tokenizer_config.yaml"
 SPT_CHECKPOINT_PATH = "XY_Tokenizer/weights/xy_tokenizer.ckpt"
 
 
-def build_tiny_pipeline(seed: int = 0, bucket: int = 64, mesh=None):
+def build_tiny_pipeline(seed: int = 0, bucket: int = 64, mesh=None,
+                        restricted_text_head: bool = False):
     """Random tiny LM + codec + mock tokenizer wired into the real pipeline."""
     import jax
     import jax.numpy as jnp
@@ -47,7 +48,8 @@ def build_tiny_pipeline(seed: int = 0, bucket: int = 64, mesh=None):
                   for _ in range(lm_cfg.channels)],
         max_new_tokens=64)
     pipe = TTSPipeline(tokenizer, lm_cfg, params, spt, sampling, bucket=bucket,
-                       mesh=mesh)
+                       mesh=mesh,
+                       restricted_text_head=restricted_text_head or None)
     return pipe
 
 

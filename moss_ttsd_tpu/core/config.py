@@ -116,6 +116,22 @@ class LMConfig:
     # clamp the read extent more tightly. Tuned on the 2112-slot server
     # pool (see decode/continuous.py).
     decode_block_k: int = 512
+    # Restricted text head (decode-only, OPT-IN approximation): compute the
+    # channel-0 logits over just the contiguous speech-token window
+    # [speech_token_range[0], max(speech_token_range[1], eos_token_id + 1))
+    # (~1030 rows) instead of the full 152k-row tied embedding table. The
+    # decode step is weight-bandwidth-bound and the full text head streams
+    # ~311 MB of int8 table per step (~0.4 ms of the ~4.4 ms v5e serving
+    # step) solely to feed a top-k whose mass sits in the speech window.
+    # Semantics are EXACTLY "full head with every out-of-window logit at
+    # -inf" (tests/test_restricted_head.py proves bitwise token equality
+    # against that contract): sampling can no longer pick a non-speech,
+    # non-<|end_of_speech|> token, so the reference's "any non-speech token
+    # triggers the EOS flush" (modeling_asteroid.py:140-141) collapses to
+    # "the <|end_of_speech|> id triggers it" — a distribution change, hence
+    # default OFF (like approx_topk). Off the reference never emits other
+    # non-speech ids in practice; enable for serving throughput.
+    restricted_text_head: bool = False
     # layerwise LoRA adapters on the attention/MLP projections (the
     # reference's peft targets, finetune/finetune.py:153): rank 0 = off.
     # Adapters add "lora_a"/"lora_b" leaves next to each kernel; the base
@@ -145,6 +161,24 @@ class LMConfig:
     @property
     def num_kv_groups(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
+
+    def text_head_window(self) -> Tuple[int, int]:
+        """(lo, hi) channel-0 head rows computed per decode step.
+
+        The full vocab unless restricted_text_head is set, in which case the
+        contiguous window covering the speech tokens and <|end_of_speech|>
+        (the only ids the restricted head can emit)."""
+        if not self.restricted_text_head:
+            return 0, self.vocab_size
+        lo = self.speech_token_range[0]
+        hi = max(self.speech_token_range[1], self.eos_token_id + 1)
+        if not (0 <= lo <= self.eos_token_id < hi <= self.vocab_size):
+            raise ValueError(
+                f"restricted_text_head needs speech_token_range "
+                f"{self.speech_token_range} and eos_token_id "
+                f"{self.eos_token_id} to form a window inside the vocab "
+                f"({self.vocab_size})")
+        return lo, hi
 
     @classmethod
     def from_dict(cls, d: dict) -> "LMConfig":

@@ -55,7 +55,8 @@ class PoolState(NamedTuple):
     last_pos: jnp.ndarray        # (B,)
     needs: jnp.ndarray           # (B,) int32 EOS-flush countdown, -1 inactive
     unfinished: jnp.ndarray      # (B,) bool
-    presence_text: jnp.ndarray   # (B, V_text) bool
+    presence_text: jnp.ndarray   # (B, V_text) bool (restricted_text_head:
+    #                              (B, window) over cfg.text_head_window())
     presence_speech: jnp.ndarray  # (B, C-1, V_speech) bool
     rng_r: jax.Array             # (B, 2) uint32 — PER-ROW rng keys: each
                                  # slot carries the request's own PRNGKey
@@ -102,9 +103,19 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
     speech_lo, speech_hi = cfg.speech_token_range
     eos = cfg.eos_token_id
     pad_speech = cfg.speech_pad_token
+    # restricted_text_head window (see decode/engine.py _build_generate_fn)
+    t_lo, t_hi = cfg.text_head_window()
+    restricted = cfg.restricted_text_head
 
     def is_speech(tok):
         return (tok >= speech_lo) & (tok < speech_hi)
+
+    def to_window(ids):
+        # full id -> window presence index; below-window ids land out of
+        # bounds for the drop-mode scatter (see engine.to_window for why a
+        # bare subtraction would wrap)
+        idx = ids - t_lo
+        return jnp.where(idx < 0, t_hi - t_lo, idx) if t_lo else idx
 
     def body(params, state: PoolState, adapters) -> PoolState:
         srow = state.step_r                              # (B,)
@@ -117,12 +128,13 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         if "logits" in ablate:
             B = state.hidden_last.shape[0]
             dep = state.hidden_last.astype(jnp.float32).sum() * 0.0
-            text_logits = jnp.zeros((B, cfg.vocab_size), jnp.float32) + dep
+            text_logits = jnp.zeros((B, t_hi - t_lo), jnp.float32) + dep
             speech_logits = jnp.zeros(
                 (B, C - 1, cfg.speech_vocab_size), jnp.float32) + dep
         else:
             text_logits, speech_logits = model.apply(
-                params, state.hidden_last, method=AsteroidLM.logits_all)
+                params, state.hidden_last, restricted,
+                method=AsteroidLM.logits_all)
             text_logits = text_logits[:, 0]
             speech_logits = speech_logits[:, 0]
 
@@ -146,7 +158,7 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
             next_tokens = sample_channels_rowkeys(
                 step_keys, text_logits, speech_logits, state.presence_text,
                 state.presence_speech, srow, ch_params, prefilter,
-                approx_topk, eos, pad_speech)
+                approx_topk, eos, pad_speech, t_lo)
 
         if "tf_flush" in ablate:
             needs = state.needs
@@ -191,7 +203,8 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
         else:
             presence_text = jnp.where(
                 adv[:, None],
-                scatter_presence(state.presence_text, next_tokens[:, 0]),
+                scatter_presence(state.presence_text,
+                                 to_window(next_tokens[:, 0])),
                 state.presence_text)
             presence_speech = jnp.where(
                 adv[:, None, None],
@@ -300,7 +313,8 @@ class ContinuousBatcher:
                  base: int = 128, max_steps: int = 512,
                  cache_dtype=jnp.bfloat16, quant: Optional[str] = None,
                  kv_quant: Optional[str] = None, seed: int = 0, mesh=None,
-                 len_aware: bool = True):
+                 len_aware: bool = True,
+                 restricted_text_head: Optional[bool] = None):
         """mesh: a ("data", "model") Mesh (parallel.mesh.make_mesh) shards
         the weights tensor-parallel over the "model" axis for multi-chip
         serving latency. The pool state stays replicated (per-slot decode
@@ -312,7 +326,8 @@ class ContinuousBatcher:
         eng = GenerationEngine(cfg, params, sampling, bucket=base,
                                cache_dtype=cache_dtype, quant=quant,
                                step_bucket=max_steps, kv_quant=kv_quant,
-                               mesh=mesh)
+                               mesh=mesh,
+                               restricted_text_head=restricted_text_head)
         self.cfg = eng.cfg
         self.params = eng.params
         self.sampling = eng.sampling
@@ -383,7 +398,8 @@ class ContinuousBatcher:
             last_pos=jnp.zeros((B,), jnp.int32),
             needs=jnp.full((B,), -1, jnp.int32),
             unfinished=jnp.zeros((B,), bool),
-            presence_text=jnp.zeros((B, cfg.vocab_size), bool),
+            presence_text=jnp.zeros((B, cfg.text_head_window()[1]
+                                     - cfg.text_head_window()[0]), bool),
             presence_speech=jnp.zeros(
                 (B, C - 1, cfg.speech_vocab_size), bool),
             rng_r=jax.random.split(jax.random.PRNGKey(seed), B),

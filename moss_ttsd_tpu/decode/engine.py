@@ -58,14 +58,15 @@ class DecodeState(NamedTuple):
     last_pos: jnp.ndarray       # (B,) last RoPE position used
     needs: jnp.ndarray          # (B,) int32 EOS-flush countdown, -1 = inactive
     unfinished: jnp.ndarray     # (B,) bool
-    presence_text: jnp.ndarray  # (B, V_text) bool
+    presence_text: jnp.ndarray  # (B, V_text) bool (restricted_text_head:
+    #                             (B, window) over cfg.text_head_window())
     presence_speech: jnp.ndarray  # (B, C-1, V_speech) bool
     rng: jax.Array
 
 
 def sample_channels(rng, text_logits, speech_logits, presence_text,
                     presence_speech, srow, ch_params, prefilter, approx_topk,
-                    eos, pad_speech):
+                    eos, pad_speech, text_offset=0):
     """One sampling round -> next_tokens (B, C). Shared by the static engine
     and the continuous batcher.
 
@@ -74,15 +75,20 @@ def sample_channels(rng, text_logits, speech_logits, presence_text,
     own depth). The two hard masks it gates (no end-of-speech during the
     teacher-forcing window, reference modeling_asteroid.py:127-128; no
     pad-1024 on channel i once its delay elapsed, reference :124-126)
-    broadcast identically either way."""
+    broadcast identically either way.
+
+    text_offset: vocab id of text_logits/presence_text column 0
+    (restricted_text_head window start; 0 = full vocab). ``eos`` is always
+    the FULL vocab id; returned channel-0 tokens are full ids too."""
     C = len(ch_params)
     in_tf = srow < C - 1
-    t_logits = text_logits.at[:, eos].add(jnp.where(in_tf, NEG_INF, 0.0))
+    t_logits = text_logits.at[:, eos - text_offset].add(
+        jnp.where(in_tf, NEG_INF, 0.0))
     t_logits = apply_repetition_penalty(t_logits, presence_text,
                                         ch_params[0].repetition_penalty)
     rngs = jax.random.split(rng, C)
     toks = [sample_from_channel(rngs[0], t_logits, ch_params[0], prefilter,
-                                approx_topk)]
+                                approx_topk) + text_offset]
     for i in range(1, C):
         sl = speech_logits[:, i - 1]
         sl = sl.at[:, pad_speech].add(jnp.where(srow >= i, NEG_INF, 0.0))
@@ -94,23 +100,26 @@ def sample_channels(rng, text_logits, speech_logits, presence_text,
 
 def sample_channels_rowkeys(keys, text_logits, speech_logits, presence_text,
                             presence_speech, srow, ch_params, prefilter,
-                            approx_topk, eos, pad_speech):
+                            approx_topk, eos, pad_speech, text_offset=0):
     """sample_channels with PER-ROW rng keys (B, 2) and per-row depths
     (B,) — the continuous pool's sampler. Row b's tokens bit-match
     ``sample_channels(split-chain of keys[b], batch-1 slices)``, i.e. the
     static engine's draw sequence for that request: the per-channel key
     split replicates the engine's ``jax.random.split(step_rng, C)`` per
     row, while all heavy ops stay batched
-    (ops.sampling.sample_from_channel_rowkeys)."""
+    (ops.sampling.sample_from_channel_rowkeys). text_offset as in
+    sample_channels (restricted_text_head window start)."""
     from ..ops.sampling import sample_from_channel_rowkeys
     C = len(ch_params)
     in_tf = srow < C - 1
-    t_logits = text_logits.at[:, eos].add(jnp.where(in_tf, NEG_INF, 0.0))
+    t_logits = text_logits.at[:, eos - text_offset].add(
+        jnp.where(in_tf, NEG_INF, 0.0))
     t_logits = apply_repetition_penalty(t_logits, presence_text,
                                         ch_params[0].repetition_penalty)
     rngs = jax.vmap(lambda k: jax.random.split(k, C))(keys)   # (B, C, 2)
     toks = [sample_from_channel_rowkeys(rngs[:, 0], t_logits, ch_params[0],
-                                        prefilter, approx_topk)]
+                                        prefilter, approx_topk)
+            + text_offset]
     for i in range(1, C):
         sl = speech_logits[:, i - 1]
         sl = sl.at[:, pad_speech].add(jnp.where(srow >= i, NEG_INF, 0.0))
@@ -135,25 +144,39 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
     speech_lo, speech_hi = cfg.speech_token_range
     eos = cfg.eos_token_id
     pad_speech = cfg.speech_pad_token
+    # restricted_text_head: channel-0 logits/presence span only the
+    # [t_lo, t_hi) window (cfg.text_head_window); t_lo = 0 = full vocab
+    t_lo, t_hi = cfg.text_head_window()
+    restricted = cfg.restricted_text_head
     S = base + max_steps
     L = base + C - 1      # full shifted prompt length
 
     def is_speech(tok):
         return (tok >= speech_lo) & (tok < speech_hi)
 
+    def to_window(ids):
+        """Full vocab id -> presence index in the [t_lo, t_hi) window.
+        Below-window ids map to t_hi - t_lo (out of bounds, so the drop-mode
+        scatter skips them) — a bare subtraction would go negative and WRAP
+        onto real window slots (ordinary text ids sit right below the speech
+        range). Identity when t_lo == 0 (full vocab)."""
+        idx = ids - t_lo
+        return jnp.where(idx < 0, t_hi - t_lo, idx) if t_lo else idx
+
     def body(params, state: DecodeState, adapters, adapter_ids) -> DecodeState:
         s = state.step
         cur_len = base + s
         text_logits, speech_logits = model.apply(
-            params, state.hidden_last, method=AsteroidLM.logits_all)
-        text_logits = text_logits[:, 0]          # (B, V)
+            params, state.hidden_last, restricted,
+            method=AsteroidLM.logits_all)
+        text_logits = text_logits[:, 0]          # (B, t_hi - t_lo)
         speech_logits = speech_logits[:, 0]      # (B, C-1, Vs)
 
         rng, step_rng = jax.random.split(state.rng)
         next_tokens = sample_channels(
             step_rng, text_logits, speech_logits, state.presence_text,
             state.presence_speech, s, ch_params, prefilter, approx_topk,
-            eos, pad_speech)
+            eos, pad_speech, t_lo)
 
         # EOS detection on the *sampled* channel 0 (reference :140-141)
         trigger = (~is_speech(next_tokens[:, 0])) & (state.needs < 0)
@@ -182,7 +205,8 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
         tokens = jax.lax.dynamic_update_slice(
             state.tokens, next_tokens[:, None, :].astype(state.tokens.dtype),
             (0, cur_len, 0))
-        presence_text = scatter_presence(state.presence_text, next_tokens[:, 0])
+        presence_text = scatter_presence(state.presence_text,
+                                         to_window(next_tokens[:, 0]))
         presence_speech = scatter_presence(state.presence_speech, next_tokens[:, 1:])
 
         needs = jnp.where(needs > 0, needs - 1, needs)
@@ -234,7 +258,8 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             hidden_last=hidden[:, -1:], last_pos=positions[:, -1],
             needs=jnp.full((B,), -1, jnp.int32),
             unfinished=jnp.ones((B,), bool),
-            presence_text=presence_from_history(buf[:, :base, 0], cfg.vocab_size),
+            presence_text=presence_from_history(to_window(buf[:, :base, 0]),
+                                                t_hi - t_lo),
             presence_speech=jnp.moveaxis(
                 jax.vmap(presence_from_history, in_axes=(2, None))(
                     buf[:, :base, 1:], cfg.speech_vocab_size), 0, 1),
@@ -269,7 +294,8 @@ class GenerationEngine:
                  quant: Optional[str] = None, step_bucket: int = 256,
                  max_cached_programs: int = 8, kv_quant: Optional[str] = None,
                  decode_len_bucket: Optional[int] = None,
-                 decode_extent_kernel: Optional[bool] = None):
+                 decode_extent_kernel: Optional[bool] = None,
+                 restricted_text_head: Optional[bool] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
         step, dequant fused into each matmul (ops/quantize.py). Composes with
@@ -288,7 +314,12 @@ class GenerationEngine:
         crossover: at a 256-slot cache the per-step quantize cost outweighs
         the saved reads (223 vs 229 steps/s); at >=512 slots int8 wins
         (201 vs 186) and the gap grows with cache length — enable it for
-        long-form/podcast decodes, leave it off for short interactive ones."""
+        long-form/podcast decodes, leave it off for short interactive ones.
+
+        restricted_text_head=True computes channel-0 logits only over the
+        speech-token window (LMConfig.restricted_text_head — an opt-in
+        approximation equal to masking all out-of-window logits to -inf;
+        skips the ~311 MB full-table stream per step)."""
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unknown kv_quant mode {kv_quant!r}")
         # constructor overrides of LMConfig decode policy (kv_quant="int8"
@@ -298,7 +329,9 @@ class GenerationEngine:
         overrides = {k: v for k, v in (("kv_quant", kv_quant),
                                        ("decode_len_bucket", decode_len_bucket),
                                        ("decode_extent_kernel",
-                                        decode_extent_kernel))
+                                        decode_extent_kernel),
+                                       ("restricted_text_head",
+                                        restricted_text_head))
                      if v is not None}
         if overrides:
             import dataclasses

@@ -513,7 +513,8 @@ class AsteroidLM(nn.Module):
 
     # -- heads (tied to embeddings; reference modeling_asteroid.py:315-317) --
 
-    def logits_all(self, hidden: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def logits_all(self, hidden: jnp.ndarray,
+                   restricted: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """hidden (..., hidden) -> (text_logits (..., vocab),
         speech_logits (..., C-1, speech_vocab)). fp32 outputs.
 
@@ -521,21 +522,29 @@ class AsteroidLM(nn.Module):
         with fp32 MXU accumulation — no fp32 weight materialization per step.
         Under int8 quantization the per-row scales apply on the OUTPUT side
         (logit v scales by s[v]), so HBM streams only the int8 table.
+
+        restricted=True computes the text logits only over the
+        cfg.text_head_window() rows (restricted_text_head decode policy):
+        the static row slice keeps the weight stream at ~window/vocab of the
+        full table — text_logits then has window width and index i means
+        vocab id lo + i.
         """
         c = self.cfg
+        lo, hi = c.text_head_window() if restricted else (0, c.vocab_size)
         if c.quantized:
             dtype = jnp.dtype(c.dtype)
             h = hidden.astype(dtype)
-            t = jnp.einsum("...d,vd->...v", h, self.embed_text_q.astype(dtype),
+            t = jnp.einsum("...d,vd->...v", h,
+                           self.embed_text_q[lo:hi].astype(dtype),
                            preferred_element_type=jnp.float32)
-            t = t * self.embed_text_s[:, 0].astype(jnp.float32)
+            t = t * self.embed_text_s[lo:hi, 0].astype(jnp.float32)
             s = jnp.einsum("...d,cvd->...cv", h,
                            self.embed_speech_q.astype(dtype),
                            preferred_element_type=jnp.float32)
             s = s * self.embed_speech_s[..., 0].astype(jnp.float32)
             return t, s
         h = hidden.astype(self.embed_text.dtype)
-        t = jnp.einsum("...d,vd->...v", h, self.embed_text,
+        t = jnp.einsum("...d,vd->...v", h, self.embed_text[lo:hi],
                        preferred_element_type=jnp.float32)
         s = jnp.einsum("...d,cvd->...cv", h, self.embed_speech,
                        preferred_element_type=jnp.float32)

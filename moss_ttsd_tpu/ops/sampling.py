@@ -163,16 +163,22 @@ def processed_logits(logits: jnp.ndarray, presence: jnp.ndarray,
 
 
 def scatter_presence(presence: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
-    """Mark tokens (...,) as present in presence (..., V)."""
+    """Mark tokens (...,) as present in presence (..., V). Out-of-range ids
+    are dropped (restricted_text_head passes window-relative ids, so prompt
+    text outside the window — whose logits the restricted head never
+    produces — must not wrap into it)."""
     flat_p = presence.reshape(-1, presence.shape[-1])
     flat_t = tokens.reshape(-1)
-    out = jax.vmap(lambda pr, t: pr.at[t].set(True))(flat_p, flat_t)
+    out = jax.vmap(lambda pr, t: pr.at[t].set(True, mode="drop"))(flat_p,
+                                                                  flat_t)
     return out.reshape(presence.shape)
 
 
 def presence_from_history(tokens: jnp.ndarray, vocab: int) -> jnp.ndarray:
     """tokens (B, T) -> (B, V) bool presence (includes padding ids, matching
-    the reference's penalty over the raw row incl. pads)."""
+    the reference's penalty over the raw row incl. pads; out-of-range ids
+    dropped — see scatter_presence)."""
     B, T = tokens.shape
     presence = jnp.zeros((B, vocab), bool)
-    return jax.vmap(lambda pr, t: pr.at[t].set(True))(presence, tokens)
+    return jax.vmap(lambda pr, t: pr.at[t].set(True, mode="drop"))(presence,
+                                                                   tokens)

@@ -174,7 +174,8 @@ class TTSPipeline:
                  spt: XYTokenizer, sampling: Optional[SamplingConfig] = None,
                  bucket: int = 128, mesh=None, quant: Optional[str] = None,
                  vocode_rows_per_call: Optional[int] = 4,
-                 overlap_vocode: bool = True, encode_cache_size: int = 16):
+                 overlap_vocode: bool = True, encode_cache_size: int = 16,
+                 restricted_text_head: Optional[bool] = None):
         """``vocode_rows_per_call`` batch-splits each vocode chunk so the
         device computes group i+1 while the host reads group i back (see
         XYTokenizer.decode); ``overlap_vocode`` dispatches completed 30 s
@@ -183,11 +184,14 @@ class TTSPipeline:
         ``encode_cache_size`` LRU-caches prompt-audio codec encodings in the
         per-request path (prepare_item): serving with fixed voices (podcast
         defaults, a product voice bank) otherwise re-runs the 12-layer codec
-        encoders on the SAME prompt wav for every request. 0 disables."""
+        encoders on the SAME prompt wav for every request. 0 disables.
+        ``restricted_text_head`` opts the decode into the speech-window
+        channel-0 head (LMConfig.restricted_text_head)."""
         self.tokenizer = tokenizer
-        self.lm_cfg = lm_cfg
-        self.engine = GenerationEngine(lm_cfg, lm_params, sampling,
-                                       bucket=bucket, mesh=mesh, quant=quant)
+        self.engine = GenerationEngine(
+            lm_cfg, lm_params, sampling, bucket=bucket, mesh=mesh,
+            quant=quant, restricted_text_head=restricted_text_head)
+        self.lm_cfg = self.engine.cfg      # reflects decode-policy overrides
         self.spt = spt
         self.vocode_rows_per_call = vocode_rows_per_call
         self.overlap_vocode = overlap_vocode
@@ -203,7 +207,8 @@ class TTSPipeline:
     def load(cls, model_path: str, spt_config_path: str, spt_ckpt_path: str,
              sampling: Optional[SamplingConfig] = None, mesh=None,
              quant: Optional[str] = None,
-             codec_dtype: Optional[str] = "bfloat16"):
+             codec_dtype: Optional[str] = "bfloat16",
+             restricted_text_head: Optional[bool] = None):
         """Load from an HF-format LM dir + codec checkpoint
         (reference load_model, generation_utils.py:15-24).
 
@@ -225,7 +230,7 @@ class TTSPipeline:
                 sampling = SamplingConfig.from_generation_config_json(
                     gen_cfg, lm_cfg.channels)
         return cls(tokenizer, lm_cfg, lm_params, spt, sampling, mesh=mesh,
-                   quant=quant)
+                   quant=quant, restricted_text_head=restricted_text_head)
 
     # ------------------------------------------------------------------
 

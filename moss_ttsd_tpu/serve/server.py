@@ -887,6 +887,12 @@ def main(argv=None):
                    help="tiny random models (smoke test)")
     p.add_argument("--quant", choices=["int8"], default=None,
                    help="weight-only int8 serving (w8a16)")
+    p.add_argument("--restricted_text_head", action="store_true",
+                   help="compute channel-0 logits only over the speech-token "
+                        "window (~1030 rows vs 152k; skips the full-table "
+                        "HBM stream each decode step). Approximation: equal "
+                        "to masking all out-of-window logits to -inf, so "
+                        "generation can only stop via <|end_of_speech|>")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                    help="multi-chip (data, model) serving mesh, e.g. 1x4 "
                         "(weights tensor-parallel over 4 chips)")
@@ -954,9 +960,10 @@ def main(argv=None):
         pipeline = build_tiny_pipeline(mesh=mesh)
     else:
         from ..pipeline.batch import TTSPipeline
-        pipeline = TTSPipeline.load(args.model_path, args.spt_config,
-                                    args.spt_ckpt, quant=args.quant,
-                                    mesh=mesh)
+        pipeline = TTSPipeline.load(
+            args.model_path, args.spt_config, args.spt_ckpt, quant=args.quant,
+            mesh=mesh,
+            restricted_text_head=args.restricted_text_head or None)
     server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
                           args.batch_window_ms / 1000.0,
                           scheduler=args.scheduler, pool_base=args.pool_base,
