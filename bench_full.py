@@ -767,6 +767,68 @@ def bench_pool_breakdown(slots=8, base=512, max_steps=2048, segment=64,
     return steps_per_s, static_sps
 
 
+def bench_pool_restricted(slots=8, base=512, max_steps=2048, segment=64,
+                          trials=3, tiny=False):
+    """restricted_text_head at the serving-pool geometry: pooled decode
+    steps/s with the window-sliced channel-0 head vs the full-vocab head.
+    The pool breakdown attributes ~0.5 ms of the 4.81 ms pool step to the
+    logits heads, almost all of it the 152k-row table stream the restricted
+    window removes. Same fill + timed-segment methodology as
+    bench_pool_breakdown (admission outside the timer)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moss_ttsd_tpu.decode.continuous import ContinuousBatcher
+
+    if tiny:
+        base, max_steps, segment = 64, 96, 16
+    kv_quant = None if tiny else "int8"
+    log("pool_restricted: init LM params...")
+    cfg, params, sampling = make_bench_lm(tiny, max_steps)
+    # window covering speech + eos, with everything samplable counting as
+    # "speech" so random weights never EOS-flush (make_bench_lm note)
+    win = (100, 151) if tiny else (151665, 152695)
+    rng = np.random.default_rng(0)
+
+    def rate(restricted):
+        cfg_v = (dataclasses.replace(cfg, speech_token_range=win,
+                                     restricted_text_head=True)
+                 if restricted else cfg)
+        cb = ContinuousBatcher(cfg_v, params, sampling, slots=slots,
+                               base=base, max_steps=max_steps, quant="int8",
+                               kv_quant=kv_quant)
+        reqs = []
+        for i in range(slots):
+            L = int(rng.integers(base // 2, base - cfg.channels + 1))
+            p = np.full((L, cfg.channels), cfg.speech_pad_token, np.int32)
+            p[:, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), L)
+            reqs.append((p, max_steps, i))
+        cb.submit_many(reqs)
+        st = cb._segment(cb.params, cb.state, jnp.int32(segment),
+                         cb.lora.stacks)
+        int(jax.device_get(st.gstep))               # compile + warm
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            st = cb._segment(cb.params, st, jnp.int32(segment),
+                             cb.lora.stacks)
+            int(jax.device_get(st.gstep))           # value readback (tunnel)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        sps = segment / best
+        log(f"pool_restricted [{'window' if restricted else 'full  '}] "
+            f"{sps:7.1f} steps/s ({1e3 * best / segment:.3f} ms/step)")
+        return sps
+
+    full_sps = rate(False)
+    win_sps = rate(True)
+    emit("pool_steps_per_s_restricted_head", win_sps, "steps/s",
+         full_head=round(full_sps, 1),
+         speedup=round(win_sps / full_sps, 3))
+
+
 def bench_attention_share(decode_steps=256, prompt=64, trials=3, tiny=False):
     """Split the decode-step backbone cost into matmuls vs attention.
 
@@ -958,6 +1020,9 @@ def main(argv=None):
 
     if "attnshare" in configs:
         bench_attention_share(decode_steps=args.steps, tiny=args.tiny)
+
+    if "restrictedpool" in configs:
+        bench_pool_restricted(slots=2 if args.tiny else 8, tiny=args.tiny)
 
 
 if __name__ == "__main__":

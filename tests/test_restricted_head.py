@@ -194,6 +194,31 @@ def test_restricted_noop_when_window_is_vocab(setup):
     np.testing.assert_array_equal(a.tokens, b.tokens)
 
 
+def test_mesh_restricted_matches_single(setup):
+    """Tensor-parallel mesh: the sliced head (a static row window of the
+    vocab-sharded tied embedding) must still reproduce the unmeshed
+    restricted run — GSPMD has to resolve the window across the "model"-axis
+    shards."""
+    from moss_ttsd_tpu.parallel.mesh import make_mesh
+    cfg, model, params = setup
+    rng = np.random.default_rng(21)
+    prompts = [make_prompt(cfg, rng, 4 + i % 3, 3) for i in range(8)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    sampling = sampled_sampling(cfg.channels)
+    ref = GenerationEngine(cfg, params, sampling, bucket=32,
+                           cache_dtype=jnp.float32,
+                           restricted_text_head=True).generate(
+                               batch, mask, max_new_tokens=12, seed=0)
+    eng = GenerationEngine(cfg, params, sampling, bucket=32,
+                           cache_dtype=jnp.float32, mesh=make_mesh(data=2,
+                                                                   model=4),
+                           restricted_text_head=True)
+    res = eng.generate(batch, mask, max_new_tokens=12, seed=0)
+    assert res.steps == ref.steps
+    np.testing.assert_array_equal(res.tokens, ref.tokens)
+
+
 def test_pipeline_wiring_e2e():
     """The TTSPipeline/serving flag reaches the engine cfg and a restricted
     tiny pipeline still produces audio end-to-end (text -> tokens -> wav)."""
