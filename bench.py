@@ -134,7 +134,12 @@ def main():
                                   seed=1 + i)
         dt = time.perf_counter() - t0
         decode_r_s = dt if decode_r_s is None else min(decode_r_s, dt)
-    steps_r = max(int(res_r.steps), 1)
+    # the (0, vocab) speech_token_range override makes every token count as
+    # speech, so an early stop indicates a config regression — fail loudly
+    # rather than silently mixing step counts between the two methodologies
+    steps_r = int(res_r.steps)
+    assert steps_r == DECODE_STEPS, (
+        f"restricted-head run stopped early ({steps_r}/{DECODE_STEPS} steps)")
     print(f"decode (restricted_text_head): {steps_r} steps in "
           f"{decode_r_s:.2f}s ({steps_r / decode_r_s:.1f} steps/s)",
           file=sys.stderr)

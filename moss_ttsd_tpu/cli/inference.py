@@ -21,7 +21,8 @@ SPT_CHECKPOINT_PATH = "XY_Tokenizer/weights/xy_tokenizer.ckpt"
 
 
 def build_tiny_pipeline(seed: int = 0, bucket: int = 64, mesh=None,
-                        restricted_text_head: bool = False):
+                        restricted_text_head: bool = False,
+                        attn_impl: str = None):
     """Random tiny LM + codec + mock tokenizer wired into the real pipeline."""
     import jax
     import jax.numpy as jnp
@@ -49,7 +50,8 @@ def build_tiny_pipeline(seed: int = 0, bucket: int = 64, mesh=None,
         max_new_tokens=64)
     pipe = TTSPipeline(tokenizer, lm_cfg, params, spt, sampling, bucket=bucket,
                        mesh=mesh,
-                       restricted_text_head=restricted_text_head or None)
+                       restricted_text_head=restricted_text_head or None,
+                       attn_impl=attn_impl)
     return pipe
 
 
@@ -75,10 +77,19 @@ def main(argv=None):
                         help="start a live jax.profiler server on this port")
     parser.add_argument("--quant", choices=["int8"], default=None,
                         help="weight-only int8 serving (w8a16): ~1.5x faster decode")
+    parser.add_argument("--attn_impl", choices=["mixed", "pallas", "xla"],
+                        default=None,
+                        help="attention backend (reference "
+                             "--attn_implementation, inference.py:29-30): "
+                             "mixed = pallas flash prefill + measured-best "
+                             "decode policy (default), pallas = pallas "
+                             "kernels everywhere, xla = einsum attention")
     parser.add_argument("--restricted_text_head", action="store_true",
                         help="channel-0 logits over the speech window only "
                              "(~+12%% decode; generation then stops only on "
-                             "<|end_of_speech|> — see LMConfig docs)")
+                             "in-window non-speech ids: <|end_of_speech|> "
+                             "plus the specials between the speech range "
+                             "and eos — see LMConfig docs)")
     parser.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                         help="multi-chip (data, model) mesh, e.g. 4x2: batch "
                              "data-parallel over 4 chips, weights tensor-"
@@ -90,6 +101,9 @@ def main(argv=None):
                              "or a peft adapter directory. Repeatable")
     parser.add_argument("--adapter_alpha", type=float, default=32.0)
     args = parser.parse_args(argv)
+
+    from ..utils.helpers import maybe_debug_attach
+    maybe_debug_attach()
 
     if args.platform == "cpu":
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -107,14 +121,16 @@ def main(argv=None):
     from ..utils.audio_io import write_wav
     if args.tiny:
         pipe = build_tiny_pipeline(seed=args.seed or 0, mesh=mesh,
-                                   restricted_text_head=args.restricted_text_head)
+                                   restricted_text_head=args.restricted_text_head,
+                                   attn_impl=args.attn_impl)
     else:
         from ..pipeline.batch import TTSPipeline
         pipe = TTSPipeline.load(
             args.model_path, args.spt_config, args.spt_ckpt,
             quant=args.quant, mesh=mesh,
             codec_dtype="bfloat16" if args.dtype == "bf16" else None,
-            restricted_text_head=args.restricted_text_head or None)
+            restricted_text_head=args.restricted_text_head or None,
+            attn_impl=args.attn_impl)
 
     from ..utils.convert_lora import parse_adapter_specs
     for name, (tree, alpha, rslora) in parse_adapter_specs(

@@ -125,12 +125,15 @@ class LMConfig:
     # step) solely to feed a top-k whose mass sits in the speech window.
     # Semantics are EXACTLY "full head with every out-of-window logit at
     # -inf" (tests/test_restricted_head.py proves bitwise token equality
-    # against that contract): sampling can no longer pick a non-speech,
-    # non-<|end_of_speech|> token, so the reference's "any non-speech token
-    # triggers the EOS flush" (modeling_asteroid.py:140-141) collapses to
-    # "the <|end_of_speech|> id triggers it" — a distribution change, hence
-    # default OFF (like approx_topk). Off the reference never emits other
-    # non-speech ids in practice; enable for serving throughput.
+    # against that contract): sampling can no longer pick an out-of-window
+    # token, so the reference's "any non-speech token triggers the EOS
+    # flush" (modeling_asteroid.py:140-141) narrows to "an in-window
+    # non-speech id triggers it" (<|end_of_speech|> plus the specials
+    # between the speech range and eos, which remain sampleable and fire
+    # the flush exactly like the reference) — a distribution change, hence
+    # default OFF (like approx_topk). Off the reference never emits
+    # ordinary text ids mid-speech in practice; enable for serving
+    # throughput.
     restricted_text_head: bool = False
     # layerwise LoRA adapters on the attention/MLP projections (the
     # reference's peft targets, finetune/finetune.py:153): rank 0 = off.
@@ -239,6 +242,11 @@ class SamplingConfig:
     topk_prefilter: int = 128
     # TPU-optimized approximate top-k on the big text vocab (recall ~0.95).
     approx_topk: bool = False
+    # Exact full-vocab nucleus for channels that set top_p WITHOUT top_k
+    # (ops/sampling.exact_top_p_mask: fixed-trip threshold search, no 152k
+    # sort). Off, such channels run the static topk_prefilter truncation
+    # (approximate whenever the nucleus exceeds it — the engine warns).
+    exact_top_p: bool = False
 
     @classmethod
     def default(cls, num_channels: int = 8) -> "SamplingConfig":

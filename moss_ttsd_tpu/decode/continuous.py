@@ -96,8 +96,9 @@ def _build_segment_fn(model: AsteroidLM, cfg: LMConfig,
     a live row can never collide with its own history (its budget is capped
     at max_steps, and it writes every pool step while unfinished)."""
     C = cfg.channels
-    ch_params: List[ChannelParams] = [ChannelParams.from_config(c)
-                                      for c in sampling.channels]
+    ch_params: List[ChannelParams] = [
+        ChannelParams.from_config(c, exact_top_p=sampling.exact_top_p)
+        for c in sampling.channels]
     prefilter = sampling.topk_prefilter
     approx_topk = sampling.approx_topk
     speech_lo, speech_hi = cfg.speech_token_range

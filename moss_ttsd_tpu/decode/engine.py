@@ -137,8 +137,9 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
     KV cache; the actual step bound is the dynamic ``upto`` arg of ``run``,
     so one compiled pair serves every request whose limit fits the buffer."""
     C = cfg.channels
-    ch_params: List[ChannelParams] = [ChannelParams.from_config(c)
-                                      for c in sampling.channels]
+    ch_params: List[ChannelParams] = [
+        ChannelParams.from_config(c, exact_top_p=sampling.exact_top_p)
+        for c in sampling.channels]
     prefilter = sampling.topk_prefilter
     approx_topk = sampling.approx_topk
     speech_lo, speech_hi = cfg.speech_token_range
@@ -295,7 +296,8 @@ class GenerationEngine:
                  max_cached_programs: int = 8, kv_quant: Optional[str] = None,
                  decode_len_bucket: Optional[int] = None,
                  decode_extent_kernel: Optional[bool] = None,
-                 restricted_text_head: Optional[bool] = None):
+                 restricted_text_head: Optional[bool] = None,
+                 attn_impl: Optional[str] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
         step, dequant fused into each matmul (ops/quantize.py). Composes with
@@ -322,6 +324,9 @@ class GenerationEngine:
         skips the ~311 MB full-table stream per step)."""
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unknown kv_quant mode {kv_quant!r}")
+        if attn_impl not in (None, "mixed", "pallas", "xla"):
+            raise ValueError(f"unknown attn_impl {attn_impl!r} "
+                             "(choices: mixed, pallas, xla)")
         # constructor overrides of LMConfig decode policy (kv_quant="int8"
         # int8 KV cache; decode_len_bucket lax.switch prefix reads;
         # decode_extent_kernel extent-clamped Pallas kernels — see the
@@ -331,7 +336,8 @@ class GenerationEngine:
                                        ("decode_extent_kernel",
                                         decode_extent_kernel),
                                        ("restricted_text_head",
-                                        restricted_text_head))
+                                        restricted_text_head),
+                                       ("attn_impl", attn_impl))
                      if v is not None}
         if overrides:
             import dataclasses
@@ -375,13 +381,16 @@ class GenerationEngine:
         self.sampling = sampling or SamplingConfig.default(cfg.channels)
         for i, ch in enumerate(self.sampling.channels):
             if (ch.do_sample and (ch.top_p or 1.0) < 1.0
-                    and (ch.top_k or 0) <= 0):
+                    and (ch.top_k or 0) <= 0
+                    and not self.sampling.exact_top_p):
                 logger.warning(
                     "channel %d samples with top_p=%.3g but no top_k: the "
                     "static top-%d prefilter truncates the nucleus whenever "
                     "it exceeds %d candidates (approximate vs HF's exact "
-                    "TopPLogitsWarper); set top_k or raise "
-                    "SamplingConfig.topk_prefilter", i, ch.top_p,
+                    "TopPLogitsWarper); set top_k, raise "
+                    "SamplingConfig.topk_prefilter, or set "
+                    "SamplingConfig.exact_top_p for the full-vocab nucleus "
+                    "path", i, ch.top_p,
                     self.sampling.topk_prefilter, self.sampling.topk_prefilter)
         self.model = AsteroidLM(cfg)
         self.bucket = bucket

@@ -34,9 +34,13 @@ class ChannelParams(NamedTuple):
     top_k: int           # 0 = disabled
     top_p: float         # 1.0 = disabled
     repetition_penalty: float  # 1.0 = disabled
+    # exact full-vocab nucleus when top_p is set without top_k (see
+    # exact_top_p_mask); ignored whenever top_k > 0 (that path is already
+    # exact wherever the nucleus fits in k, matching HF's TopK -> TopP order)
+    exact_top_p: bool = False
 
     @classmethod
-    def from_config(cls, c) -> "ChannelParams":
+    def from_config(cls, c, exact_top_p: bool = False) -> "ChannelParams":
         return cls(
             do_sample=bool(c.do_sample),
             temperature=float(c.temperature) if c.temperature else 1.0,
@@ -44,6 +48,7 @@ class ChannelParams(NamedTuple):
             top_p=float(c.top_p) if c.top_p is not None else 1.0,
             repetition_penalty=(float(c.repetition_penalty)
                                 if c.repetition_penalty else 1.0),
+            exact_top_p=bool(exact_top_p),
         )
 
 
@@ -64,6 +69,53 @@ def top_p_mask_sorted(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return keep.at[..., 0].set(True)
 
 
+def exact_top_p_mask(logits: jnp.ndarray, top_p: float,
+                     iters: int = 50) -> jnp.ndarray:
+    """Exact full-vocab nucleus keep-mask (..., V), same contract as
+    ``top_p_mask_sorted`` (keep token i iff the probability mass STRICTLY
+    above its probability is < top_p; the argmax always kept) — without the
+    O(V log V) descending sort a 152k-vocab step can't afford.
+
+    A fixed-trip binary search finds the nucleus probability threshold:
+    S(tau) = sum of probs > tau is non-increasing, so the kept set is
+    {p_i > tau*} with tau* = sup{tau : S(tau) >= top_p}. Each trip is one
+    masked full-vocab reduction (static shapes, XLA-fused); 50 trips drive
+    hi - lo below fp32 resolution of the max prob, so the bracket converges
+    to adjacent floats and the mask is exact for every untied probability.
+    Vocab ids whose probabilities are bitwise-equal AT the nucleus boundary
+    are kept or dropped together, where HF's sort-based TopPLogitsWarper
+    splits such ties by sort order — measure-zero for float logits (same
+    caveat as ``processed_logits``).
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+    lo = jnp.zeros_like(hi)
+
+    def body(_, bracket):
+        lo, hi = bracket
+        mid = (lo + hi) * 0.5
+        s = jnp.sum(jnp.where(probs > mid, probs, 0.0), axis=-1,
+                    keepdims=True)
+        above = s >= top_p
+        return jnp.where(above, mid, lo), jnp.where(above, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # probs > lo keeps the argmax unconditionally (lo < hi <= pmax always)
+    return probs > lo
+
+
+def _exact_top_p_logits(logits: jnp.ndarray, p: ChannelParams) -> jnp.ndarray:
+    """Temperature + exact full-vocab nucleus -> dense (B, V) sampling
+    logits (HF order: Temperature before TopP, modeling_asteroid.py:95-109)."""
+    if p.temperature != 1.0:
+        logits = logits / p.temperature
+    return jnp.where(exact_top_p_mask(logits, p.top_p), logits, NEG_INF)
+
+
+def _use_exact_top_p(p: ChannelParams) -> bool:
+    return p.exact_top_p and p.do_sample and p.top_p < 1.0 and p.top_k <= 0
+
+
 def sample_from_channel(rng: jax.Array, logits: jnp.ndarray, p: ChannelParams,
                         prefilter_k: int = 128,
                         approx_topk: bool = False) -> jnp.ndarray:
@@ -73,7 +125,14 @@ def sample_from_channel(rng: jax.Array, logits: jnp.ndarray, p: ChannelParams,
     or argmax. The caller applies repetition penalty and any hard masks first.
     approx_topk uses the TPU-optimized approx_max_k (recall ~0.95+ on the big
     text vocab) instead of an exact full-vocab selection.
+
+    With p.exact_top_p and top_p-without-top_k, the nucleus is computed over
+    the FULL vocab (exact_top_p_mask) and the draw happens on the dense
+    masked distribution — no prefilter truncation.
     """
+    if _use_exact_top_p(p):
+        vals = _exact_top_p_logits(logits, p)
+        return jax.random.categorical(rng, vals, axis=-1)
     V = logits.shape[-1]
     K = min(p.top_k if p.top_k > 0 else prefilter_k, V)
     if approx_topk and V > 4096:
@@ -110,6 +169,12 @@ def sample_from_channel_rowkeys(keys: jax.Array, logits: jnp.ndarray,
     channel sampler instead runs B separate top-k/argmax chains — measured
     ~4x slower pool steps at the serving geometry.
     """
+    if _use_exact_top_p(p):
+        vals = _exact_top_p_logits(logits, p)
+        V = vals.shape[-1]
+        noise = jax.vmap(lambda k: jax.random.gumbel(k, (1, V), vals.dtype))(
+            keys)[:, 0]                                  # (B, V)
+        return jnp.argmax(vals + noise, axis=-1)
     V = logits.shape[-1]
     K = min(p.top_k if p.top_k > 0 else prefilter_k, V)
     if approx_topk and V > 4096:
@@ -147,6 +212,8 @@ def processed_logits(logits: jnp.ndarray, presence: jnp.ndarray,
     for float logits.
     """
     logits = apply_repetition_penalty(logits, presence, p.repetition_penalty)
+    if _use_exact_top_p(p):
+        return _exact_top_p_logits(logits, p)
     V = logits.shape[-1]
     K = min(p.top_k if p.top_k > 0 else prefilter_k, V)
     if approx_topk and V > 4096:

@@ -175,7 +175,8 @@ class TTSPipeline:
                  bucket: int = 128, mesh=None, quant: Optional[str] = None,
                  vocode_rows_per_call: Optional[int] = 4,
                  overlap_vocode: bool = True, encode_cache_size: int = 16,
-                 restricted_text_head: Optional[bool] = None):
+                 restricted_text_head: Optional[bool] = None,
+                 attn_impl: Optional[str] = None):
         """``vocode_rows_per_call`` batch-splits each vocode chunk so the
         device computes group i+1 while the host reads group i back (see
         XYTokenizer.decode); ``overlap_vocode`` dispatches completed 30 s
@@ -186,11 +187,20 @@ class TTSPipeline:
         defaults, a product voice bank) otherwise re-runs the 12-layer codec
         encoders on the SAME prompt wav for every request. 0 disables.
         ``restricted_text_head`` opts the decode into the speech-window
-        channel-0 head (LMConfig.restricted_text_head)."""
+        channel-0 head (LMConfig.restricted_text_head); ``attn_impl``
+        overrides the attention backend ("mixed" | "pallas" | "xla",
+        LMConfig.attn_impl — the reference's --attn_implementation switch,
+        inference.py:29-30).
+
+        Note: ``self.lm_cfg`` is rebound to ``engine.cfg``, which reflects
+        these decode-policy overrides — it is NOT the ``lm_cfg`` object the
+        caller passed in (identity/equality comparisons against the input
+        config will differ whenever an override is set)."""
         self.tokenizer = tokenizer
         self.engine = GenerationEngine(
             lm_cfg, lm_params, sampling, bucket=bucket, mesh=mesh,
-            quant=quant, restricted_text_head=restricted_text_head)
+            quant=quant, restricted_text_head=restricted_text_head,
+            attn_impl=attn_impl)
         self.lm_cfg = self.engine.cfg      # reflects decode-policy overrides
         self.spt = spt
         self.vocode_rows_per_call = vocode_rows_per_call
@@ -208,7 +218,8 @@ class TTSPipeline:
              sampling: Optional[SamplingConfig] = None, mesh=None,
              quant: Optional[str] = None,
              codec_dtype: Optional[str] = "bfloat16",
-             restricted_text_head: Optional[bool] = None):
+             restricted_text_head: Optional[bool] = None,
+             attn_impl: Optional[str] = None):
         """Load from an HF-format LM dir + codec checkpoint
         (reference load_model, generation_utils.py:15-24).
 
@@ -230,7 +241,8 @@ class TTSPipeline:
                 sampling = SamplingConfig.from_generation_config_json(
                     gen_cfg, lm_cfg.channels)
         return cls(tokenizer, lm_cfg, lm_params, spt, sampling, mesh=mesh,
-                   quant=quant, restricted_text_head=restricted_text_head)
+                   quant=quant, restricted_text_head=restricted_text_head,
+                   attn_impl=attn_impl)
 
     # ------------------------------------------------------------------
 

@@ -21,6 +21,99 @@ _PIPELINE = None
 _PIPELINE_LOCK = threading.Lock()
 
 
+# ---------------------------------------------------------------------------
+# i18n: the full bilingual label set (reference gradio_demo.py keeps LANGUAGES
+# dicts and swaps every visible string on a language radio, :278-528). Keys
+# are component labels + status strings; ui_strings() is pure Python so the
+# toggle contract is testable without gradio installed.
+# ---------------------------------------------------------------------------
+
+UI_STRINGS = {
+    "en": {
+        "language": "Language / 语言",
+        "header": ("# MOSS-TTSD (TPU-native)\n"
+                   "Two-speaker dialogue synthesis — tag speaker turns with "
+                   "`[S1]` / `[S2]`."),
+        "tab_single": "Single (combined prompt)",
+        "tab_role": "Role (per-speaker prompts)",
+        "script": "Dialogue script",
+        "script_ph": "[S1]Hello! [S2]Hi there...",
+        "prompt_transcript": "Prompt transcript",
+        "prompt_audio": "Prompt audio",
+        "normalize": "Normalize text",
+        "normalize_info": ("Recommended: cleans numbers, punctuation and "
+                           "special symbols before synthesis"),
+        "seed": "Seed",
+        "stream": "Stream audio",
+        "voice": "Voice (LoRA)",
+        "generate": "Generate",
+        "output": "Output",
+        "status": "Status",
+        "s1_transcript": "Speaker 1 transcript",
+        "s1_audio": "Speaker 1 audio",
+        "s2_transcript": "Speaker 2 transcript",
+        "s2_audio": "Speaker 2 audio",
+        "examples_single": "Examples (Single)",
+        "examples_role": "Examples (Role)",
+        "status_no_speech": "Generation produced no valid speech tokens.",
+        "status_generated": "Generated {seconds:.1f}s of audio",
+        "status_final_text": "final text",
+        "status_streaming": "Streaming… {seconds:.1f}s",
+    },
+    "zh": {
+        "language": "Language / 语言",
+        "header": ("# MOSS-TTSD（TPU 原生版）\n"
+                   "双说话人对话语音合成 — 用 `[S1]` / `[S2]` 标注说话人轮次。"),
+        "tab_single": "单音频模式（合并参考音频）",
+        "tab_role": "角色模式（分说话人参考音频）",
+        "script": "对话文本",
+        "script_ph": "[S1]你好！[S2]你好呀……",
+        "prompt_transcript": "参考音频文本",
+        "prompt_audio": "参考音频",
+        "normalize": "文本规整",
+        "normalize_info": "建议开启：合成前清理数字、标点和特殊符号",
+        "seed": "随机种子",
+        "stream": "流式输出",
+        "voice": "音色（LoRA）",
+        "generate": "开始合成",
+        "output": "合成结果",
+        "status": "状态信息",
+        "s1_transcript": "说话人 1 文本",
+        "s1_audio": "说话人 1 音频",
+        "s2_transcript": "说话人 2 文本",
+        "s2_audio": "说话人 2 音频",
+        "examples_single": "示例（单音频）",
+        "examples_role": "示例（角色）",
+        "status_no_speech": "生成结果中没有有效的语音 token。",
+        "status_generated": "已生成 {seconds:.1f} 秒音频",
+        "status_final_text": "最终文本",
+        "status_streaming": "流式合成中… {seconds:.1f} 秒",
+    },
+}
+
+# gr.update(label=...) targets, in the fixed order the language radio's
+# change event emits them (one per labeled component, both tabs included)
+LABELED_COMPONENTS = (
+    "tab_single", "script", "prompt_transcript", "prompt_audio", "normalize",
+    "seed", "stream", "voice", "generate", "output", "status",
+    "tab_role", "script", "s1_transcript", "s1_audio", "s2_transcript",
+    "s2_audio", "normalize", "seed", "voice", "generate", "output", "status",
+)
+
+
+def ui_strings(lang: str) -> dict:
+    """Label set for one UI language ('en' | 'zh' | a radio display value)."""
+    return UI_STRINGS["zh" if lang in ("zh", "中文") else "en"]
+
+
+def language_updates(lang: str):
+    """(header_markdown, [label per LABELED_COMPONENTS]) — the values the
+    language-radio change event pushes into the components. Pure Python for
+    testability; the gradio wiring wraps each label in gr.update."""
+    s = ui_strings(lang)
+    return s["header"], [s[k] for k in LABELED_COMPONENTS]
+
+
 def get_pipeline(loader=None):
     """Lazy global pipeline (reference initialize_model, gradio_demo.py:154-166)."""
     global _PIPELINE
@@ -80,12 +173,13 @@ def load_examples_from_jsonl(paths, limit: int = 20):
 
 def synthesize_single(text: str, prompt_text: str, prompt_audio_path: Optional[str],
                       use_normalize: bool = True, seed: int = 0, loader=None,
-                      voice: str = ""):
+                      voice: str = "", lang: str = "en"):
     """Single mode: one combined prompt audio + [S1]/[S2] script.
 
     Returns (sample_rate, wav int16 np array), status string — the gradio
     Audio-component contract (reference process_single_audio_generation,
-    gradio_demo.py:168-275)."""
+    gradio_demo.py:168-275). ``lang`` localizes the status string."""
+    s = ui_strings(lang)
     pipe = get_pipeline(loader)
     item = {"text": text}
     if prompt_audio_path:
@@ -95,11 +189,12 @@ def synthesize_single(text: str, prompt_text: str, prompt_audio_path: Optional[s
         [item], use_normalize=use_normalize, seed=seed,
         adapter=voice or None)
     if not audio_results or audio_results[0] is None:
-        return None, "Generation produced no valid speech tokens."
+        return None, s["status_no_speech"]
     res = audio_results[0]
     wav = np.clip(res["audio_data"][0], -1, 1)
-    status = (f"Generated {len(wav) / res['sample_rate']:.1f}s of audio | "
-              f"final text: {texts_data[0]['final_text'][:120]}")
+    status = (s["status_generated"].format(
+        seconds=len(wav) / res["sample_rate"])
+        + f" | {s['status_final_text']}: {texts_data[0]['final_text'][:120]}")
     return (res["sample_rate"], (wav * 32767).astype(np.int16)), status
 
 
@@ -107,8 +202,9 @@ def synthesize_role(text: str,
                     s1_text: str, s1_audio_path: Optional[str],
                     s2_text: str, s2_audio_path: Optional[str],
                     use_normalize: bool = True, seed: int = 0, loader=None,
-                    voice: str = ""):
+                    voice: str = "", lang: str = "en"):
     """Role mode: separate speaker-1/2 prompt audios."""
+    s = ui_strings(lang)
     pipe = get_pipeline(loader)
     item = {"text": text}
     if s1_audio_path:
@@ -121,22 +217,24 @@ def synthesize_role(text: str,
         [item], use_normalize=use_normalize, seed=seed,
         adapter=voice or None)
     if not audio_results or audio_results[0] is None:
-        return None, "Generation produced no valid speech tokens."
+        return None, s["status_no_speech"]
     res = audio_results[0]
     wav = np.clip(res["audio_data"][0], -1, 1)
-    status = f"Generated {len(wav) / res['sample_rate']:.1f}s of audio"
+    status = s["status_generated"].format(
+        seconds=len(wav) / res["sample_rate"])
     return (res["sample_rate"], (wav * 32767).astype(np.int16)), status
 
 
 def synthesize_single_stream(text: str, prompt_text: str,
                              prompt_audio_path: Optional[str],
                              use_normalize: bool = True, seed: int = 0,
-                             loader=None, voice: str = ""):
+                             loader=None, voice: str = "", lang: str = "en"):
     """Streaming variant of synthesize_single: yields ((sr, int16 chunk),
     status) as generation progresses — a generator the gradio Audio component
     consumes with streaming=True. Goes beyond the reference, whose streamer
     hook exists but is never wired to a caller (reference
     modeling_asteroid.py:161-162; SURVEY §3.4)."""
+    s = ui_strings(lang)
     pipe = get_pipeline(loader)
     item = {"text": text}
     if prompt_audio_path:
@@ -149,9 +247,10 @@ def synthesize_single_stream(text: str, prompt_text: str,
         got = True
         total += len(chunk) / sr
         wav = np.clip(chunk, -1, 1)
-        yield (sr, (wav * 32767).astype(np.int16)), f"Streaming… {total:.1f}s"
+        yield ((sr, (wav * 32767).astype(np.int16)),
+               s["status_streaming"].format(seconds=total))
     if not got:
-        yield None, "Generation produced no valid speech tokens."
+        yield None, s["status_no_speech"]
 
 
 DEFAULT_EXAMPLE_JSONLS = ("examples/examples.jsonl",
@@ -162,7 +261,13 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
     """Build the Blocks app (reference create_gradio_interface,
     gradio_demo.py:278-528). Requires gradio. ``voices``: registered LoRA
     adapter names — when non-empty each tab gets a voice dropdown
-    ("default" = base model), mapped to the engines' per-request adapters."""
+    ("default" = base model), mapped to the engines' per-request adapters.
+
+    A language radio at the top swaps EVERY visible label/status between
+    English and Chinese (the reference's bilingual toggle,
+    gradio_demo.py:282-289 + its update_language event): the change event
+    pushes gr.update(label=...) into each component in LABELED_COMPONENTS
+    order, and the click handlers read the radio to localize status text."""
     try:
         import gradio as gr
     except ImportError as e:
@@ -173,41 +278,43 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
     role_ex, single_ex = load_examples_from_jsonl(
         examples_jsonl if examples_jsonl is not None
         else list(DEFAULT_EXAMPLE_JSONLS))
+    s = ui_strings("en")
 
     with gr.Blocks(title="MOSS-TTSD TPU — Spoken Dialogue Synthesis") as demo:
-        gr.Markdown("# MOSS-TTSD (TPU-native)\n"
-                    "Two-speaker dialogue synthesis — tag turns with "
-                    "`[S1]`/`[S2]` · 用 `[S1]`/`[S2]` 标注说话人")
+        lang_radio = gr.Radio(choices=["English", "中文"], value="English",
+                              label=s["language"])
+        header = gr.Markdown(s["header"])
         with gr.Tabs():
-            with gr.Tab("Single (combined prompt) / 单音频模式"):
-                text1 = gr.Textbox(label="Dialogue script / 对话文本", lines=6,
-                                   placeholder="[S1]Hello! [S2]Hi there...")
-                ptext1 = gr.Textbox(label="Prompt transcript / 参考文本", lines=2)
-                paudio1 = gr.Audio(label="Prompt audio / 参考音频", type="filepath")
-                norm1 = gr.Checkbox(label="Normalize text / 文本规整", value=True)
-                seed1 = gr.Number(label="Seed", value=0, precision=0)
-                stream1 = gr.Checkbox(label="Stream audio / 流式输出", value=False)
+            with gr.Tab(s["tab_single"]) as tab1:
+                text1 = gr.Textbox(label=s["script"], lines=6,
+                                   placeholder=s["script_ph"])
+                ptext1 = gr.Textbox(label=s["prompt_transcript"], lines=2)
+                paudio1 = gr.Audio(label=s["prompt_audio"], type="filepath")
+                norm1 = gr.Checkbox(label=s["normalize"], value=True,
+                                    info=s["normalize_info"])
+                seed1 = gr.Number(label=s["seed"], value=0, precision=0)
+                stream1 = gr.Checkbox(label=s["stream"], value=False)
                 voice1 = gr.Dropdown(
-                    label="Voice (LoRA) / 音色", value="default",
+                    label=s["voice"], value="default",
                     choices=["default"] + list(voices or []),
                     visible=bool(voices))
-                btn1 = gr.Button("Generate / 生成", variant="primary")
-                out1 = gr.Audio(label="Output / 合成结果", streaming=True,
+                btn1 = gr.Button(s["generate"], variant="primary")
+                out1 = gr.Audio(label=s["output"], streaming=True,
                                 autoplay=True)
-                status1 = gr.Textbox(label="Status / 状态", interactive=False)
+                status1 = gr.Textbox(label=s["status"], interactive=False)
 
-                def _single(t, pt, pa, n, s, stream, v):
+                def _single(t, pt, pa, n, sd, stream, v, lang):
                     v = "" if v in (None, "default") else v
                     if stream:
                         yield from synthesize_single_stream(
-                            t, pt, pa, n, int(s), loader, voice=v)
+                            t, pt, pa, n, int(sd), loader, voice=v, lang=lang)
                     else:
-                        yield synthesize_single(t, pt, pa, n, int(s), loader,
-                                                voice=v)
+                        yield synthesize_single(t, pt, pa, n, int(sd), loader,
+                                                voice=v, lang=lang)
 
                 btn1.click(_single,
                            [text1, ptext1, paudio1, norm1, seed1, stream1,
-                            voice1],
+                            voice1, lang_radio],
                            [out1, status1])
                 if single_ex:
                     # full rows: text + prompt audio + transcript + normalize
@@ -215,37 +322,56 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
                     gr.Examples(
                         examples=[[t, a, pt, n] for t, a, pt, n in single_ex],
                         inputs=[text1, paudio1, ptext1, norm1],
-                        label="Examples / 示例 (Single)")
-            with gr.Tab("Role (per-speaker prompts) / 角色模式"):
-                text2 = gr.Textbox(label="Dialogue script / 对话文本", lines=6)
+                        label=s["examples_single"])
+            with gr.Tab(s["tab_role"]) as tab2:
+                text2 = gr.Textbox(label=s["script"], lines=6)
                 with gr.Row():
                     with gr.Column():
-                        s1t = gr.Textbox(label="Speaker 1 transcript")
-                        s1a = gr.Audio(label="Speaker 1 audio", type="filepath")
+                        s1t = gr.Textbox(label=s["s1_transcript"])
+                        s1a = gr.Audio(label=s["s1_audio"], type="filepath")
                     with gr.Column():
-                        s2t = gr.Textbox(label="Speaker 2 transcript")
-                        s2a = gr.Audio(label="Speaker 2 audio", type="filepath")
-                norm2 = gr.Checkbox(label="Normalize text / 文本规整", value=True)
-                seed2 = gr.Number(label="Seed", value=0, precision=0)
+                        s2t = gr.Textbox(label=s["s2_transcript"])
+                        s2a = gr.Audio(label=s["s2_audio"], type="filepath")
+                norm2 = gr.Checkbox(label=s["normalize"], value=True)
+                seed2 = gr.Number(label=s["seed"], value=0, precision=0)
                 voice2 = gr.Dropdown(
-                    label="Voice (LoRA) / 音色", value="default",
+                    label=s["voice"], value="default",
                     choices=["default"] + list(voices or []),
                     visible=bool(voices))
-                btn2 = gr.Button("Generate / 生成", variant="primary")
-                out2 = gr.Audio(label="Output / 合成结果")
-                status2 = gr.Textbox(label="Status / 状态", interactive=False)
+                btn2 = gr.Button(s["generate"], variant="primary")
+                out2 = gr.Audio(label=s["output"])
+                status2 = gr.Textbox(label=s["status"], interactive=False)
                 btn2.click(
-                    lambda t, a, b, c, d, n, s, v: synthesize_role(
-                        t, a, b, c, d, n, int(s), loader,
-                        voice="" if v in (None, "default") else v),
-                    [text2, s1t, s1a, s2t, s2a, norm2, seed2, voice2],
+                    lambda t, a, b, c, d, n, sd, v, lang: synthesize_role(
+                        t, a, b, c, d, n, int(sd), loader,
+                        voice="" if v in (None, "default") else v, lang=lang),
+                    [text2, s1t, s1a, s2t, s2a, norm2, seed2, voice2,
+                     lang_radio],
                     [out2, status2])
                 if role_ex:
                     gr.Examples(
                         examples=[[t, a1, p1, a2, p2, n]
                                   for t, a1, p1, a2, p2, n in role_ex],
                         inputs=[text2, s1a, s1t, s2a, s2t, norm2],
-                        label="Examples / 示例 (Role)")
+                        label=s["examples_role"])
+
+        # ordered exactly as LABELED_COMPONENTS (tested without gradio in
+        # tests/test_serve.py — keep the two in sync)
+        labeled = [tab1, text1, ptext1, paudio1, norm1, seed1, stream1,
+                   voice1, btn1, out1, status1,
+                   tab2, text2, s1t, s1a, s2t, s2a, norm2, seed2, voice2,
+                   btn2, out2, status2]
+        assert len(labeled) == len(LABELED_COMPONENTS)
+
+        def _on_lang(choice):
+            hdr, labels = language_updates(choice)
+            # Button label is its value, not a label kwarg
+            return [gr.update(value=hdr)] + [
+                gr.update(value=lab) if isinstance(comp, gr.Button)
+                else gr.update(label=lab)
+                for comp, lab in zip(labeled, labels)]
+
+        lang_radio.change(_on_lang, [lang_radio], [header] + labeled)
     return demo
 
 

@@ -892,7 +892,16 @@ def main(argv=None):
                         "window (~1030 rows vs 152k; skips the full-table "
                         "HBM stream each decode step). Approximation: equal "
                         "to masking all out-of-window logits to -inf, so "
-                        "generation can only stop via <|end_of_speech|>")
+                        "generation stops only on in-window non-speech ids "
+                        "(<|end_of_speech|> plus the few specials between "
+                        "the speech range and eos), never on ordinary text "
+                        "tokens")
+    p.add_argument("--attn_impl", choices=["mixed", "pallas", "xla"],
+                   default=None,
+                   help="attention backend (reference --attn_implementation): "
+                        "mixed = pallas flash prefill + measured-best decode "
+                        "policy (default), pallas = pallas kernels "
+                        "everywhere, xla = einsum attention")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                    help="multi-chip (data, model) serving mesh, e.g. 1x4 "
                         "(weights tensor-parallel over 4 chips)")
@@ -931,6 +940,9 @@ def main(argv=None):
                         "<repo>/.jax_cache, empty string disables")
     args = p.parse_args(argv)
 
+    from ..utils.helpers import maybe_debug_attach
+    maybe_debug_attach()
+
     import os
 
     import jax
@@ -957,13 +969,14 @@ def main(argv=None):
         mesh = parse_mesh_arg(args.mesh)
     if args.tiny or not args.model_path:
         from ..cli.inference import build_tiny_pipeline
-        pipeline = build_tiny_pipeline(mesh=mesh)
+        pipeline = build_tiny_pipeline(mesh=mesh, attn_impl=args.attn_impl)
     else:
         from ..pipeline.batch import TTSPipeline
         pipeline = TTSPipeline.load(
             args.model_path, args.spt_config, args.spt_ckpt, quant=args.quant,
             mesh=mesh,
-            restricted_text_head=args.restricted_text_head or None)
+            restricted_text_head=args.restricted_text_head or None,
+            attn_impl=args.attn_impl)
     server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
                           args.batch_window_ms / 1000.0,
                           scheduler=args.scheduler, pool_base=args.pool_base,

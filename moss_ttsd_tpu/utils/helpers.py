@@ -64,6 +64,18 @@ def asr_normalize_text(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def maybe_debug_attach() -> None:
+    """Env-gated remote-debug hook for the CLI entry points: set
+    ``MOSS_TTSD_DEBUG=host:port`` (or just ``port``) to block at startup
+    until a debugpy client attaches (reference wires the same hook through
+    CLI flags, XY_Tokenizer/inference.py:21-28 + helpers.py:67-72)."""
+    spec = os.environ.get("MOSS_TTSD_DEBUG")
+    if not spec:
+        return
+    host, _, port = spec.rpartition(":")
+    waiting_for_debug(host or "localhost", int(port))
+
+
 def waiting_for_debug(ip: str = "localhost", port: int = 5678) -> None:
     """Block until a debugpy client attaches (reference helpers.py:67-72).
 

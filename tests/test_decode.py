@@ -276,6 +276,87 @@ def test_top_p_mask_matches_hf():
     np.testing.assert_array_equal(ours_kept, hf_kept)
 
 
+def test_exact_top_p_matches_hf_adversarial():
+    """exact_top_p (full-vocab nucleus, no top_k) vs HF TopPLogitsWarper on
+    distributions whose nucleus exceeds the static prefilter (VERDICT r4 #8):
+    the default prefilter path WOULD truncate these; the exact path's keep-set
+    must equal HF's token for token."""
+    import torch
+    from transformers.generation.logits_process import (TemperatureLogitsWarper,
+                                                        TopPLogitsWarper)
+    from moss_ttsd_tpu.ops.sampling import exact_top_p_mask, processed_logits
+
+    rng = np.random.default_rng(11)
+    V = 2000
+    cases = []
+    # near-uniform over 600 ids: nucleus ~540 >> prefilter 128
+    x = np.full((1, V), -20.0, np.float32)
+    x[0, rng.choice(V, 600, replace=False)] = rng.standard_normal(600) * 0.01
+    cases.append((x, 0.9))
+    # heavy geometric decay: tiny nucleus (prefilter path also exact here)
+    y = (-np.arange(V, dtype=np.float32) * 0.5)[None, :].copy()
+    rng.shuffle(y[0])
+    cases.append((y, 0.95))
+    # flat-ish everything: nucleus ~ top_p * V
+    cases.append((rng.standard_normal((2, V)).astype(np.float32) * 0.05, 0.8))
+    # top_p ~ 1: nucleus is nearly the whole vocab
+    cases.append((rng.standard_normal((1, V)).astype(np.float32), 0.999))
+    for temp in (1.0, 0.7):
+        for logits, top_p in cases:
+            hf = torch.from_numpy(logits.copy())
+            if temp != 1.0:
+                hf = TemperatureLogitsWarper(temperature=temp)(None, hf)
+            hf = TopPLogitsWarper(top_p=top_p)(None, hf).numpy()
+            hf_kept = hf > -1e9
+            assert hf_kept.sum() > 0
+            mask = np.asarray(exact_top_p_mask(
+                jnp.asarray(logits) / temp, top_p))
+            np.testing.assert_array_equal(mask, hf_kept,
+                                          err_msg=f"top_p={top_p} temp={temp}")
+            # the dense processed_logits path agrees (and proves the exact
+            # branch engages without top_k)
+            p = ChannelParams(do_sample=True, temperature=temp, top_k=0,
+                              top_p=top_p, repetition_penalty=1.0,
+                              exact_top_p=True)
+            presence = jnp.zeros(logits.shape, bool)
+            dense = np.asarray(processed_logits(jnp.asarray(logits), presence,
+                                                p, prefilter_k=128))
+            np.testing.assert_array_equal(dense > -1e9, hf_kept)
+            np.testing.assert_allclose(dense[hf_kept],
+                                       (logits / temp)[hf_kept], rtol=1e-6)
+
+
+def test_exact_top_p_sampler_reaches_beyond_prefilter():
+    """The exact sampler can draw ids the 128-wide prefilter path can never
+    emit, and never draws outside the HF nucleus."""
+    from moss_ttsd_tpu.ops.sampling import (exact_top_p_mask,
+                                            sample_from_channel_rowkeys)
+    rng = np.random.default_rng(12)
+    V = 1000
+    logits = jnp.asarray(rng.standard_normal((4, V)).astype(np.float32) * 0.01)
+    p = ChannelParams(do_sample=True, temperature=1.0, top_k=0, top_p=0.95,
+                      repetition_penalty=1.0, exact_top_p=True)
+    kept = np.asarray(exact_top_p_mask(logits, 0.95))
+    assert kept.sum(-1).min() > 500          # nucleus far beyond prefilter
+    prefilter_ids = np.argsort(-np.asarray(logits), axis=-1)[:, :128]
+    seen_outside = False
+    for seed in range(40):
+        toks = np.asarray(sample_from_channel(jax.random.PRNGKey(seed),
+                                              logits, p))
+        for b in range(4):
+            assert kept[b, toks[b]]
+            seen_outside |= toks[b] not in prefilter_ids[b]
+    assert seen_outside
+    # rowkeys variant (continuous pool) bit-matches the batch-1 static draw
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(4, dtype=jnp.uint32))
+    row = np.asarray(sample_from_channel_rowkeys(keys, logits, p))
+    for b in range(4):
+        single = np.asarray(sample_from_channel(
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray([b], jnp.uint32))[0],
+            logits[b:b + 1], p))
+        assert row[b] == single[0]
+
+
 def test_sample_from_channel_respects_topk_topp():
     rng = np.random.default_rng(5)
     logits = jnp.asarray(rng.standard_normal((4, 100)).astype(np.float32) * 3)

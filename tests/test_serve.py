@@ -82,6 +82,51 @@ def test_gradio_interface_gated():
             create_gradio_interface()
 
 
+def test_gradio_bilingual_toggle_contract():
+    """The zh/en label sets cover the same keys, every label is non-empty,
+    the zh set is actually Chinese, and the language-radio update emits one
+    label per component in LABELED_COMPONENTS order (reference bilingual UI,
+    gradio_demo.py:278-528). Pure-Python contract — runs without gradio."""
+    from moss_ttsd_tpu.serve.gradio_app import (LABELED_COMPONENTS,
+                                                UI_STRINGS, language_updates,
+                                                ui_strings)
+    en, zh = UI_STRINGS["en"], UI_STRINGS["zh"]
+    assert set(en) == set(zh)
+    assert all(v for v in en.values()) and all(v for v in zh.values())
+    assert set(LABELED_COMPONENTS) <= set(en)
+    # zh strings contain CJK (the shared "language" label is bilingual)
+    cjk = lambda t: any("一" <= ch <= "鿿" for ch in t)
+    assert all(cjk(zh[k]) for k in zh if k != "language")
+    assert not any(cjk(en[k]) for k in en if k not in ("language", "header"))
+    for lang, table in (("English", en), ("中文", zh), ("en", en), ("zh", zh)):
+        hdr, labels = language_updates(lang)
+        assert hdr == table["header"]
+        assert labels == [table[k] for k in LABELED_COMPONENTS]
+    assert ui_strings("nonsense") is en     # unknown -> English
+    # localized status strings format cleanly
+    for table in (en, zh):
+        assert "3.0" in table["status_generated"].format(seconds=3.0)
+        assert "1.5" in table["status_streaming"].format(seconds=1.5)
+
+
+def test_gradio_status_strings_localized(tmp_path, monkeypatch):
+    """synthesize_* return zh statuses when the radio is on 中文 (the no-speech
+    early return needs no pipeline work — empty text produces no tokens)."""
+    from moss_ttsd_tpu.serve import gradio_app
+
+    class _Pipe:
+        def process_batch(self, items, **kw):
+            return [{"final_text": ""}], [None]
+
+    monkeypatch.setattr(gradio_app, "_PIPELINE", _Pipe())
+    _, status_zh = gradio_app.synthesize_single("", "", None, lang="中文")
+    assert status_zh == gradio_app.UI_STRINGS["zh"]["status_no_speech"]
+    _, status_en = gradio_app.synthesize_role("", "", None, "", None,
+                                              lang="English")
+    assert status_en == gradio_app.UI_STRINGS["en"]["status_no_speech"]
+    monkeypatch.setattr(gradio_app, "_PIPELINE", None)
+
+
 def test_gradio_examples_loader(tmp_path):
     from moss_ttsd_tpu.serve.gradio_app import load_examples_from_jsonl
     p = str(tmp_path / "ex.jsonl")
