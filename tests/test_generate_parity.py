@@ -133,6 +133,148 @@ def test_greedy_generation_token_exact(models, steps):
     np.testing.assert_array_equal(our_gen[:, :n], ref_gen[:, :n])
 
 
+@pytest.fixture(scope="module")
+def deep_models():
+    """8-layer / 8-head geometry (VERDICT r4 #5): deep enough that
+    positioning/masking bugs which cancel at 2 layers would compound, with a
+    biased non-speech token so one batch row EOS-flushes mid-generation."""
+    install_reference_stubs()
+    import torch
+    from modeling_asteroid import AsteroidTTSConfig, AsteroidTTSInstruct
+
+    torch.manual_seed(1)
+    ref_cfg = AsteroidTTSConfig(
+        vocab_size=VOCAB, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=8, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=16, rms_norm_eps=1e-6, rope_theta=10000.0,
+        attention_bias=False, attention_dropout=0.0,
+        max_position_embeddings=512,
+        channels=8, speech_pad_token=PAD_SPEECH, speech_vocab_size=1025,
+        speech_token_range=list(SPEECH_RANGE),
+        eos_token_id=EOS, pad_token_id=PAD_TEXT,
+        attn_implementation="eager")
+    ref_model = AsteroidTTSInstruct(ref_cfg).eval()
+    with torch.no_grad():
+        emb = ref_model.model.embedding_list[0].weight
+        # speech mass so greedy decode emits speech...
+        emb[SPEECH_RANGE[0]:SPEECH_RANGE[1]] += 0.13 * torch.randn(
+            SPEECH_RANGE[1] - SPEECH_RANGE[0], emb.shape[1])
+        # ...plus one attractive ORDINARY text token: tuned (d=0.8) so row 0
+        # of the test batch greedily picks it immediately — a non-speech
+        # token inside the teacher-forcing window, firing the reference's
+        # EOS-flush machinery mid-batch (modeling_asteroid.py:140-153) while
+        # the other rows decode to the step limit
+        emb[5000] += 0.8 * torch.randn(emb.shape[1])
+    ref_model.tie_weights()
+
+    our_cfg = LMConfig(
+        vocab_size=VOCAB, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=8, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=16, rms_norm_eps=1e-6, rope_theta=10000.0,
+        max_position_embeddings=512,
+        channels=8, speech_pad_token=PAD_SPEECH, speech_vocab_size=1025,
+        speech_token_range=SPEECH_RANGE, eos_token_id=EOS,
+        pad_token_id=PAD_TEXT, dtype="float32", param_dtype="float32")
+    params = convert_asteroid_state_dict(ref_model.state_dict(), our_cfg)
+    return ref_model, our_cfg, params
+
+
+def _deep_prompts():
+    rng = np.random.default_rng(7)
+    # voice-clone rows (text + audio-token prompt prefix), a text-only row,
+    # and a short row — mixed lengths exercise left-pad bucketing
+    return [make_prompt(rng, 8, 10), make_prompt(rng, 6, 4),
+            make_prompt(rng, 12, 0), make_prompt(rng, 3, 2)]
+
+
+def _run_reference(ref_model, batch, mask, steps):
+    import torch
+    from transformers import GenerationConfig
+    from transformers.cache_utils import DynamicCache
+    from transformers.generation.logits_process import LogitsProcessorList
+    from transformers.generation.stopping_criteria import (
+        EosTokenCriteria, MaxLengthCriteria, StoppingCriteriaList)
+    L = batch.shape[1]
+    gc = GenerationConfig(max_new_tokens=steps, eos_token_id=EOS,
+                          pad_token_id=PAD_TEXT, do_sample=False)
+    gc.max_length = L + steps
+    gc.do_samples = [False] * 8
+    gc.layers = [{} for _ in range(8)]
+    stopping = StoppingCriteriaList([MaxLengthCriteria(max_length=L + steps),
+                                     EosTokenCriteria(eos_token_id=EOS)])
+    with torch.no_grad():
+        out = ref_model._sample(
+            torch.from_numpy(batch),
+            logits_processor=LogitsProcessorList(),
+            stopping_criteria=stopping,
+            generation_config=gc,
+            synced_gpus=False,
+            streamer=None,
+            attention_mask=torch.from_numpy(mask),
+            use_cache=True,
+            past_key_values=DynamicCache())
+    return out.numpy()
+
+
+def test_deep_geometry_mixed_batch_token_exact(deep_models):
+    """B=4 mixed prompt lengths (voice-clone rows + text-only + short) at the
+    8-layer geometry, greedy, with one row EOS-flushing inside the
+    teacher-forcing window while the rest decode to the limit: token-exact
+    vs the reference loop, through BOTH the static engine and the continuous
+    pool (VERDICT r4 #5; reference generation_utils.py:341-477)."""
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    ref_model, our_cfg, params = deep_models
+    prompts = _deep_prompts()
+    batch, mask = left_pad_batch(prompts, PAD_TEXT, PAD_SPEECH)
+    L = batch.shape[1]
+    steps = 40
+
+    ref_out = _run_reference(ref_model, batch, mask, steps)
+    base = L - 8 + 1
+    ref_gen = ref_out[:, base:]
+
+    # scenario sanity: row 0 flushed mid-batch (eos in its generated ch0),
+    # at least one other row ran the full budget without stopping
+    has_eos = (ref_gen[..., 0] == EOS).any(axis=1)
+    assert has_eos[0], "tuning drifted: row 0 no longer EOS-flushes"
+    assert not has_eos[1:].all(), "tuning drifted: every row stopped early"
+
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=False, temperature=None,
+                                        top_k=None, top_p=None)
+                  for _ in range(8)],
+        max_new_tokens=steps)
+    eng = GenerationEngine(our_cfg, params, sampling, bucket=L,
+                           cache_dtype=jnp.float32)
+    res = eng.generate(batch, mask, max_new_tokens=steps, seed=0)
+    our_gen = res.tokens[:, base:]
+    n = min(ref_gen.shape[1], our_gen.shape[1])
+    assert n >= steps, f"overlap {n} < steps {steps}"
+    np.testing.assert_array_equal(our_gen[:, :n], ref_gen[:, :n])
+
+    # continuous pool: same prompts as staggered independent requests —
+    # each row must reproduce its reference tokens exactly
+    from moss_ttsd_tpu.decode.continuous import ContinuousBatcher
+    cb = ContinuousBatcher(our_cfg, params, sampling, slots=4,
+                           base=L, max_steps=48, cache_dtype=jnp.float32)
+    slots = []
+    for i, p in enumerate(prompts):
+        slots.append(cb.submit(p, max_new_tokens=steps))
+        cb.run(steps=3)                  # stagger the joins
+    for _ in range(30):
+        cb.run(steps=8)
+        if len(cb.finished()) == len(slots):
+            break
+    for row, slot in enumerate(slots):
+        got = cb.collect(slot)
+        pool_gen = got.tokens[0, got.base:]
+        m = min(len(pool_gen), ref_gen.shape[1])
+        assert m >= min(steps, got.steps)
+        np.testing.assert_array_equal(
+            pool_gen[:m], ref_gen[row, :m],
+            err_msg=f"pool row {row} diverged from the reference")
+
+
 def test_training_loss_parity(models):
     """Full training objective vs the reference forward-with-labels
     (per-channel shifted CE, -100 masking, [8,2,1,...] weighting)."""
