@@ -135,6 +135,17 @@ class LMConfig:
     # ordinary text ids mid-speech in practice; enable for serving
     # throughput.
     restricted_text_head: bool = False
+    # Restricted-head AUDIT (only with restricted_text_head): every N-th
+    # decode step additionally stream the FULL text head and count the batch
+    # rows where the best OUT-of-window logit beats the best in-window one —
+    # i.e. steps where the reference's full head would have preferred an
+    # ordinary text token and the restriction plausibly changed the outcome
+    # (its "any non-speech stops generation" trigger,
+    # modeling_asteroid.py:140-141). Counters ride the decode state and come
+    # back on GenerateResult.audit = (rows_audited, rows_flagged). Cost is
+    # the full-table stream amortized /N (~0.4 ms / N per step on v5e).
+    # 0 = off.
+    restricted_audit_every: int = 0
     # layerwise LoRA adapters on the attention/MLP projections (the
     # reference's peft targets, finetune/finetune.py:153): rank 0 = off.
     # Adapters add "lora_a"/"lora_b" leaves next to each kernel; the base

@@ -47,6 +47,9 @@ class GenerateResult(NamedTuple):
     base: int                # index of the first generated row (== bucketed L - C + 1)
     unfinished: Optional[np.ndarray] = None   # (B,) bool — rows still decoding
                                               # (populated by generate_stream)
+    audit: Optional[Tuple[int, int]] = None   # restricted-head audit counters
+                                              # (rows_audited, rows_flagged) —
+                                              # cfg.restricted_audit_every
 
 
 class DecodeState(NamedTuple):
@@ -62,6 +65,10 @@ class DecodeState(NamedTuple):
     #                             (B, window) over cfg.text_head_window())
     presence_speech: jnp.ndarray  # (B, C-1, V_speech) bool
     rng: jax.Array
+    audit_rows: jnp.ndarray     # scalar int32 — unfinished rows audited
+    audit_flagged: jnp.ndarray  # scalar int32 — rows where the full head's
+    #                             best OUT-of-window logit beat the window max
+    #                             (cfg.restricted_audit_every; 0 when off)
 
 
 def sample_channels(rng, text_logits, speech_logits, presence_text,
@@ -179,6 +186,28 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             state.presence_speech, s, ch_params, prefilter, approx_topk,
             eos, pad_speech, t_lo)
 
+        # restricted-head audit: every N-th step stream the FULL text head
+        # once and count unfinished rows whose best out-of-window raw logit
+        # beats the window max — the steps where the reference's full head
+        # plausibly preferred an ordinary text token (and would have stopped
+        # generation, modeling_asteroid.py:140-141). lax.cond keeps the
+        # full-table stream off the other N-1 steps.
+        audit_rows, audit_flagged = state.audit_rows, state.audit_flagged
+        if restricted and cfg.restricted_audit_every > 0:
+            def do_audit(hidden):
+                outside = model.apply(params, hidden,
+                                      method=AsteroidLM.text_logits_outside_max)
+                inside = jnp.max(text_logits, axis=-1)
+                live = state.unfinished & (state.needs < 0)
+                return (jnp.sum(live).astype(jnp.int32),
+                        jnp.sum(live & (outside > inside)).astype(jnp.int32))
+
+            dr, df = jax.lax.cond(
+                s % cfg.restricted_audit_every == 0, do_audit,
+                lambda _: (jnp.int32(0), jnp.int32(0)), state.hidden_last)
+            audit_rows = audit_rows + dr
+            audit_flagged = audit_flagged + df
+
         # EOS detection on the *sampled* channel 0 (reference :140-141)
         trigger = (~is_speech(next_tokens[:, 0])) & (state.needs < 0)
         needs = jnp.where(trigger, C - 1, state.needs)
@@ -230,7 +259,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             key_valid=key_valid, hidden_last=hidden,
             last_pos=state.last_pos + 1, needs=needs, unfinished=unfinished,
             presence_text=presence_text, presence_speech=presence_speech,
-            rng=rng)
+            rng=rng, audit_rows=audit_rows, audit_flagged=audit_flagged)
 
     def prefill(params, tokens_full, attn_mask, rng, adapters=None,
                 adapter_ids=None) -> DecodeState:
@@ -264,7 +293,7 @@ def _build_generate_fn(model: AsteroidLM, cfg: LMConfig, sampling: SamplingConfi
             presence_speech=jnp.moveaxis(
                 jax.vmap(presence_from_history, in_axes=(2, None))(
                     buf[:, :base, 1:], cfg.speech_vocab_size), 0, 1),
-            rng=rng)
+            rng=rng, audit_rows=jnp.int32(0), audit_flagged=jnp.int32(0))
 
     def run(params, state: DecodeState, upto, adapters=None,
             adapter_ids=None) -> DecodeState:
@@ -297,7 +326,8 @@ class GenerationEngine:
                  decode_len_bucket: Optional[int] = None,
                  decode_extent_kernel: Optional[bool] = None,
                  restricted_text_head: Optional[bool] = None,
-                 attn_impl: Optional[str] = None):
+                 attn_impl: Optional[str] = None,
+                 restricted_audit_every: Optional[int] = None):
         """quant="int8" stores projection/embedding weights int8 with
         per-channel scales (w8a16): ~1.9x less HBM weight traffic per decode
         step, dequant fused into each matmul (ops/quantize.py). Composes with
@@ -337,7 +367,9 @@ class GenerationEngine:
                                         decode_extent_kernel),
                                        ("restricted_text_head",
                                         restricted_text_head),
-                                       ("attn_impl", attn_impl))
+                                       ("attn_impl", attn_impl),
+                                       ("restricted_audit_every",
+                                        restricted_audit_every))
                      if v is not None}
         if overrides:
             import dataclasses
@@ -545,8 +577,11 @@ class GenerationEngine:
                         stacks, aids)
         state = run(self.params, state, jnp.int32(max_steps), stacks, aids)
         steps = int(state.step)
+        audit = ((int(state.audit_rows), int(state.audit_flagged))
+                 if self.cfg.restricted_text_head
+                 and self.cfg.restricted_audit_every > 0 else None)
         return GenerateResult(tokens=np.asarray(state.tokens[:, :base + steps]),
-                              steps=steps, base=base)
+                              steps=steps, base=base, audit=audit)
 
     def generate_stream(self, input_ids: np.ndarray, attention_mask: np.ndarray,
                         max_new_tokens: Optional[int] = None, seed: int = 0,

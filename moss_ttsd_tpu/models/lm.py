@@ -550,6 +550,29 @@ class AsteroidLM(nn.Module):
                        preferred_element_type=jnp.float32)
         return t, s
 
+    def text_logits_outside_max(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Max channel-0 logit OUTSIDE the restricted-head window
+        (cfg.text_head_window) — the restricted-head audit probe
+        (cfg.restricted_audit_every): one full-table head stream that
+        answers "would the full head have preferred an ordinary text token
+        here?". hidden (B, 1, H) -> (B,) fp32."""
+        c = self.cfg
+        lo, hi = c.text_head_window()
+        if c.quantized:
+            dtype = jnp.dtype(c.dtype)
+            h = hidden.astype(dtype)
+            t = jnp.einsum("...d,vd->...v", h, self.embed_text_q.astype(dtype),
+                           preferred_element_type=jnp.float32)
+            t = t * self.embed_text_s[:, 0].astype(jnp.float32)
+        else:
+            h = hidden.astype(self.embed_text.dtype)
+            t = jnp.einsum("...d,vd->...v", h, self.embed_text,
+                           preferred_element_type=jnp.float32)
+        v = jnp.arange(c.vocab_size)
+        outside = (v < lo) | (v >= hi)
+        t = jnp.where(outside, t, jnp.float32(-jnp.inf))
+        return jnp.max(t[:, 0], axis=-1)
+
     def __call__(self, input_ids: jnp.ndarray,
                  attention_mask: Optional[jnp.ndarray] = None):
         """Training/eval forward without cache: full logits.

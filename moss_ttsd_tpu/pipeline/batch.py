@@ -176,7 +176,8 @@ class TTSPipeline:
                  vocode_rows_per_call: Optional[int] = 4,
                  overlap_vocode: bool = True, encode_cache_size: int = 16,
                  restricted_text_head: Optional[bool] = None,
-                 attn_impl: Optional[str] = None):
+                 attn_impl: Optional[str] = None,
+                 restricted_audit_every: Optional[int] = None):
         """``vocode_rows_per_call`` batch-splits each vocode chunk so the
         device computes group i+1 while the host reads group i back (see
         XYTokenizer.decode); ``overlap_vocode`` dispatches completed 30 s
@@ -200,7 +201,8 @@ class TTSPipeline:
         self.engine = GenerationEngine(
             lm_cfg, lm_params, sampling, bucket=bucket, mesh=mesh,
             quant=quant, restricted_text_head=restricted_text_head,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl,
+            restricted_audit_every=restricted_audit_every)
         self.lm_cfg = self.engine.cfg      # reflects decode-policy overrides
         self.spt = spt
         self.vocode_rows_per_call = vocode_rows_per_call
@@ -219,7 +221,8 @@ class TTSPipeline:
              quant: Optional[str] = None,
              codec_dtype: Optional[str] = "bfloat16",
              restricted_text_head: Optional[bool] = None,
-             attn_impl: Optional[str] = None):
+             attn_impl: Optional[str] = None,
+             restricted_audit_every: Optional[int] = None):
         """Load from an HF-format LM dir + codec checkpoint
         (reference load_model, generation_utils.py:15-24).
 
@@ -242,7 +245,8 @@ class TTSPipeline:
                     gen_cfg, lm_cfg.channels)
         return cls(tokenizer, lm_cfg, lm_params, spt, sampling, mesh=mesh,
                    quant=quant, restricted_text_head=restricted_text_head,
-                   attn_impl=attn_impl)
+                   attn_impl=attn_impl,
+                   restricted_audit_every=restricted_audit_every)
 
     # ------------------------------------------------------------------
 

@@ -902,6 +902,15 @@ def main(argv=None):
                         "mixed = pallas flash prefill + measured-best decode "
                         "policy (default), pallas = pallas kernels "
                         "everywhere, xla = einsum attention")
+    p.add_argument("--restricted_audit_every", type=int, default=0,
+                   metavar="N",
+                   help="with --restricted_text_head: every N-th decode step "
+                        "stream the FULL text head once and count rows where "
+                        "an out-of-window logit beat the window max (the "
+                        "steps where the reference's full head would have "
+                        "preferred an ordinary text token). Costs the full-"
+                        "table stream /N (~0.4/N ms per step); counters "
+                        "return on GenerateResult.audit. 0 = off")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                    help="multi-chip (data, model) serving mesh, e.g. 1x4 "
                         "(weights tensor-parallel over 4 chips)")
@@ -976,7 +985,8 @@ def main(argv=None):
             args.model_path, args.spt_config, args.spt_ckpt, quant=args.quant,
             mesh=mesh,
             restricted_text_head=args.restricted_text_head or None,
-            attn_impl=args.attn_impl)
+            attn_impl=args.attn_impl,
+            restricted_audit_every=args.restricted_audit_every or None)
     server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
                           args.batch_window_ms / 1000.0,
                           scheduler=args.scheduler, pool_base=args.pool_base,

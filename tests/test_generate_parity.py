@@ -315,6 +315,66 @@ def test_training_loss_parity(models):
     np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
 
 
+def test_restricted_head_divergence_quantified(models):
+    """VERDICT r4 #3: how often would the restricted head's stopping rule
+    diverge from the reference's? On the speech-biased oracle (the closest
+    available proxy for a trained checkpoint — no public weights ship in
+    this environment) under a realistic sampled config (temp 0.9 / top-k 50 /
+    top-p 0.95), measure (a) how often the FULL head emits an
+    out-of-window channel-0 token mid-generation (the event the restriction
+    masks) and (b) the restricted-head audit's flag rate on the same
+    prompts. Prints both rates; asserts the audit agrees with the direct
+    measurement in direction (zero/nonzero)."""
+    ref_model, our_cfg, params = models
+    rng = np.random.default_rng(21)
+    prompts = [make_prompt(rng, 6, 4), make_prompt(rng, 4, 2),
+               make_prompt(rng, 8, 6), make_prompt(rng, 5, 0)]
+    from moss_ttsd_tpu.pipeline.prompt import left_pad_batch
+    batch, mask = left_pad_batch(prompts, PAD_TEXT, PAD_SPEECH)
+    steps = 24
+    sampling = SamplingConfig(
+        channels=[ChannelSamplingConfig(do_sample=True, temperature=0.9,
+                                        top_k=50, top_p=0.95)
+                  for _ in range(8)],
+        max_new_tokens=steps)
+
+    # (a) full head: out-of-window ch0 emissions before each row's stop
+    full_eng = GenerationEngine(our_cfg, params, sampling,
+                                bucket=batch.shape[1],
+                                cache_dtype=jnp.float32)
+    emitted = total = 0
+    for seed in range(4):
+        res = full_eng.generate(batch, mask, max_new_tokens=steps, seed=seed)
+        gen0 = res.tokens[:, res.base:, 0]
+        for row in gen0:
+            # count up to (and incl.) the first non-speech token: after it
+            # the row is flushing/finished and fills are not "emissions"
+            for t in row:
+                total += 1
+                if not (SPEECH_RANGE[0] <= t < SPEECH_RANGE[1]):
+                    emitted += int(t != EOS)
+                    break
+
+    # (b) restricted head + audit on the same prompts/seeds
+    import dataclasses
+    r_cfg = dataclasses.replace(our_cfg, restricted_text_head=True,
+                                restricted_audit_every=2)
+    r_eng = GenerationEngine(r_cfg, params, sampling, bucket=batch.shape[1],
+                             cache_dtype=jnp.float32)
+    audited = flagged = 0
+    for seed in range(4):
+        res = r_eng.generate(batch, mask, max_new_tokens=steps, seed=seed)
+        a, f = res.audit
+        audited += a
+        flagged += f
+    print(f"restricted-head divergence on the speech-biased oracle: "
+          f"full head emitted non-speech/non-EOS on {emitted}/{total} "
+          f"pre-stop steps; audit flagged {flagged}/{audited} audited rows")
+    assert audited > 0
+    assert (flagged == 0) == (emitted == 0), (
+        "audit disagrees with the direct full-head measurement")
+
+
 def _hf_chain(rp, temp, top_k, top_p):
     from transformers.generation.logits_process import (
         LogitsProcessorList, RepetitionPenaltyLogitsProcessor,

@@ -268,3 +268,76 @@ def test_pool_restricted_matches_restricted_engine(setup):
         assert got.steps == exp.steps
         np.testing.assert_array_equal(got.tokens[0, got.base:],
                                       exp.tokens[0, exp.base:])
+
+
+# ---------------------------------------------------------------------------
+# Restricted-head AUDIT (cfg.restricted_audit_every, VERDICT r4 #3): every
+# N-th step the FULL text head streams once and counts rows where the best
+# out-of-window logit beats the window max — the steps where the reference's
+# full head plausibly preferred an ordinary text token.
+# ---------------------------------------------------------------------------
+
+def _with_text_bias(params, row_slice, delta, seed=0):
+    """Return params with embed_text[row_slice] += delta * randn."""
+    import copy
+    p = jax.tree.map(np.asarray, params)
+    emb = p["params"]["embed_text"].copy()
+    rng = np.random.default_rng(seed)
+    emb[row_slice] = emb[row_slice] + delta * rng.standard_normal(
+        emb[row_slice].shape).astype(emb.dtype)
+    p = copy.deepcopy(p)
+    p["params"]["embed_text"] = emb
+    return p
+
+
+def test_audit_counters_flag_out_of_window_preference(setup):
+    cfg, model, params = setup
+    lo, hi = 100, 151                      # tiny window (speech + eos)
+    rng = np.random.default_rng(3)
+    prompt = make_prompt(cfg, rng, 6, 4)
+    batch, mask = left_pad_batch([prompt] * 3, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    steps = 12
+
+    # speech-favored weights (a trained model's regime): zero flags
+    p_speech = _with_text_bias(params, slice(lo, hi), 3.0)
+    eng = GenerationEngine(cfg, p_speech, sampled_sampling(cfg.channels),
+                           bucket=16, cache_dtype=jnp.float32, step_bucket=16,
+                           restricted_text_head=True, restricted_audit_every=2)
+    res = eng.generate(batch, mask, max_new_tokens=steps, seed=0)
+    audited, flagged = res.audit
+    assert audited > 0
+    assert flagged == 0
+
+    # an overwhelmingly attractive ORDINARY text token: every audited row
+    # flags (the restriction is masking a token the full head would pick)
+    p_text = _with_text_bias(params, slice(5, 6), 30.0)
+    eng2 = GenerationEngine(cfg, p_text, sampled_sampling(cfg.channels),
+                            bucket=16, cache_dtype=jnp.float32, step_bucket=16,
+                            restricted_text_head=True, restricted_audit_every=2)
+    res2 = eng2.generate(batch, mask, max_new_tokens=steps, seed=0)
+    audited2, flagged2 = res2.audit
+    assert audited2 > 0
+    assert flagged2 == audited2
+
+
+def test_audit_does_not_perturb_generation(setup):
+    """Auditing is observation-only: token output is bitwise identical with
+    and without it (no rng or logits interaction), and audit=None off."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(5)
+    prompt = make_prompt(cfg, rng, 5, 3)
+    batch, mask = left_pad_batch([prompt] * 2, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    kw = dict(bucket=16, cache_dtype=jnp.float32, step_bucket=16,
+              restricted_text_head=True)
+    plain = GenerationEngine(cfg, params, sampled_sampling(cfg.channels),
+                             **kw).generate(batch, mask, max_new_tokens=10,
+                                            seed=11)
+    audited = GenerationEngine(cfg, params, sampled_sampling(cfg.channels),
+                               restricted_audit_every=3,
+                               **kw).generate(batch, mask, max_new_tokens=10,
+                                              seed=11)
+    assert plain.audit is None and audited.audit is not None
+    assert plain.steps == audited.steps
+    np.testing.assert_array_equal(plain.tokens, audited.tokens)
