@@ -70,17 +70,28 @@ def main():
     cfg = type(cfg)(**{**cfg.to_dict(),
                        "speech_token_range": (0, cfg.vocab_size),
                        "param_dtype": "bfloat16"})
-    model = AsteroidLM(cfg)
     rng = jax.random.PRNGKey(0)
 
-    print("init LM params...", file=sys.stderr)
-    abstract = jax.eval_shape(
-        lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)), rng)
-    leaves, treedef = jax.tree.flatten(abstract)
-    keys = list(jax.random.split(rng, len(leaves)))
-    params = jax.tree.unflatten(treedef, [
-        (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
-        for k, s in zip(keys, leaves)])
+    # COLD-PATH DESIGN (VERDICT r4 #1): everything on the axon backend
+    # compiles REMOTELY at first execution (PALLAS_AXON_REMOTE_COMPILE=1) and
+    # block_until_ready does NOT force queued work — only value readbacks do.
+    # So (a) the random weights are initialized DIRECTLY in the int8 serving
+    # layout by ONE jitted init program (per-leaf host-side init + separate
+    # quantize used to queue ~500 little programs whose remote compiles
+    # dominated the old "first call" — BENCH_r04's 1105.7 s), and (b) every
+    # phase below forces a readback so the artifact attributes remote time to
+    # the phase that caused it.
+    import dataclasses
+    t_phase = time.perf_counter()
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    qmodel = AsteroidLM(qcfg)
+    print("init LM params (int8 serving layout, one program)...",
+          file=sys.stderr)
+    params = jax.jit(lambda k: qmodel.init(
+        k, jnp.zeros((1, 8, cfg.channels), jnp.int32)))(rng)
+    _ = float(jnp.sum(params["params"]["final_norm"]["weight"]))
+    init_s = time.perf_counter() - t_phase
+    print(f"param init (dispatch + exec): {init_s:.1f}s", file=sys.stderr)
 
     nprng = np.random.default_rng(0)
     ids = np.full((B, PROMPT_LEN, cfg.channels), cfg.speech_pad_token, np.int64)
@@ -93,15 +104,36 @@ def main():
                   for _ in range(cfg.channels)],
         max_new_tokens=DECODE_STEPS,
         approx_topk=True)
+    # the tree is already in quantized layout -> the engine skips the cast
+    # and per-leaf quantize programs entirely
+    t_phase = time.perf_counter()
     engine = GenerationEngine(cfg, params, sampling, bucket=PROMPT_LEN,
                               quant="int8")
+    engine_init_s = time.perf_counter() - t_phase
     del params
 
     print("compile + run generate...", file=sys.stderr)
     t0 = time.perf_counter()
-    engine.generate(ids, mask, max_new_tokens=DECODE_STEPS, seed=0)
-    print(f"first call (compile + run): {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    max_steps, buf_steps = engine._step_budget(DECODE_STEPS, ids.shape[1])
+    ids_b, mask_b, base = engine._bucket_prompt(ids, mask)
+    prefill, run = engine._get_fns(base, buf_steps)
+    state = prefill(engine.params, jnp.asarray(ids_b), jnp.asarray(mask_b),
+                    jax.random.PRNGKey(0), None, None)
+    prefill_client_s = time.perf_counter() - t0
+    _ = float(jnp.sum(state.last_pos.astype(jnp.float32)))
+    t1 = time.perf_counter()
+    prefill_remote_s = t1 - t0 - prefill_client_s
+    state = run(engine.params, state, jnp.int32(max_steps), None, None)
+    run_client_s = time.perf_counter() - t1
+    _ = int(state.step)
+    run_remote_s = time.perf_counter() - t1 - run_client_s
+    first_call_s = time.perf_counter() - t0
+    del state
+    print(f"first call (compile + run): {first_call_s:.1f}s "
+          f"[prefill client {prefill_client_s:.1f} + remote "
+          f"{prefill_remote_s:.1f}; run client {run_client_s:.1f} + remote "
+          f"{run_remote_s:.1f}; param init {init_s:.1f}; engine init "
+          f"{engine_init_s:.1f}]", file=sys.stderr)
 
     # best-of-3: the axon tunnel adds run-to-run wall-clock jitter
     decode_s = None
@@ -220,6 +252,16 @@ def main():
 
     rtf = audio_sec / (decode_s + vocode_s)
     rtf_excl = audio_sec / (decode_s + max(vocode_s - transfer_s, 0.01))
+    # tunnel-bandwidth evidence (VERDICT r4 #7): the measured link rate for
+    # the calibrated PCM payload, and the sustained pipeline re-projected
+    # onto a PCIe-class link (16 GB/s): the tunnel readbacks serialize on
+    # link bandwidth (they exceed a decode's wall time), so the projection
+    # swaps the K measured batch-readback times for PCIe-rate transfers.
+    pcm_bytes = B * n_samp * 2
+    tunnel_mbps = pcm_bytes / max(transfer_s, 1e-9) / 1e6
+    sustained_pcie_s = max(sustained_s - K * transfer_s
+                           + K * pcm_bytes / 16e9, 1e-6)
+    rtf_sustained_pcie = total_audio / sustained_pcie_s
     print(json.dumps({
         "metric": "e2e_synthesis_rtf_batch8_per_chip",
         "value": round(rtf, 2),
@@ -228,9 +270,20 @@ def main():
         "decode_steps_per_s": round(steps / decode_s, 1),
         "decode_steps_per_s_restricted_head": round(steps_r / decode_r_s, 1),
         "transfer_tax_s": round(transfer_s, 2),
+        "tunnel_MBps": round(tunnel_mbps, 1),
         "rtf_sustained_3batch": round(rtf_sustained, 2),
+        "rtf_sustained_projected_pcie": round(rtf_sustained_pcie, 2),
         "rtf_excl_host_transfer": round(rtf_excl, 2),
         "codec_first_call_s": round(codec_compile_s, 1),
+        "lm_first_call_s": round(first_call_s, 1),
+        "lm_first_call_breakdown_s": {
+            "param_init": round(init_s, 1),
+            "engine_init": round(engine_init_s, 1),
+            "prefill_client": round(prefill_client_s, 1),
+            "prefill_remote": round(prefill_remote_s, 1),
+            "run_client": round(run_client_s, 1),
+            "run_remote": round(run_remote_s, 1),
+        },
     }))
 
 
