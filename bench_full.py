@@ -886,6 +886,68 @@ def bench_attention_share(decode_steps=256, prompt=64, trials=3, tiny=False):
          attention_share=round(attn_ms / full_ms, 3))
 
 
+def bench_backbone_split(decode_steps=256, prompt=64, trials=3, tiny=False):
+    """Split the decode step's NON-matmul backbone overhead (VERDICT r4 #2).
+
+    The stub-isolation breakdown leaves ~1 ms/step of the serving decode
+    unattributed (backbone 3.81 ms - bare int8 matmul sim 2.39 - attention
+    0.42). This config measures the real engine (bench.py serving config)
+    under shape-preserving ablations — norms (cfg.ablate_norms: every
+    RMSNorm -> x*w), rope (cfg.ablate_rope), attention
+    (cfg.ablate_attention) and their union — with the long-minus-short
+    methodology so dispatch/prefill cancel. Each knob's share = full minus
+    ablated; whatever the union leaves is the matmul+residual+scan floor."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_ttsd_tpu.decode.engine import GenerationEngine
+
+    B = 2 if tiny else 8
+    steps = 16 if tiny else decode_steps
+    cfg, params, sampling = make_bench_lm(tiny, steps)
+    rng = np.random.default_rng(0)
+    ids = np.full((B, prompt, cfg.channels), cfg.speech_pad_token, np.int32)
+    ids[:, :, 0] = rng.integers(1, min(10000, cfg.vocab_size - 1), (B, prompt))
+    mask = np.ones((B, prompt), np.int32)
+    n_short = max(1, steps // 8)
+
+    def decode_ms(**ablate):
+        cfg_i = dataclasses.replace(cfg, **ablate)
+        eng = GenerationEngine(cfg_i, params, sampling, bucket=prompt,
+                               quant="int8")
+
+        def timed(n, seed):
+            t0 = time.perf_counter()
+            res = eng.generate(ids, mask, max_new_tokens=n, seed=seed)
+            float(jnp.sum(jnp.asarray(res.tokens[:, -1])))
+            assert res.steps == n, (res.steps, n)
+            return time.perf_counter() - t0
+
+        timed(steps, seed=0)                       # compile + warm
+        timed(n_short, seed=0)
+        best_long = min(timed(steps, seed=1 + i) for i in range(trials))
+        best_short = min(timed(n_short, seed=1 + i) for i in range(trials))
+        ms = (best_long - best_short) / (steps - n_short) * 1e3
+        label = ",".join(k for k, v in ablate.items() if v) or "full"
+        log(f"backbonesplit {label}: {1e3 / ms:.1f} steps/s ({ms:.3f} ms/step)")
+        return ms
+
+    full = decode_ms()
+    no_norms = decode_ms(ablate_norms=True)
+    no_rope = decode_ms(ablate_rope=True)
+    no_attn = decode_ms(ablate_attention=True)
+    floor = decode_ms(ablate_norms=True, ablate_rope=True,
+                      ablate_attention=True)
+    emit("decode_backbone_split_ms_per_step", round(full, 3), "ms/step",
+         norms_ms=round(full - no_norms, 3),
+         rope_ms=round(full - no_rope, 3),
+         attention_ms=round(full - no_attn, 3),
+         matmul_floor_ms=round(floor, 3),
+         unattributed_ms=round(no_norms + no_rope + no_attn - 2 * full
+                               - floor, 3))
+
+
 def bench_multilora(slots=8, n_adapters=4, rank=16, trials=3, tiny=False):
     """Multi-LoRA pool tax: pooled decode steps/s with every row on its own
     LoRA adapter vs the plain pool. The adapter path adds per-row factor
@@ -962,7 +1024,7 @@ def main(argv=None):
     ap.add_argument("--configs", default="codec,clone,ttfa,longform",
                     help="comma list of codec,clone,ttfa,longform,serving,"
                          "batchsweep,finetune,codectrain,multilora,"
-                         "poolbreakdown,attnshare")
+                         "poolbreakdown,attnshare,backbonesplit")
     ap.add_argument("--steps", type=int, default=256,
                     help="decode steps for the voice-clone config")
     ap.add_argument("--batch", type=int, default=8)
@@ -1020,6 +1082,9 @@ def main(argv=None):
 
     if "attnshare" in configs:
         bench_attention_share(decode_steps=args.steps, tiny=args.tiny)
+
+    if "backbonesplit" in configs:
+        bench_backbone_split(decode_steps=args.steps, tiny=args.tiny)
 
     if "restrictedpool" in configs:
         bench_pool_restricted(slots=2 if args.tiny else 8, tiny=args.tiny)

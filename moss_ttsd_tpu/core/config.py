@@ -171,6 +171,13 @@ class LMConfig:
     # against this isolates attention's true per-step cost inside the
     # backbone. Never set in production paths.
     ablate_attention: bool = False
+    # BENCH-ONLY (bench_full --configs backbonesplit): shape-preserving stubs
+    # that split the non-matmul backbone overhead. ablate_norms turns every
+    # RMSNorm into x*w (drops the fp32 cast + mean + rsqrt chain: input_ln,
+    # q_norm, k_norm, post_ln per layer + final_norm); ablate_rope skips the
+    # q/k rotations (cos/sin still computed once per step outside the scan).
+    ablate_norms: bool = False
+    ablate_rope: bool = False
 
     @property
     def num_kv_groups(self) -> int:

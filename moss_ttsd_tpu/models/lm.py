@@ -37,10 +37,13 @@ from ..ops.rope import apply_rope, rope_cos_sin
 class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-6
+    ablate: bool = False     # bench-only stub: x*w (cfg.ablate_norms)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.param("weight", nn.initializers.ones, (self.dim,))
+        if self.ablate:
+            return x * w.astype(x.dtype)
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         normed = (xf * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
@@ -169,17 +172,19 @@ class Qwen3Block(nn.Module):
                 return y + delta
             return with_adapter
 
-        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln")(x)
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_ln",
+                    ablate=c.ablate_norms)(x)
         q = dense(H * D, "q_proj", c.attention_bias)(h)
         k = dense(Hkv * D, "k_proj", c.attention_bias)(h)
         v = dense(Hkv * D, "v_proj", c.attention_bias)(h)
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
-        q = RMSNorm(D, c.rms_norm_eps, name="q_norm")(q)
-        k = RMSNorm(D, c.rms_norm_eps, name="k_norm")(k)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = RMSNorm(D, c.rms_norm_eps, name="q_norm", ablate=c.ablate_norms)(q)
+        k = RMSNorm(D, c.rms_norm_eps, name="k_norm", ablate=c.ablate_norms)(k)
+        if not c.ablate_rope:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         # write_gate (continuous batching, decode/continuous.py): rows share
         # ONE scalar write slot per pool step (ring addressing), so the cache
@@ -368,7 +373,8 @@ class Qwen3Block(nn.Module):
         attn = attn.reshape(B, T, H * D)
         x = x + dense(c.hidden_size, "o_proj")(attn)
 
-        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_ln")(x)
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_ln",
+                    ablate=c.ablate_norms)(x)
         gate = dense(c.intermediate_size, "gate_proj")(h)
         up = dense(c.intermediate_size, "up_proj")(h)
         down = dense(c.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
@@ -431,7 +437,8 @@ class AsteroidLM(nn.Module):
             out_axes=0,
             length=c.num_hidden_layers,
         )(c, name="layers")
-        self.final_norm = RMSNorm(c.hidden_size, c.rms_norm_eps, name="final_norm")
+        self.final_norm = RMSNorm(c.hidden_size, c.rms_norm_eps,
+                                  name="final_norm", ablate=c.ablate_norms)
 
     # -- embeddings (reference _prepare_multi_modal_inputs, :235-250) -------
 
