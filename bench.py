@@ -113,6 +113,10 @@ def main():
     del params
 
     print("compile + run generate...", file=sys.stderr)
+    # record whether this first call ran against a warm persistent cache —
+    # the artifact is ambiguous without it (r3/r4 recorded cold LM compiles
+    # next to warm codec ones and nobody could tell)
+    pre_cache = set(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else set()
     t0 = time.perf_counter()
     max_steps, buf_steps = engine._step_budget(DECODE_STEPS, ids.shape[1])
     ids_b, mask_b, base = engine._bucket_prompt(ids, mask)
@@ -129,6 +133,10 @@ def main():
     run_remote_s = time.perf_counter() - t1 - run_client_s
     first_call_s = time.perf_counter() - t0
     del state
+    post_cache = (set(os.listdir(cache_dir)) if os.path.isdir(cache_dir)
+                  else set())
+    lm_cache_misses = sum(1 for f in post_cache - pre_cache
+                          if "prefill" in f or "run" in f)
     print(f"first call (compile + run): {first_call_s:.1f}s "
           f"[prefill client {prefill_client_s:.1f} + remote "
           f"{prefill_remote_s:.1f}; run client {run_client_s:.1f} + remote "
@@ -276,6 +284,7 @@ def main():
         "rtf_excl_host_transfer": round(rtf_excl, 2),
         "codec_first_call_s": round(codec_compile_s, 1),
         "lm_first_call_s": round(first_call_s, 1),
+        "lm_first_call_cold": lm_cache_misses > 0,
         "lm_first_call_breakdown_s": {
             "param_init": round(init_s, 1),
             "engine_init": round(engine_init_s, 1),

@@ -939,13 +939,15 @@ def bench_backbone_split(decode_steps=256, prompt=64, trials=3, tiny=False):
     no_attn = decode_ms(ablate_attention=True)
     floor = decode_ms(ablate_norms=True, ablate_rope=True,
                       ablate_attention=True)
+    fused = decode_ms(fuse_qk_norm_rope=True)   # the A/B optimization knob
     emit("decode_backbone_split_ms_per_step", round(full, 3), "ms/step",
          norms_ms=round(full - no_norms, 3),
          rope_ms=round(full - no_rope, 3),
          attention_ms=round(full - no_attn, 3),
          matmul_floor_ms=round(floor, 3),
          unattributed_ms=round(no_norms + no_rope + no_attn - 2 * full
-                               - floor, 3))
+                               - floor, 3),
+         fused_qk_norm_rope_ms=round(fused, 3))
 
 
 def bench_multilora(slots=8, n_adapters=4, rank=16, trials=3, tiny=False):

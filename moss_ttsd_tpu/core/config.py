@@ -178,6 +178,16 @@ class LMConfig:
     # q/k rotations (cos/sin still computed once per step outside the scan).
     ablate_norms: bool = False
     ablate_rope: bool = False
+    # Fuse the per-head q/k RMSNorms + RoPE into one concatenated pass
+    # (models/lm.py Qwen3Block): mathematically identical per head (the norm
+    # reduces over head_dim and rope rotates within it, so concatenating
+    # heads changes nothing; differences are float-reassociation-level,
+    # ~1e-7 fp32 — XLA schedules the fused ops differently) but halves the
+    # number of norm/rope fusion boundaries the tiny (B,1,·,D) decode
+    # tensors bounce through — a candidate for the non-matmul overhead the
+    # backbonesplit bench measures. Parity test in tests/test_lm.py.
+    # Default stays off until measured to win on v5e.
+    fuse_qk_norm_rope: bool = False
 
     @property
     def num_kv_groups(self) -> int:

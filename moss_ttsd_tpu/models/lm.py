@@ -40,8 +40,14 @@ class RMSNorm(nn.Module):
     ablate: bool = False     # bench-only stub: x*w (cfg.ablate_norms)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x=None returns the (dim,) weight alone — for callers that fuse
+        the normalization math across modules (cfg.fuse_qk_norm_rope) while
+        keeping this module's parameter path, so checkpoints are identical
+        either way."""
         w = self.param("weight", nn.initializers.ones, (self.dim,))
+        if x is None:
+            return w
         if self.ablate:
             return x * w.astype(x.dtype)
         xf = x.astype(jnp.float32)
@@ -180,11 +186,31 @@ class Qwen3Block(nn.Module):
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
-        q = RMSNorm(D, c.rms_norm_eps, name="q_norm", ablate=c.ablate_norms)(q)
-        k = RMSNorm(D, c.rms_norm_eps, name="k_norm", ablate=c.ablate_norms)(k)
-        if not c.ablate_rope:
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+        if c.fuse_qk_norm_rope and not (c.ablate_norms or c.ablate_rope):
+            # one concatenated norm+rope pass over (B, T, H+Hkv, D): the norm
+            # reduces over D and rope rotates within D, both per-head, so
+            # this is the separate-path math (float-reassociation-level
+            # differences only; tests/test_lm.py) with half the fusion
+            # boundaries on the tiny decode tensors
+            w_q = RMSNorm(D, c.rms_norm_eps, name="q_norm")(None)
+            w_k = RMSNorm(D, c.rms_norm_eps, name="k_norm")(None)
+            qk = jnp.concatenate([q, k], axis=2)
+            xf = qk.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            normed = (xf * jax.lax.rsqrt(var + c.rms_norm_eps)).astype(dtype)
+            w = jnp.concatenate(
+                [jnp.broadcast_to(w_q, (H, D)),
+                 jnp.broadcast_to(w_k, (Hkv, D))], axis=0).astype(dtype)
+            qk = apply_rope(normed * w, cos, sin)
+            q, k = qk[:, :, :H], qk[:, :, H:]
+        else:
+            q = RMSNorm(D, c.rms_norm_eps, name="q_norm",
+                        ablate=c.ablate_norms)(q)
+            k = RMSNorm(D, c.rms_norm_eps, name="k_norm",
+                        ablate=c.ablate_norms)(k)
+            if not c.ablate_rope:
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
 
         # write_gate (continuous batching, decode/continuous.py): rows share
         # ONE scalar write slot per pool step (ring addressing), so the cache

@@ -188,3 +188,37 @@ def test_ablate_attention_stub_is_shape_preserving():
         assert not np.allclose(np.asarray(new_cache["k"][0, :, :, 0]), 0.0)
         outs[ablate] = np.asarray(hidden)
     assert not np.allclose(outs[False], outs[True])
+
+
+def test_fuse_qk_norm_rope_parity():
+    """cfg.fuse_qk_norm_rope: identical param tree, same logits to float-
+    reassociation tolerance (the concatenated norm+rope pass is the same
+    per-head math, scheduled differently by XLA)."""
+    import dataclasses
+    cfg = LMConfig(dtype="float32", param_dtype="float32").tiny()
+    fcfg = dataclasses.replace(cfg, fuse_qk_norm_rope=True)
+    m, fm = AsteroidLM(cfg), AsteroidLM(fcfg)
+    rng = np.random.default_rng(0)
+    ids = np.full((2, 10, cfg.channels), cfg.speech_pad_token, np.int64)
+    ids[..., 0] = rng.integers(1, 90, (2, 10))
+    p = m.init(jax.random.PRNGKey(3), jnp.asarray(ids))
+    pf = fm.init(jax.random.PRNGKey(3), jnp.asarray(ids))
+    paths = lambda t: sorted(
+        "/".join(str(k.key) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(t)[0])
+    assert paths(p) == paths(pf)        # checkpoints interchangeable
+    t1, s1 = m.apply(p, jnp.asarray(ids))
+    t2, s2 = fm.apply(p, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-6)
+    # decode path too (cache + single-token step)
+    from moss_ttsd_tpu.models.lm import init_cache
+    B, S = 2, 12
+    cache = init_cache(cfg, B, S, jnp.float32)
+    kv = jnp.ones((B, S), bool)
+    pos = jnp.broadcast_to(jnp.arange(1)[None], (B, 1))
+    h1, _ = m.apply(p, jnp.asarray(ids[:, :1]), pos, kv, cache, 0,
+                    method=AsteroidLM.backbone)
+    h2, _ = fm.apply(p, jnp.asarray(ids[:, :1]), pos, kv, cache, 0,
+                     method=AsteroidLM.backbone)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-6)
