@@ -75,14 +75,18 @@ def random_lm_params(model, cfg, seed=0):
     With cfg.quantized the tree is generated straight in quantized layout
     (random int8 weights + small fp32 scales, ~0.02-scaled effective values)
     so no full-precision master copy ever touches HBM — the engine detects
-    the pre-quantized tree and skips conversion."""
+    the pre-quantized tree and skips conversion.
+
+    The whole tree is built by ONE jitted program: on the axon backend each
+    eager per-leaf fill is its own remotely-compiled program (~340 of them
+    at full geometry), and that queue of little remote compiles is exactly
+    what inflated BENCH_r04's first call (see bench.py cold-path note)."""
     import jax
     import jax.numpy as jnp
     rng = jax.random.PRNGKey(seed)
     abstract = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 8, cfg.channels), jnp.int32)), rng)
     flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
-    keys = list(jax.random.split(rng, len(flat)))
 
     def fill(path, spec, k):
         name = str(path[-1].key) if hasattr(path[-1], "key") else ""
@@ -93,8 +97,12 @@ def random_lm_params(model, cfg, seed=0):
         return (jax.random.normal(k, spec.shape, jnp.bfloat16) * 0.02
                 ).astype(spec.dtype)
 
-    return jax.tree_util.tree_unflatten(
-        treedef, [fill(p, s, k) for (p, s), k in zip(flat, keys)])
+    def build(k):
+        keys = list(jax.random.split(k, len(flat)))
+        return jax.tree_util.tree_unflatten(
+            treedef, [fill(p, s, kk) for (p, s), kk in zip(flat, keys)])
+
+    return jax.jit(build)(rng)
 
 
 
