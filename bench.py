@@ -45,9 +45,11 @@ def main():
     import jax
 
     # persistent compile cache: the full-size codec takes minutes to compile
-    # cold; warm runs (e.g. the driver's bench pass) skip straight to execution
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    # cold; warm runs (e.g. the driver's bench pass) skip straight to execution.
+    # MOSS_BENCH_CACHE_DIR points cold-path experiments at a scratch cache
+    # without invalidating the repo's warm .jax_cache.
+    cache_dir = os.environ.get("MOSS_BENCH_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
