@@ -576,10 +576,15 @@ class GenerationEngine:
                         jnp.asarray(attention_mask), jax.random.PRNGKey(seed),
                         stacks, aids)
         state = run(self.params, state, jnp.int32(max_steps), stacks, aids)
-        steps = int(state.step)
-        audit = ((int(state.audit_rows), int(state.audit_flagged))
-                 if self.cfg.restricted_text_head
-                 and self.cfg.restricted_audit_every > 0 else None)
+        if (self.cfg.restricted_text_head
+                and self.cfg.restricted_audit_every > 0):
+            # one packed readback: each scalar int() is its own
+            # device->host round trip through the tunnel
+            steps, a_rows, a_flag = (int(v) for v in jax.device_get(
+                (state.step, state.audit_rows, state.audit_flagged)))
+            audit = (a_rows, a_flag)
+        else:
+            steps, audit = int(state.step), None
         return GenerateResult(tokens=np.asarray(state.tokens[:, :base + steps]),
                               steps=steps, base=base, audit=audit)
 
@@ -618,6 +623,8 @@ class GenerationEngine:
         host[:, :L] = input_ids            # decode overwrites rows >= base
         bounds = iter(sorted(b for b in boundaries
                              if 0 < b < max_steps)) if boundaries else None
+        audit_on = (self.cfg.restricted_text_head
+                    and self.cfg.restricted_audit_every > 0)
         done = 0
         while done < max_steps:
             if bounds is not None:
@@ -627,17 +634,22 @@ class GenerationEngine:
             state = run(self.params, state, jnp.int32(upto), stacks, aids)
             # ONE blocking sync per segment: slice the token buffer by the
             # static segment bound (steps <= upto; rows past the actual stop
-            # are unwritten and never exposed) so step counter, new tokens
-            # and finish flags ride a single device->host round trip —
-            # per-segment RTT through a tunnelled device is a real cost
-            steps_dev, new, unfin = jax.device_get(
+            # are unwritten and never exposed) so step counter, new tokens,
+            # finish flags (and audit counters when enabled) ride a single
+            # device->host round trip — per-segment RTT through a tunnelled
+            # device is a real cost
+            vals = jax.device_get(
                 (state.step, state.tokens[:, base + done:base + upto],
-                 state.unfinished))
+                 state.unfinished)
+                + ((state.audit_rows, state.audit_flagged) if audit_on
+                   else ()))
+            steps_dev, new, unfin = vals[:3]
+            audit = (int(vals[3]), int(vals[4])) if audit_on else None
             steps = int(steps_dev)
             host[:, base + done:base + steps] = new[:, :steps - done]
             yield GenerateResult(tokens=host[:, :base + steps].copy(),
                                  steps=steps, base=base,
-                                 unfinished=np.asarray(unfin))
+                                 unfinished=np.asarray(unfin), audit=audit)
             if steps < upto or not bool(np.any(unfin)):
                 break
             done = steps

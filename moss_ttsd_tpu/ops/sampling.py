@@ -86,6 +86,12 @@ def exact_top_p_mask(logits: jnp.ndarray, top_p: float,
     are kept or dropped together, where HF's sort-based TopPLogitsWarper
     splits such ties by sort order — measure-zero for float logits (same
     caveat as ``processed_logits``).
+
+    Cost: each trip re-reads the (..., V) probs (one masked reduction), so
+    the search streams ~iters * B*V*4 bytes of HBM per step. Measured on
+    v5e at the B=8 int8 serving config (V=152k, channel 0): +0.199 ms/step
+    (+5.6%) vs the static prefilter path — the price of exactness, paid
+    only by channels that opt in.
     """
     probs = jax.nn.softmax(logits, axis=-1)
     hi = jnp.max(probs, axis=-1, keepdims=True)

@@ -46,42 +46,65 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
 _SHAPE_RE = re.compile(r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\]")
 _OP_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\(?[^=]*?)\s*"
-    r"(" + "|".join(_COLLECTIVES) + r")(?:-start|-done)?\(")
+    r"(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(")
 # computation headers: "%name (args...) -> result {" / "ENTRY %name (...) {".
 # Args may hold NESTED parens (tuple-typed while-loop carries), so match only
 # the leading name; the caller additionally requires the line to end with "{"
 # and not to be an op line (no " = " before the first "(").
 _COMP_RE = re.compile(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\(")
+# computation references on op lines: while bodies/conditions, conditional
+# branches, reducer/scatter appliers, calls
+_BODY_RE = re.compile(r"\bbody=%?([\w.\-]+)")
+_REF_RE = re.compile(
+    r"\b(?:body|condition|to_apply|calls)=%?([\w.\-]+)"
+    r"|\bbranch_computations=\{([^}]*)\}")
 
 
 class CollectiveOp(NamedTuple):
     kind: str          # all-reduce | all-gather | ...
-    bytes: int         # payload = result-shape bytes (sum over tuple parts)
+    bytes: int         # wire payload basis (see _shape_bytes)
     computation: str   # HLO computation the op lives in
     per_step: bool     # inside a while body => runs once per loop iteration
 
 
-def _shape_bytes(shape_text: str) -> int:
-    total = 0
+def _shape_bytes(shape_text: str, async_start: bool) -> int:
+    """Wire-payload basis bytes from an op's result-shape text.
+
+    Sync collectives: sum over tuple parts (a tuple all-gather returns one
+    gathered array per operand). Async ``-start`` ops return
+    ``(operand(s), result(s), context...)`` — summing would double-count
+    the payload, so take the LARGEST part instead: for all-gather that is
+    the gathered result, for all-reduce / collective-permute the (equal)
+    operand, for reduce-scatter the pre-scatter operand — in each case the
+    payload a ring algorithm's (N-1)/N wire factor applies to.
+    """
+    parts = []
     for dtype, dims in _SHAPE_RE.findall(shape_text):
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        parts.append(n * _DTYPE_BYTES[dtype])
+    if not parts:
+        return 0
+    return max(parts) if async_start else sum(parts)
 
 
 def collective_inventory(compiled) -> List[CollectiveOp]:
     """Scan a jax Compiled (or HLO text) for collective ops.
 
     ``-start``/``-done`` async pairs are counted once (on the -start).
-    Loop membership is keyed off the computation name: XLA emits while
-    bodies as computations whose names carry "while"/"body"/"region"
-    (condition computations carry "cond" and hold no collectives).
+    Loop membership comes from the call graph: computations named by a
+    while op's ``body=`` attribute — and everything they reference
+    transitively (nested conditionals, reducers, nested loops) — run once
+    per loop iteration; every other computation runs once per program call.
+    (Name heuristics are not enough: lax.cond branches are also emitted as
+    ``%region_N.M`` computations but execute once per call.)
     """
     text = compiled if isinstance(compiled, str) else compiled.as_text()
-    ops: List[CollectiveOp] = []
+    raw: List[tuple] = []                   # (kind, bytes, comp)
+    refs: Dict[str, set] = {}               # comp -> referenced computations
+    body_roots: set = set()
     comp = ""
     for line in text.splitlines():
         stripped = line.rstrip()
@@ -90,17 +113,35 @@ def collective_inventory(compiled) -> List[CollectiveOp]:
             if m:
                 comp = m.group(1)
                 continue
-        if "-done(" in line:
-            continue                       # counted at -start
+        for m in _REF_RE.finditer(line):
+            if m.group(1):
+                refs.setdefault(comp, set()).add(m.group(1))
+            else:                           # branch_computations={%a, %b}
+                for name in m.group(2).split(","):
+                    name = name.strip().lstrip("%")
+                    if name:
+                        refs.setdefault(comp, set()).add(name)
+        body_roots.update(_BODY_RE.findall(line))
         m = _OP_RE.match(line)
         if not m:
             continue
-        shape_text, kind = m.group(1), m.group(2)
-        lowered = comp.lower()
-        per_step = any(k in lowered for k in ("while", "body", "region"))
-        ops.append(CollectiveOp(kind=kind, bytes=_shape_bytes(shape_text),
-                                computation=comp, per_step=per_step))
-    return ops
+        shape_text, kind, suffix = m.group(1), m.group(2), m.group(3)
+        if suffix == "-done":
+            continue                       # counted at -start
+        raw.append((kind, _shape_bytes(shape_text, suffix == "-start"), comp))
+
+    # transitive closure: anything reachable from a while body is per-step
+    per_step_comps, frontier = set(), list(body_roots)
+    while frontier:
+        name = frontier.pop()
+        if name in per_step_comps:
+            continue
+        per_step_comps.add(name)
+        frontier.extend(refs.get(name, ()))
+
+    return [CollectiveOp(kind=kind, bytes=byt, computation=c,
+                         per_step=c in per_step_comps)
+            for kind, byt, c in raw]
 
 
 def summarize_inventory(ops: List[CollectiveOp]) -> Dict[str, Dict]:

@@ -458,6 +458,13 @@ class TTSPipeline:
         self.timings.generated_steps += result.steps
         metrics.add("prefill_decode_s", dt)
         metrics.add("generated_steps", result.steps)
+        if result.audit is not None:
+            # restricted-head audit evidence (cfg.restricted_audit_every):
+            # exported via the metrics registry so server deployments can
+            # read (rows audited, rows the full head would have flagged)
+            # off /v1/metrics instead of the Python API
+            metrics.add("restricted_audit_rows", result.audit[0])
+            metrics.add("restricted_audit_flagged", result.audit[1])
 
         # ONE batched vocode per chunk for all valid items (variable lengths
         # are masked inside the codec's 30 s chunking) — per-item calls would

@@ -91,13 +91,35 @@ UI_STRINGS = {
     },
 }
 
-# gr.update(label=...) targets, in the fixed order the language radio's
-# change event emits them (one per labeled component, both tabs included)
+# language-radio update targets, in the fixed order the change event emits
+# them (one entry per component, both tabs included). Each entry maps
+# gr.update kwarg -> UI_STRINGS key, so components with MORE visible text
+# than a label (textbox placeholders, checkbox info lines, button values)
+# swap all of it. Tabs and Examples are NOT here: dynamic gr.Tab /
+# gr.Examples label updates need newer gradio than the "gradio>=4" extra
+# guarantees, so those labels are statically bilingual (bilingual_label).
 LABELED_COMPONENTS = (
-    "tab_single", "script", "prompt_transcript", "prompt_audio", "normalize",
-    "seed", "stream", "voice", "generate", "output", "status",
-    "tab_role", "script", "s1_transcript", "s1_audio", "s2_transcript",
-    "s2_audio", "normalize", "seed", "voice", "generate", "output", "status",
+    {"label": "script", "placeholder": "script_ph"},
+    {"label": "prompt_transcript"},
+    {"label": "prompt_audio"},
+    {"label": "normalize", "info": "normalize_info"},
+    {"label": "seed"},
+    {"label": "stream"},
+    {"label": "voice"},
+    {"value": "generate"},             # Button text is its value, not label
+    {"label": "output"},
+    {"label": "status"},
+    {"label": "script", "placeholder": "script_ph"},
+    {"label": "s1_transcript"},
+    {"label": "s1_audio"},
+    {"label": "s2_transcript"},
+    {"label": "s2_audio"},
+    {"label": "normalize", "info": "normalize_info"},
+    {"label": "seed"},
+    {"label": "voice"},
+    {"value": "generate"},
+    {"label": "output"},
+    {"label": "status"},
 )
 
 
@@ -106,12 +128,20 @@ def ui_strings(lang: str) -> dict:
     return UI_STRINGS["zh" if lang in ("zh", "中文") else "en"]
 
 
+def bilingual_label(key: str) -> str:
+    """'english / 中文' static label for components that can't be updated
+    dynamically across all gradio 4.x versions (Tabs, Examples datasets)."""
+    return f"{UI_STRINGS['en'][key]} / {UI_STRINGS['zh'][key]}"
+
+
 def language_updates(lang: str):
-    """(header_markdown, [label per LABELED_COMPONENTS]) — the values the
-    language-radio change event pushes into the components. Pure Python for
-    testability; the gradio wiring wraps each label in gr.update."""
+    """(header_markdown, [update-kwargs per LABELED_COMPONENTS]) — the
+    values the language-radio change event pushes into the components. Pure
+    Python for testability; the gradio wiring wraps each kwargs dict in
+    gr.update(**kwargs)."""
     s = ui_strings(lang)
-    return s["header"], [s[k] for k in LABELED_COMPONENTS]
+    return s["header"], [{kw: s[key] for kw, key in entry.items()}
+                         for entry in LABELED_COMPONENTS]
 
 
 def get_pipeline(loader=None):
@@ -263,11 +293,14 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
     adapter names — when non-empty each tab gets a voice dropdown
     ("default" = base model), mapped to the engines' per-request adapters.
 
-    A language radio at the top swaps EVERY visible label/status between
-    English and Chinese (the reference's bilingual toggle,
-    gradio_demo.py:282-289 + its update_language event): the change event
-    pushes gr.update(label=...) into each component in LABELED_COMPONENTS
-    order, and the click handlers read the radio to localize status text."""
+    A language radio at the top swaps every visible label, placeholder,
+    info line, and button text between English and Chinese (the reference's
+    bilingual toggle, gradio_demo.py:282-289 + its update_language event):
+    the change event pushes gr.update(**kwargs) into each component in
+    LABELED_COMPONENTS order, and the click handlers read the radio to
+    localize status text. Tab and Examples labels are statically bilingual
+    ("en / 中文") — dynamically relabelling those needs newer gradio than
+    the 'gradio>=4' extra guarantees."""
     try:
         import gradio as gr
     except ImportError as e:
@@ -285,7 +318,7 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
                               label=s["language"])
         header = gr.Markdown(s["header"])
         with gr.Tabs():
-            with gr.Tab(s["tab_single"]) as tab1:
+            with gr.Tab(bilingual_label("tab_single")):
                 text1 = gr.Textbox(label=s["script"], lines=6,
                                    placeholder=s["script_ph"])
                 ptext1 = gr.Textbox(label=s["prompt_transcript"], lines=2)
@@ -322,9 +355,10 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
                     gr.Examples(
                         examples=[[t, a, pt, n] for t, a, pt, n in single_ex],
                         inputs=[text1, paudio1, ptext1, norm1],
-                        label=s["examples_single"])
-            with gr.Tab(s["tab_role"]) as tab2:
-                text2 = gr.Textbox(label=s["script"], lines=6)
+                        label=bilingual_label("examples_single"))
+            with gr.Tab(bilingual_label("tab_role")):
+                text2 = gr.Textbox(label=s["script"], lines=6,
+                                   placeholder=s["script_ph"])
                 with gr.Row():
                     with gr.Column():
                         s1t = gr.Textbox(label=s["s1_transcript"])
@@ -332,7 +366,8 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
                     with gr.Column():
                         s2t = gr.Textbox(label=s["s2_transcript"])
                         s2a = gr.Audio(label=s["s2_audio"], type="filepath")
-                norm2 = gr.Checkbox(label=s["normalize"], value=True)
+                norm2 = gr.Checkbox(label=s["normalize"], value=True,
+                                    info=s["normalize_info"])
                 seed2 = gr.Number(label=s["seed"], value=0, precision=0)
                 voice2 = gr.Dropdown(
                     label=s["voice"], value="default",
@@ -353,23 +388,20 @@ def create_gradio_interface(loader=None, examples_jsonl=None, voices=None):
                         examples=[[t, a1, p1, a2, p2, n]
                                   for t, a1, p1, a2, p2, n in role_ex],
                         inputs=[text2, s1a, s1t, s2a, s2t, norm2],
-                        label=s["examples_role"])
+                        label=bilingual_label("examples_role"))
 
         # ordered exactly as LABELED_COMPONENTS (tested without gradio in
         # tests/test_serve.py — keep the two in sync)
-        labeled = [tab1, text1, ptext1, paudio1, norm1, seed1, stream1,
+        labeled = [text1, ptext1, paudio1, norm1, seed1, stream1,
                    voice1, btn1, out1, status1,
-                   tab2, text2, s1t, s1a, s2t, s2a, norm2, seed2, voice2,
+                   text2, s1t, s1a, s2t, s2a, norm2, seed2, voice2,
                    btn2, out2, status2]
         assert len(labeled) == len(LABELED_COMPONENTS)
 
         def _on_lang(choice):
-            hdr, labels = language_updates(choice)
-            # Button label is its value, not a label kwarg
-            return [gr.update(value=hdr)] + [
-                gr.update(value=lab) if isinstance(comp, gr.Button)
-                else gr.update(label=lab)
-                for comp, lab in zip(labeled, labels)]
+            hdr, updates = language_updates(choice)
+            return [gr.update(value=hdr)] + [gr.update(**kw)
+                                             for kw in updates]
 
         lang_radio.change(_on_lang, [lang_radio], [header] + labeled)
     return demo

@@ -910,7 +910,10 @@ def main(argv=None):
                         "steps where the reference's full head would have "
                         "preferred an ordinary text token). Costs the full-"
                         "table stream /N (~0.4/N ms per step); counters "
-                        "return on GenerateResult.audit. 0 = off")
+                        "return on GenerateResult.audit and accumulate as "
+                        "restricted_audit_rows/_flagged on /v1/metrics "
+                        "(window scheduler; the continuous pool does not "
+                        "run the audit). 0 = off")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                    help="multi-chip (data, model) serving mesh, e.g. 1x4 "
                         "(weights tensor-parallel over 4 chips)")
@@ -987,6 +990,11 @@ def main(argv=None):
             restricted_text_head=args.restricted_text_head or None,
             attn_impl=args.attn_impl,
             restricted_audit_every=args.restricted_audit_every or None)
+    if args.restricted_audit_every and args.scheduler == "continuous":
+        import sys
+        print("note: --restricted_audit_every only audits requests served "
+              "by the window scheduler / overflow fallback; the continuous "
+              "pool decode body does not run the audit", file=sys.stderr)
     server = SpeechServer(pipeline, args.host, args.port, args.max_batch,
                           args.batch_window_ms / 1000.0,
                           scheduler=args.scheduler, pool_base=args.pool_base,

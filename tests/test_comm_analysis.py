@@ -26,14 +26,31 @@ HloModule jit_run, entry_computation_layout={()->f32[]}
   %p = bf16[2,64]{1,0} parameter(0)
   %ar = bf16[2,64]{1,0} all-reduce(%p), channel_id=1, to_apply=%add.1
   %ag = (f32[1,34]{1,0}, f32[1,34]{1,0}) all-gather(%ar, %ar), channel_id=2, dimensions={1}
-  %ags = f32[4,8]{1,0} all-gather-start(%ar), channel_id=3, dimensions={0}
+  %ags = (f32[1,8]{1,0}, f32[4,8]{1,0}, u32[], u32[]) all-gather-start(%ar), channel_id=3, dimensions={0}
   %agd = f32[4,8]{1,0} all-gather-done(%ags)
   ROOT %t = (s32[], bf16[2,64]) tuple(%agd)
+}
+
+%region_1.50 (cond_param: (s32[], bf16[2,64], (s32[], s32[]))) -> pred[] {
+  %cp2 = (s32[], bf16[2,64], (s32[], s32[])) parameter(0)
+  ROOT %lt = pred[] constant(true)
+}
+
+%region_2.60 (branch_param: f32[2,2]) -> f32[2,2] {
+  %bp = f32[2,2]{1,0} parameter(0)
+  ROOT %cpb = f32[2,2]{1,0} collective-permute(%bp), channel_id=7, source_target_pairs={{0,1},{1,0}}
+}
+
+%region_3.61 (branch_param2: f32[2,2]) -> f32[2,2] {
+  ROOT %bp2 = f32[2,2]{1,0} parameter(0)
 }
 
 ENTRY %main.7 (a: f32[2,2]) -> f32[] {
   %a = f32[2,2]{1,0} parameter(0)
   %cp = f32[2,2]{1,0} collective-permute(%a), channel_id=9, source_target_pairs={{0,1},{1,0}}
+  %b = s32[] constant(0)
+  %w = (s32[], bf16[2,64]) while(%b), condition=%region_1.50, body=%wide.region_0.39_spmd.clone
+  %c = f32[2,2]{1,0} conditional(%b, %a, %a), branch_computations={%region_2.60, %region_3.61}
   ROOT %r = f32[] constant(0)
 }
 """
@@ -42,13 +59,18 @@ ENTRY %main.7 (a: f32[2,2]) -> f32[] {
 def test_inventory_parses_synthetic_hlo():
     ops = collective_inventory(SYNTHETIC_HLO)
     s = summarize_inventory(ops)
-    # loop-body ("region" computation, tuple-typed args with NESTED parens):
-    # 1 all-reduce (2*64*2 B) + 1 tuple all-gather (2*34*4 B) + 1 async
-    # all-gather counted once at -start (4*8*4 B)
+    # loop body (named by the while op's body= attribute; tuple-typed args
+    # with NESTED parens): 1 all-reduce (2*64*2 B) + 1 tuple all-gather
+    # (2*34*4 B) + 1 async all-gather counted once at -start with the
+    # LARGEST tuple part (the gathered 4*8*4 B result — summing the
+    # (operand, result, context) parts would double-count the wire payload)
     assert s["per_step"]["all-reduce"] == (1, 2 * 64 * 2)
     assert s["per_step"]["all-gather"] == (2, 2 * 34 * 4 + 4 * 8 * 4)
-    # entry computation: straight-line collective-permute
-    assert s["per_call"]["collective-permute"] == (1, 2 * 2 * 4)
+    # straight-line code: the entry collective-permute AND the one inside a
+    # lax.cond branch (%region_2.60 is a "region" computation referenced by
+    # branch_computations=, not by a while body= — it runs once per call, so
+    # name heuristics that key on "region" would misfile it as per-step)
+    assert s["per_call"]["collective-permute"] == (2, 2 * (2 * 2 * 4))
     text = format_inventory("synthetic", ops)
     assert "per_step" in text and "collective-permute" in text
 

@@ -88,21 +88,31 @@ def test_gradio_bilingual_toggle_contract():
     label per component in LABELED_COMPONENTS order (reference bilingual UI,
     gradio_demo.py:278-528). Pure-Python contract — runs without gradio."""
     from moss_ttsd_tpu.serve.gradio_app import (LABELED_COMPONENTS,
-                                                UI_STRINGS, language_updates,
-                                                ui_strings)
+                                                UI_STRINGS, bilingual_label,
+                                                language_updates, ui_strings)
     en, zh = UI_STRINGS["en"], UI_STRINGS["zh"]
     assert set(en) == set(zh)
     assert all(v for v in en.values()) and all(v for v in zh.values())
-    assert set(LABELED_COMPONENTS) <= set(en)
+    used_keys = {k for entry in LABELED_COMPONENTS for k in entry.values()}
+    assert used_keys <= set(en)
+    # components with more visible text than a label swap all of it
+    assert {"label": "script", "placeholder": "script_ph"} in LABELED_COMPONENTS
+    assert {"label": "normalize", "info": "normalize_info"} in LABELED_COMPONENTS
+    assert {"value": "generate"} in LABELED_COMPONENTS    # button text
     # zh strings contain CJK (the shared "language" label is bilingual)
     cjk = lambda t: any("一" <= ch <= "鿿" for ch in t)
     assert all(cjk(zh[k]) for k in zh if k != "language")
     assert not any(cjk(en[k]) for k in en if k not in ("language", "header"))
     for lang, table in (("English", en), ("中文", zh), ("en", en), ("zh", zh)):
-        hdr, labels = language_updates(lang)
+        hdr, updates = language_updates(lang)
         assert hdr == table["header"]
-        assert labels == [table[k] for k in LABELED_COMPONENTS]
+        assert updates == [{kw: table[key] for kw, key in entry.items()}
+                           for entry in LABELED_COMPONENTS]
     assert ui_strings("nonsense") is en     # unknown -> English
+    # statically-bilingual labels (Tabs/Examples) carry both languages
+    for key in ("tab_single", "tab_role", "examples_single", "examples_role"):
+        lab = bilingual_label(key)
+        assert en[key] in lab and zh[key] in lab
     # localized status strings format cleanly
     for table in (en, zh):
         assert "3.0" in table["status_generated"].format(seconds=3.0)
