@@ -616,13 +616,19 @@ class ContinuousBatcher:
         return [(j, int(arr[2, j]), bool(arr[1, j]))
                 for j in range(self.slots) if arr[0, j]]
 
-    def peek_tokens(self, slots: List[int], steps: List[int]) -> np.ndarray:
+    def peek_tokens(self, slots: List[int], steps: List[int],
+                    frm: int = 0) -> np.ndarray:
         """Snapshot several LIVE rows' token prefixes in ONE readback:
-        (len(slots), base + max(steps), C). Does NOT free the slots; safe
-        for AR streaming because a row's written prefix never changes."""
+        (len(slots), base + max(steps) - frm, C). Does NOT free the slots;
+        safe for AR streaming because a row's written prefix never changes.
+
+        ``frm``: absolute row offset the caller has already mirrored on the
+        host — only rows [frm, base + max(steps)) transfer, so a streaming
+        consumer that mirrors pays O(T) cumulative readback instead of
+        re-reading the ever-growing prefix every segment."""
         upto = self.base + max(steps)
         rows = jnp.asarray(slots, jnp.int32)
-        return np.asarray(self.state.tokens[rows, :upto])
+        return np.asarray(self.state.tokens[rows, frm:upto])
 
     def collect_async(self, j: int, steps: Optional[int] = None):
         """Free slot j immediately; return (steps, device_tokens).

@@ -183,14 +183,20 @@ class BatchingWorker:
                         (r.seed, r.max_new_tokens, r.use_normalize),
                         []).append(r)
                 for (seed, mnt, norm), reqs in groups.items():
-                    _, audio = self.pipeline.process_batch(
+                    texts, audio = self.pipeline.process_batch(
                         [r.item for r in reqs], use_normalize=norm,
                         max_new_tokens=mnt, seed=seed,
                         adapter=([r.adapter for r in reqs]
                                  if any(r.adapter for r in reqs) else None))
-                    for r, res in zip(reqs, audio):
+                    for r, meta, res in zip(reqs, texts, audio):
                         if res is None:
-                            r.error = "generation produced no speech tokens"
+                            # surface the per-item isolation error (bad
+                            # prompt audio, malformed record, ...) instead
+                            # of a generic no-speech message the client
+                            # can't act on
+                            r.error = ((meta or {}).get("error")
+                                       or "generation produced no speech "
+                                          "tokens")
                         else:
                             r.wav_bytes = wav_array_to_bytes(
                                 res["audio_data"][0], res["sample_rate"])
@@ -251,6 +257,12 @@ class ContinuousWorker:
         self.max_queue = max_queue
         self._queue: List[_Request] = []
         self._live: Dict[int, _Request] = {}        # slot -> request
+        # per-stream host token mirrors (slot -> (rows_read, C) int32):
+        # each segment reads back only the rows written SINCE the last
+        # peek, so a stream's cumulative device->host transfer is O(T),
+        # not O(T^2/segment) — through a 15-60 MB/s tunnel the re-read of
+        # an ever-growing prefix would dominate long streams
+        self._stream_mirror: Dict[int, np.ndarray] = {}
         self._cv = threading.Condition()
         self._stop = False
         # over-capacity fallback (lazy): requests the pool cannot hold ride
@@ -424,10 +436,12 @@ class ContinuousWorker:
             req = self._live.get(slot)
             if req is None:                   # orphan (shouldn't happen):
                 self.cb.release(slot)         # reclaim defensively
+                self._stream_mirror.pop(slot, None)
                 continue
             if req.cancelled:                 # client went away mid-stream
                 self.cb.release(slot)
                 del self._live[slot]
+                self._stream_mirror.pop(slot, None)
                 metrics.add("server_cancelled", 1)
                 continue
             if fin:
@@ -435,27 +449,44 @@ class ContinuousWorker:
             elif req.stream_q is not None and steps > 0:
                 stream_rows.append((slot, steps))
         if stream_rows:
-            # ONE readback snapshots every live stream's token prefix
+            # ONE readback covering every live stream's NEW rows: transfer
+            # starts at the shortest mirror (streams advance together, one
+            # segment at a time, so mirrors stay aligned) and each slot
+            # appends its own slice to its host mirror
+            have = [self._stream_mirror.get(slot) for slot, _ in stream_rows]
+            frm = min((m.shape[0] if m is not None else 0) for m in have)
             toks = self.cb.peek_tokens([j for j, _ in stream_rows],
-                                       [s for _, s in stream_rows])
-            for (slot, steps), row in zip(stream_rows, toks):
+                                       [s for _, s in stream_rows], frm=frm)
+            for (slot, steps), row, m in zip(stream_rows, toks, have):
                 req = self._live[slot]
                 try:
-                    ids, ends = self.pipeline.unshift_end(
-                        row[None, :self.cb.base + steps], self.cb.base)
+                    rows_read = m.shape[0] if m is not None else 0
+                    new = row[rows_read - frm:self.cb.base + steps - frm]
+                    full = (np.concatenate([m, new]) if m is not None
+                            else np.ascontiguousarray(new))
+                    self._stream_mirror[slot] = full
+                    ids, ends = self.pipeline.unshift_end(full[None],
+                                                          self.cb.base)
                     for chunk in req.sv.feed(ids, int(ends[0])):
                         req.stream_q.put(chunk)
                 except Exception as e:              # noqa: BLE001
                     req.fail(f"vocode error: {e}")
                     self.cb.release(slot)
                     del self._live[slot]
+                    self._stream_mirror.pop(slot, None)
         self._drain_finished(finished)
 
     def _drain_finished(self, done: List[tuple]) -> None:
         if not done:
             return
+        from ..decode.engine import GenerateResult
         spt = self.pipeline.spt
-        reqs, codes_list = [], []
+        # dispatch EVERY finished slot's token slice first (collect_async
+        # frees the slot and queues the device slice before any splice can
+        # reuse it), so the per-slot host work below — unshift, code
+        # extraction, vocode feeds — overlaps the remaining device->host
+        # transfers instead of paying one blocking round trip per slot
+        pending = []
         for slot, steps in done:
             req = self._live.pop(slot, None)
             if req is None:
@@ -463,8 +494,21 @@ class ContinuousWorker:
                 # a bare KeyError here would hit _loop's catch-all and fail
                 # EVERY in-flight request (same orphan handling as _service)
                 self.cb.release(slot)
+                self._stream_mirror.pop(slot, None)
                 continue
-            res = self.cb.collect(slot, steps)
+            pending.append((slot, req) + self.cb.collect_async(slot, steps))
+        reqs, codes_list = [], []
+        for slot, req, steps, tokens_dev in pending:
+            mirror = self._stream_mirror.pop(slot, None)
+            if mirror is not None:
+                # stream slots: only the not-yet-mirrored tail crosses the
+                # device->host link (the mirror holds the rest)
+                tail = np.asarray(tokens_dev[mirror.shape[0]:])
+                toks = (np.concatenate([mirror, tail])
+                        if tail.size else mirror)[None]
+            else:
+                toks = np.asarray(tokens_dev)[None]
+            res = GenerateResult(tokens=toks, steps=steps, base=self.cb.base)
             if req.stream_q is not None:
                 try:
                     ids, ends = self.pipeline.unshift_end(res.tokens,
@@ -486,8 +530,15 @@ class ContinuousWorker:
         if not codes_list:
             return
         try:
-            wavs = spt.decode(codes_list, overlap_seconds=10,
-                              pcm16=True)["syn_wav_list"]
+            # the pipeline's vocode settings, not hardcoded: overlap must
+            # stay < spt.chunk_seconds (a 10 s overlap on a short-window
+            # codec raises in IncrementalDecoder), and rows_per_call keeps
+            # the split-readback transfer overlap of the serving config
+            wavs = spt.decode(codes_list,
+                              overlap_seconds=self.pipeline.vocode_overlap_s,
+                              pcm16=True,
+                              rows_per_call=self.pipeline.vocode_rows_per_call
+                              )["syn_wav_list"]
             for req, wav in zip(reqs, wavs):
                 req.wav_bytes = wav_array_to_bytes(
                     np.asarray(wav, np.float32), spt.output_sample_rate)
@@ -532,6 +583,7 @@ class ContinuousWorker:
                     r.fail(f"server error: {e}")
                     self.cb.release(slot)
                 self._live.clear()
+                self._stream_mirror.clear()
 
 
 def _references_to_item(text: str, references: List[Dict]) -> dict:

@@ -8,8 +8,7 @@ remat all come from XLA.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
