@@ -226,6 +226,20 @@ class LMConfig:
             d = json.load(f)
         return cls.from_dict(d)
 
+    def __post_init__(self):
+        if self.quantized and self.lora_rank:
+            # dense() (models/lm.py) picks the int8 QDense path whenever
+            # quantized is set, which has no lora_a/lora_b leaves — a
+            # "QLoRA" finetune would silently train nothing. Training-time
+            # LoRA runs on the unquantized model (train/lora.py,
+            # merge_lora -> plain checkpoint); serving-time per-request
+            # adapters use the engine's register_adapter stacks, which DO
+            # compose with int8 base weights.
+            raise ValueError(
+                "quantized=True with lora_rank>0 is unsupported (no QLoRA "
+                "path): train LoRA on the unquantized model, or serve "
+                "adapters via GenerationEngine.register_adapter")
+
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
         d["speech_token_range"] = list(self.speech_token_range)

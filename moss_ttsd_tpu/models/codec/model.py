@@ -353,6 +353,17 @@ def quarter_window_buckets(chunk_codes: int):
     return sorted({-(-chunk_codes * q // 4) for q in (1, 2, 3, 4)})
 
 
+def chunk_stride_codes(spt: "XYTokenizer", overlap_seconds: int) -> int:
+    """Codes each decode chunk ADVANCES (window minus overlap) — the ONE
+    source of truth for the stride, shared by IncrementalDecoder and
+    StreamVocoder.effective_context. Reference formula
+    ((30 - overlap)*sr) // dsr — floor AFTER the multiply, which differs
+    from chunk_codes - (overlap*sr)//dsr by one code whenever overlap*sr
+    isn't a multiple of dsr."""
+    return ((spt.chunk_seconds - overlap_seconds) * spt.input_sample_rate
+            ) // spt.encoder_downsample_rate
+
+
 class IncrementalDecoder:
     """Incremental chunked detokenization with readback pipelining.
 
@@ -388,12 +399,7 @@ class IncrementalDecoder:
         # compile cache
         self.len_buckets = (quarter_window_buckets(spt.chunk_codes)
                             if len_buckets == "auto" else [spt.chunk_codes])
-        # reference formula ((30 - overlap)*sr) // dsr — floor AFTER the
-        # multiply, which differs from chunk_codes - (overlap*sr)//dsr by one
-        # code whenever overlap*sr isn't a multiple of dsr
-        self.duration_codes = ((spt.chunk_seconds - overlap_seconds)
-                               * spt.input_sample_rate) \
-            // spt.encoder_downsample_rate
+        self.duration_codes = chunk_stride_codes(spt, overlap_seconds)
         if self.duration_codes <= 0:
             raise ValueError(
                 f"overlap_seconds={overlap_seconds} leaves no stride on a "

@@ -397,7 +397,8 @@ class Qwen3Block(nn.Module):
         else:                          # training path: attend over current tokens
             attn = gqa_attention(q, k, v, mask, scale)
         attn = attn.reshape(B, T, H * D)
-        x = x + dense(c.hidden_size, "o_proj")(attn)
+        # HF Qwen3 applies attention_bias to o_proj as well as q/k/v
+        x = x + dense(c.hidden_size, "o_proj", c.attention_bias)(attn)
 
         h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_ln",
                     ablate=c.ablate_norms)(x)

@@ -357,9 +357,13 @@ def _prefill_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref
     # causal block skip: key block strictly after the q block contributes nothing
     @pl.when(s * block_k <= i * block_q + block_q - 1)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)            # (Bq, D)
-        k = k_ref[0, 0].astype(jnp.float32)            # (Bk, D)
-        v = v_ref[0, 0].astype(jnp.float32)
+        # dots run in the INPUT dtype with fp32 MXU accumulation (same
+        # rationale as the decode kernels): bf16 operands use the MXU's
+        # native bf16 passes, where an .astype(f32) decomposes each dot
+        # into multiple fp32 passes. fp32 parity inputs are unchanged.
+        q = q_ref[0, 0]                                # (Bq, D)
+        k = k_ref[0, 0]                                # (Bk, D)
+        v = v_ref[0, 0]
         valid = valid_ref[0, 0]                        # (Bk,)
 
         scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -376,8 +380,8 @@ def _prefill_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref, acc_ref
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(p, v,
-                                                  preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         m_ref[:] = m_new
 
     @pl.when(s == n_s - 1)

@@ -64,6 +64,15 @@ class StreamVocoder:
 
     def __init__(self, spt: XYTokenizer, context_frames: int = 25,
                  immediate_first: bool = True, timings=None):
+        if not 0 <= context_frames < spt.chunk_codes:
+            # a context as wide as the codec window means the sliding feed
+            # window (context + new frames) can never advance: end_c =
+            # emitted - context + chunk_codes <= emitted, and finish()
+            # would loop forever dispatching empty re-vocodes. Use
+            # effective_context() to clamp against the stride.
+            raise ValueError(
+                f"context_frames={context_frames} must be in [0, "
+                f"{spt.chunk_codes}) (the codec window in codes)")
         self.spt = spt
         self.context = context_frames
         # surface the very first chunk's audio immediately (TTFA) instead
@@ -86,10 +95,9 @@ class StreamVocoder:
                           context_frames: int = 25) -> int:
         """Clamp the left context so one feed's sliding window (context +
         new frames) fits a single codec chunk call."""
-        duration_codes = ((spt.chunk_seconds - overlap_s)
-                          * spt.input_sample_rate) \
-            // spt.encoder_downsample_rate
-        return min(context_frames, max(0, duration_codes - feed_steps))
+        from ..models.codec.model import chunk_stride_codes
+        return min(context_frames,
+                   max(0, chunk_stride_codes(spt, overlap_s) - feed_steps))
 
     @property
     def sample_rate(self) -> int:
@@ -264,7 +272,8 @@ class TTSPipeline:
         if processed["prompt_audio"] is not None:
             wav = load_audio_data(processed["prompt_audio"])
         meta = {"original_text": original,
-                "normalized_text": normalize_text(original) if use_normalize else None,
+                # full_text IS normalize_text(original) when use_normalize
+                "normalized_text": full_text if use_normalize else None,
                 "final_text": final_text, "use_normalize": use_normalize}
         return final_text, meta, wav
 

@@ -52,6 +52,10 @@ def convert_asteroid_state_dict(sd: Dict[str, "np.ndarray"], cfg: LMConfig) -> d
         "up_proj": {"kernel": stack(base + "mlp.up_proj.weight", transpose=True)},
         "down_proj": {"kernel": stack(base + "mlp.down_proj.weight", transpose=True)},
     }
+    if cfg.attention_bias:
+        # HF Qwen3 attention_bias puts a bias on q/k/v AND o_proj
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            block[proj]["bias"] = stack(base + f"self_attn.{proj}.bias")
     params["layers"] = {"block": block}
     params["final_norm"] = {"weight": get("model.language_model.norm.weight")}
     return {"params": params}
@@ -93,6 +97,9 @@ def export_asteroid_state_dict(params: dict, cfg: LMConfig,
         "mlp.up_proj.weight": (block["up_proj"]["kernel"], True),
         "mlp.down_proj.weight": (block["down_proj"]["kernel"], True),
     }
+    if cfg.attention_bias:
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            per_layer[f"self_attn.{proj}.bias"] = (block[proj]["bias"], False)
     for l in range(cfg.num_hidden_layers):
         for name, (stacked, transpose) in per_layer.items():
             a = to_np(stacked[l])

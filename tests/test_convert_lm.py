@@ -313,3 +313,34 @@ def test_load_peft_adapter_dir(tmp_path):
     ab = tree["layers/block/q_proj/kernel"]
     assert ab["a"].shape == (1, 8, 2) and ab["b"].shape == (1, 2, 8)
     np.testing.assert_allclose(ab["b"], 0.5)
+
+
+def test_attention_bias_roundtrip():
+    """attention_bias=True wires end-to-end: the model grows q/k/v/o bias
+    leaves (HF Qwen3 puts attention_bias on o_proj too), the exporter emits
+    them, and the converter loads them back to bit-identical logits."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg(), attention_bias=True)
+    params = make_params(cfg, seed=2)
+    block = params["params"]["layers"]["block"]
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        assert "bias" in block[proj], proj
+    sd = export_asteroid_state_dict(params, cfg)
+    assert "model.language_model.layers.0.self_attn.o_proj.bias" in sd
+    back = convert_asteroid_state_dict(sd, cfg)
+    rng = np.random.default_rng(0)
+    ids = np.full((2, 6, cfg.channels), cfg.speech_pad_token, np.int32)
+    ids[..., 0] = rng.integers(0, cfg.vocab_size, (2, 6))
+    t0, s0 = logits_of(cfg, params, ids)
+    t1, s1 = logits_of(cfg, back, ids)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(s0, s1)
+
+
+def test_quantized_lora_config_rejected():
+    """quantized+lora_rank has no QLoRA path — the config must refuse it
+    instead of silently training nothing (the QDense branch would win and
+    no adapter leaves would exist)."""
+    import dataclasses
+    with pytest.raises(ValueError, match="QLoRA"):
+        dataclasses.replace(tiny_cfg(), quantized=True, lora_rank=8)

@@ -126,3 +126,34 @@ def test_pipeline_stream_item_oversized_chunk_steps():
     _, audio = pipe.process_batch([item], max_new_tokens=steps)
     assert audio[0] is not None
     assert total == audio[0]["audio_data"].shape[-1]
+
+
+def test_stream_vocoder_context_guard():
+    """context_frames >= the codec window can never advance the sliding
+    feed window (finish() would loop forever) — the constructor refuses."""
+    from moss_ttsd_tpu.models.codec.model import XYTokenizer
+    from moss_ttsd_tpu.pipeline.batch import StreamVocoder
+    spt = XYTokenizer.init_random(CodecConfig().tiny(), seed=0)
+    with pytest.raises(ValueError, match="context_frames"):
+        StreamVocoder(spt, context_frames=spt.chunk_codes)
+    with pytest.raises(ValueError, match="context_frames"):
+        StreamVocoder(spt, context_frames=-1)
+    sv = StreamVocoder(spt, context_frames=spt.chunk_codes - 1)  # ok
+    assert sv.context == spt.chunk_codes - 1
+
+
+def test_effective_context_matches_incremental_stride():
+    """effective_context derives its window-fit clamp from the SAME
+    chunk_stride_codes helper IncrementalDecoder uses (the floor placement
+    is off-by-one-sensitive; two copies of the formula could drift)."""
+    from moss_ttsd_tpu.models.codec.model import (IncrementalDecoder,
+                                                  XYTokenizer,
+                                                  chunk_stride_codes)
+    from moss_ttsd_tpu.pipeline.batch import StreamVocoder
+    spt = XYTokenizer.init_random(CodecConfig().tiny(), seed=0)
+    for overlap in range(spt.chunk_seconds):
+        stride = chunk_stride_codes(spt, overlap)
+        assert IncrementalDecoder(spt, overlap_seconds=overlap
+                                  ).duration_codes == stride
+        assert StreamVocoder.effective_context(
+            spt, overlap, feed_steps=stride, context_frames=25) == 0
