@@ -392,7 +392,11 @@ class GenerationEngine:
             import dataclasses
             if not pre_quantized:
                 params = quantize_lm_params(params)
-            cfg = dataclasses.replace(cfg, quantized=True)
+            # lora_rank=0: a vestigial training-time rank on a serving cfg
+            # would trip the config's quantized+LoRA rejection; int8 serving
+            # always runs merged weights (per-request adapters ride the
+            # engine's register_adapter stacks instead)
+            cfg = dataclasses.replace(cfg, quantized=True, lora_rank=0)
             self.cfg = cfg
         elif quant is not None:
             raise ValueError(f"unknown quant mode {quant!r}")
