@@ -50,13 +50,18 @@ class XYTokenizerModule(nn.Module):
         self.acoustic_decoder = AudioDecoder(c.acoustic_decoder)
         self.vocos = Vocos(c.vocos)
 
-    def tokenize(self, wav: jnp.ndarray, lengths: jnp.ndarray):
-        """wav (B, chunk_samples) 16 kHz + valid lengths -> codes.
+    def _encode_latents(self, wav: jnp.ndarray, lengths: jnp.ndarray,
+                        cast_compute_dtype: bool):
+        """Shared encode chain: mel frontend -> dual encoders -> adapters ->
+        downsample -> (down (B, T', D), down_len). One source of truth for
+        tokenize / train_forward / kmeans_init_codebooks.
 
-        Mirrors reference inference_tokenize (model.py:54-101); the mel frontend
-        runs on-device (replacing the CPU hop at reference model.py:66-73).
-        Returns dict(zq (B, T', D), codes (nq, B, T'), codes_lengths (B,)).
-        """
+        cast_compute_dtype: the inference path casts the fp32 mel to
+        cfg.dtype at the stack boundary (bf16 serving — params cast by the
+        XYTokenizer wrapper); training runs fp32 params so the cast is a
+        no-op it skips. fp32 islands preserved inside the stack either way:
+        sinusoid pos-embed adds (transformer.py), softmax, LayerNorm
+        statistics (flax upcasts)."""
         c = self.cfg
         mel = log_mel_spectrogram(
             wav, n_fft=c.feature_extractor.n_fft, hop=c.feature_extractor.hop_length,
@@ -64,18 +69,24 @@ class XYTokenizerModule(nn.Module):
             sampling_rate=c.feature_extractor.sampling_rate)      # (B, M, T)
         mel = jnp.swapaxes(mel, -1, -2)                           # (B, T, M)
         mel_lengths = jnp.ceil(lengths / c.feature_extractor.hop_length).astype(jnp.int32)
-        # compute-dtype boundary: mel frontend is fp32; the encoder stack runs
-        # in cfg.dtype (bf16 at inference — params cast by the XYTokenizer
-        # wrapper). fp32 islands preserved inside the stack: sinusoid pos-embed
-        # adds (transformer.py), softmax, LayerNorm statistics (flax upcasts).
-        mel = mel.astype(jnp.dtype(c.dtype))
-
+        if cast_compute_dtype:
+            mel = mel.astype(jnp.dtype(c.dtype))
         sem, sem_len = self.semantic_encoder(mel, mel_lengths)            # 100->50 Hz
         sem, sem_len = self.semantic_encoder_adapter(sem, sem_len)
         aco, aco_len = self.acoustic_encoder(mel, mel_lengths)            # 100->50 Hz
         mixed = jnp.concatenate([sem, aco], axis=-1)                      # (B, T, 2D)
         mixed, mix_len = self.pre_rvq_adapter(mixed, aco_len)
-        down, down_len = self.downsample(mixed, mix_len)                  # 50->12.5 Hz
+        return self.downsample(mixed, mix_len)                            # 50->12.5 Hz
+
+    def tokenize(self, wav: jnp.ndarray, lengths: jnp.ndarray):
+        """wav (B, chunk_samples) 16 kHz + valid lengths -> codes.
+
+        Mirrors reference inference_tokenize (model.py:54-101); the mel frontend
+        runs on-device (replacing the CPU hop at reference model.py:66-73).
+        Returns dict(zq (B, T', D), codes (nq, B, T'), codes_lengths (B,)).
+        """
+        down, down_len = self._encode_latents(wav, lengths,
+                                              cast_compute_dtype=True)
         # RVQ fp32 contract (reference quantizer.py:154-191): codebook
         # distances and residuals always in fp32
         zq, codes, _, q_len = self.quantizer(down.astype(jnp.float32),
@@ -113,20 +124,8 @@ class XYTokenizerModule(nn.Module):
 
         Returns dict(wav, wav_lengths, codes, commit_losses (nq,), vq_stats).
         """
-        c = self.cfg
-        mel = log_mel_spectrogram(
-            wav, n_fft=c.feature_extractor.n_fft, hop=c.feature_extractor.hop_length,
-            num_mels=c.feature_extractor.feature_size,
-            sampling_rate=c.feature_extractor.sampling_rate)
-        mel = jnp.swapaxes(mel, -1, -2)
-        mel_lengths = jnp.ceil(lengths / c.feature_extractor.hop_length).astype(jnp.int32)
-
-        sem, sem_len = self.semantic_encoder(mel, mel_lengths)
-        sem, sem_len = self.semantic_encoder_adapter(sem, sem_len)
-        aco, aco_len = self.acoustic_encoder(mel, mel_lengths)
-        mixed = jnp.concatenate([sem, aco], axis=-1)
-        mixed, mix_len = self.pre_rvq_adapter(mixed, aco_len)
-        down, down_len = self.downsample(mixed, mix_len)
+        down, down_len = self._encode_latents(wav, lengths,
+                                              cast_compute_dtype=False)
         zq, codes, commits, q_len, stats = self.quantizer.train_call(
             down, down_len, rng)
 
@@ -142,19 +141,8 @@ class XYTokenizerModule(nn.Module):
         """Run the encoder stack and k-means-initialize every RVQ stage from
         the first batch (reference init_codebook, quantizer.py:132-152).
         Returns (new_codebook (nq, K, D), cluster_sizes (nq, K))."""
-        c = self.cfg
-        mel = log_mel_spectrogram(
-            wav, n_fft=c.feature_extractor.n_fft, hop=c.feature_extractor.hop_length,
-            num_mels=c.feature_extractor.feature_size,
-            sampling_rate=c.feature_extractor.sampling_rate)
-        mel = jnp.swapaxes(mel, -1, -2)
-        mel_lengths = jnp.ceil(lengths / c.feature_extractor.hop_length).astype(jnp.int32)
-        sem, sem_len = self.semantic_encoder(mel, mel_lengths)
-        sem, sem_len = self.semantic_encoder_adapter(sem, sem_len)
-        aco, aco_len = self.acoustic_encoder(mel, mel_lengths)
-        mixed = jnp.concatenate([sem, aco], axis=-1)
-        mixed, mix_len = self.pre_rvq_adapter(mixed, aco_len)
-        down, down_len = self.downsample(mixed, mix_len)
+        down, down_len = self._encode_latents(wav, lengths,
+                                              cast_compute_dtype=False)
         return self.quantizer.kmeans_init_call(down, down_len, rng)
 
 

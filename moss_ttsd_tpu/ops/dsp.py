@@ -67,19 +67,12 @@ def stft_magsq(x: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray,
     """|STFT|^2 of ``x`` (..., T) -> (..., n_bins, num_frames), float32.
 
     Matches torch.stft(center=True, pad_mode='reflect') magnitudes squared
-    (reference feature_extractor.py:89-90).
-    """
-    if center:
-        pad = n_fft // 2
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    frames = frame_signal(x.astype(jnp.float32), n_fft, hop)      # (..., F, n_fft)
-    frames = frames * window.astype(jnp.float32)
-    basis = jnp.asarray(_rdft_basis(n_fft))
-    spec = frames @ basis                                          # (..., F, 2*n_bins)
-    n_bins = n_fft // 2 + 1
-    re, im = spec[..., :n_bins], spec[..., n_bins:]
-    mag2 = re * re + im * im                                       # (..., F, n_bins)
-    return jnp.swapaxes(mag2, -1, -2)                              # (..., n_bins, F)
+    (reference feature_extractor.py:89-90). Composes stft_complex — the
+    elementwise square fuses into the basis matmul under jit, so this costs
+    the same as an inlined copy without duplicating the pad/frame/window
+    logic."""
+    re, im = stft_complex(x, n_fft, hop, window, center)
+    return re * re + im * im
 
 
 def stft_complex(x: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray,
@@ -242,7 +235,8 @@ def istft_same_masked(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
                                   (B, n_fft, T)) * fmask[:, None, :]
     env = overlap_add(env_frames, hop)
     y = jnp.where(env > 1e-11, y / jnp.maximum(env, 1e-11), 0.0)
-    return y[..., pad:-pad]
+    # pad == 0 (no-overlap hop == n_fft): y[..., 0:-0] would be EMPTY
+    return y[..., pad:y.shape[-1] - pad]
 
 
 def istft_same(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
@@ -262,8 +256,12 @@ def istft_same(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int) -> jnp.nd
     frames = jnp.moveaxis(frames, -1, -2)                                  # (..., n_fft, T)
     y = overlap_add(frames, hop)
     env = jnp.asarray(_window_envelope(n_fft, hop, win_length, int(T)))
-    y = y / env
-    return y[..., pad:-pad]
+    # guarded division: at hop == n_fft the periodic-Hann envelope is 0 at
+    # sample 0 (w[0] = 0) AND the trim below keeps that sample (pad == 0);
+    # for overlapping configs every kept sample has env > 1e-11, so this is
+    # bit-identical to the plain divide there
+    y = jnp.where(env > 1e-11, y / jnp.maximum(env, 1e-11), 0.0)
+    return y[..., pad:y.shape[-1] - pad]
 
 
 # ---------------------------------------------------------------------------

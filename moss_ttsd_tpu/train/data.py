@@ -42,7 +42,9 @@ def build_training_example(tokenizer, text: str, audio_codes: np.ndarray,
       5. <|end_of_speech|>          (label kept on ch0)
     """
     def text_seg(s, add_special_tokens=True):
-        ids = np.asarray(tokenizer.encode(s), np.int64)
+        ids = np.asarray(
+            tokenizer.encode(s, add_special_tokens=add_special_tokens),
+            np.int64)
         seg = np.full((len(ids), channels), pad_token, np.int64)
         seg[:, 0] = ids
         lab = np.full_like(seg, IGNORE)
@@ -50,7 +52,10 @@ def build_training_example(tokenizer, text: str, audio_codes: np.ndarray,
 
     seg1, lab1 = text_seg(f"<|begin_of_style|>{system_prompt}<|end_of_style|>\n"
                           f"<|begin_of_text|>")
-    seg2, lab2 = text_seg(text)
+    # the transcript encodes WITHOUT special tokens (reference
+    # data_preprocess.py:36) — a no-op for the Qwen tokenizer, but a
+    # BOS/EOS-adding tokenizer must not inject tokens mid-prompt
+    seg2, lab2 = text_seg(text, add_special_tokens=False)
     seg3, lab3 = text_seg("<|end_of_text|>\n<|begin_of_speech|>")
 
     codes = np.asarray(audio_codes, np.int64).copy()       # (T_audio, nq)
@@ -183,9 +188,12 @@ def collate(instances: Sequence[Dict[str, np.ndarray]], text_pad_id: int,
     """Right-pad/truncate to min(batch max, max_length)
     (reference DataCollatorForSupervisedDataset, finetune.py:78-116)."""
     C = instances[0]["input_ids"].shape[1]
-    L = min(max(x["input_ids"].shape[0] for x in instances), max_length)
-    if pad_to_multiple:
-        L = -(-L // pad_to_multiple) * pad_to_multiple
+    # hard content cap FIRST (the reference truncates at max_length);
+    # pad_to_multiple only rounds the padded SHAPE up for tiling — content
+    # between max_length and the rounded length must not escape truncation
+    trunc = min(max(x["input_ids"].shape[0] for x in instances), max_length)
+    L = (-(-trunc // pad_to_multiple) * pad_to_multiple
+         if pad_to_multiple else trunc)
     B = len(instances)
     ids = np.zeros((B, L, C), np.int64)
     ids[..., :] = pad_token
@@ -193,7 +201,7 @@ def collate(instances: Sequence[Dict[str, np.ndarray]], text_pad_id: int,
     labels = np.full((B, L, C), IGNORE, np.int64)
     mask = np.zeros((B, L), np.int64)
     for b, inst in enumerate(instances):
-        n = min(inst["input_ids"].shape[0], L)
+        n = min(inst["input_ids"].shape[0], trunc)
         ids[b, :n] = inst["input_ids"][:n]
         labels[b, :n] = inst["labels"][:n]
         mask[b, :n] = inst["attention_mask"][:n]

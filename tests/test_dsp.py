@@ -158,3 +158,33 @@ def test_resample_jax_matches_numpy():
     b = np.asarray(dsp.resample_jax(jnp.asarray(x), 44100, 16000))
     np.testing.assert_allclose(a, b, atol=1e-2)  # fp32 accumulation-order noise
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99999
+
+
+def test_istft_no_overlap_hop_equals_nfft():
+    """hop == n_fft (pad == 0): the trim slice must keep all T*hop samples
+    (y[..., 0:-0] would be EMPTY) and the w[0]=0 envelope sample must not
+    produce NaN (guarded division)."""
+    n_fft = hop = 16
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8 * hop)).astype(np.float32)
+    win = jnp.asarray(dsp.hann_window(n_fft, periodic=True))
+    re, im = dsp.stft_complex(x, n_fft, hop, win, center=True)
+    T = re.shape[-1]
+    y = np.asarray(dsp.istft_same(re, im, n_fft, hop))
+    assert y.shape == (2, T * hop)
+    assert np.isfinite(y).all()
+    ym = np.asarray(dsp.istft_same_masked(re, im, n_fft, hop,
+                                          jnp.full((2,), T, jnp.int32)))
+    assert ym.shape == (2, T * hop)
+    assert np.isfinite(ym).all()
+
+
+def test_stft_magsq_composes_complex():
+    """stft_magsq == re^2 + im^2 of stft_complex (single source of truth
+    for the pad/frame/window/DFT chain)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 400)).astype(np.float32)
+    win = jnp.asarray(dsp.hann_window(128, periodic=True))
+    re, im = dsp.stft_complex(x, 128, 40, win)
+    np.testing.assert_array_equal(np.asarray(dsp.stft_magsq(x, 128, 40, win)),
+                                  np.asarray(re * re + im * im))
