@@ -48,12 +48,19 @@ class RMSNorm(nn.Module):
         w = self.param("weight", nn.initializers.ones, (self.dim,))
         if x is None:
             return w
-        if self.ablate:
-            return x * w.astype(x.dtype)
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        normed = (xf * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
-        return normed * w.astype(x.dtype)
+        return rms_norm_fn(x, w, self.eps, self.ablate)
+
+
+def rms_norm_fn(x: jnp.ndarray, w: jnp.ndarray, eps: float,
+                ablate: bool = False) -> jnp.ndarray:
+    """Functional RMSNorm — the ONE copy of the math, shared by the RMSNorm
+    module and raw-param-tree callers (parallel/pipeline.py loss_fn)."""
+    if ablate:
+        return x * w.astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * w.astype(x.dtype)
 
 
 class QDense(nn.Module):

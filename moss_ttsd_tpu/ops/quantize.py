@@ -68,8 +68,7 @@ def quantize_lm_params(params: Dict) -> Dict:
             return node
         out = {}
         for k, v in node.items():
-            if isinstance(v, dict) and any(n == k for n in _PROJ_NAMES) \
-                    and "kernel" in v:
+            if isinstance(v, dict) and k in _PROJ_NAMES and "kernel" in v:
                 q, s = _quantize(v["kernel"], axis=-2)   # contraction dim
                 new = {"kernel_q": q, "kernel_s": s}
                 if "bias" in v:

@@ -69,8 +69,18 @@ def lm_param_specs(params: dict, model_size: Optional[int] = None) -> dict:
     """
     def spec_for(path: tuple, x) -> P:
         name = "/".join(str(p) for p in path)
+        leaf = str(path[-1]) if path else ""
         spec = P()
-        if "q_proj" in name or "k_proj" in name or "v_proj" in name:
+        if leaf.startswith("bias"):
+            # attention_bias checkpoints: (L, out) bias under the
+            # projections. Colwise projections (q/k/v, gate/up) shard their
+            # OUTPUT dim, so the bias shards with it; rowwise (o/down)
+            # shard the input dim — their bias stays replicated (GSPMD adds
+            # it once, after the partial-sum all-reduce).
+            if any(p in name for p in ("q_proj", "k_proj", "v_proj",
+                                       "gate_proj", "up_proj")):
+                spec = P(None, "model")
+        elif "q_proj" in name or "k_proj" in name or "v_proj" in name:
             spec = P(None, None, "model")
         elif "o_proj" in name or "down_proj" in name:
             spec = P(None, "model", None)
@@ -80,6 +90,8 @@ def lm_param_specs(params: dict, model_size: Optional[int] = None) -> dict:
             spec = P("model", None)
         elif "embed_speech" in name:
             spec = P(None, "model", None)
+        if len(spec) > x.ndim:          # never emit a spec wider than the leaf
+            return P()
         if model_size is not None:
             for dim, ax in enumerate(spec):
                 if ax == "model" and x.shape[dim] % model_size != 0:
@@ -91,7 +103,12 @@ def lm_param_specs(params: dict, model_size: Optional[int] = None) -> dict:
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    specs = lm_param_specs(params)
+    """device_put every leaf under its lm_param_specs sharding. Passes the
+    mesh's "model" axis size through so indivisible leaves (the 1025-row
+    speech vocab, size-1 quant-scale dims) degrade to replicated instead of
+    failing device_put."""
+    model = dict(mesh.shape).get("model", 1)
+    specs = lm_param_specs(params, model_size=model)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 

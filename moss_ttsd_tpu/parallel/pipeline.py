@@ -202,12 +202,11 @@ def make_pp_train_step(cfg: LMConfig, optimizer, mesh: Mesh,
                              to_mb(cos), to_mb(sin), to_mb(mask3))
         hidden = hidden.reshape(M * mb, T, -1)
 
-        # final_norm, functionally (models/lm.py RMSNorm semantics)
-        w = params["params"]["final_norm"]["weight"]
-        hf = hidden.astype(jnp.float32)
-        var = jnp.mean(hf * hf, axis=-1, keepdims=True)
-        hidden = ((hf * jax.lax.rsqrt(var + cfg.rms_norm_eps))
-                  .astype(hidden.dtype) * w.astype(hidden.dtype))
+        # final_norm via the model's own functional norm (one copy of the
+        # math; honors cfg.ablate_norms like every other norm site)
+        from ..models.lm import rms_norm_fn
+        hidden = rms_norm_fn(hidden, params["params"]["final_norm"]["weight"],
+                             cfg.rms_norm_eps, cfg.ablate_norms)
 
         counts = valid_label_counts(batch["labels"])
         total, per_channel = asteroid_loss(

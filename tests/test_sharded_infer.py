@@ -51,3 +51,31 @@ def test_mesh_engine_streaming(setup):
         last = res
     assert last is not None and last.steps == ref.steps
     np.testing.assert_array_equal(last.tokens, ref.tokens)
+
+
+def test_tp_specs_handle_attention_bias_tree():
+    """attention_bias checkpoints grow (L, out) bias leaves under the
+    projections; lm_param_specs must give them rank-2 specs (colwise bias
+    shards with the output dim, rowwise bias stays replicated for GSPMD to
+    add once after the partial-sum all-reduce) and shard_params must
+    degrade indivisible leaves instead of failing device_put."""
+    import dataclasses
+    from moss_ttsd_tpu.core.config import LMConfig
+    from moss_ttsd_tpu.parallel.mesh import lm_param_specs, shard_params
+    from jax.sharding import PartitionSpec as P
+    cfg = dataclasses.replace(
+        LMConfig(dtype="float32", param_dtype="float32").tiny(),
+        attention_bias=True)
+    params = AsteroidLM(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.channels), jnp.int32))
+    specs = lm_param_specs(params, model_size=2)
+    block = specs["params"]["layers"]["block"]
+    assert block["q_proj"]["bias"] == P(None, "model")
+    assert block["o_proj"]["bias"] == P()
+    assert block["q_proj"]["kernel"] == P(None, None, "model")
+    # every spec fits its leaf's rank
+    jax.tree.map(lambda s, x: None if len(s) <= x.ndim
+                 else pytest.fail(f"{s} on rank-{x.ndim}"), specs, params)
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(params, mesh)     # must not raise on 1025-vocab
+    assert len(jax.tree.leaves(sharded)) == len(jax.tree.leaves(params))
