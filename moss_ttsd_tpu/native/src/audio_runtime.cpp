@@ -139,26 +139,35 @@ bool parse_wav_header(FILE* f, WavInfo* info) {
       uint32_t sr, byte_rate;
       uint16_t block_align, bits;
       if (size < 16) return false;
-      if (std::fread(&fmt, 2, 1, f) != 1) return false;
-      std::fread(&ch, 2, 1, f);
-      std::fread(&sr, 4, 1, f);
-      std::fread(&byte_rate, 4, 1, f);
-      std::fread(&block_align, 2, 1, f);
-      std::fread(&bits, 2, 1, f);
+      // every subfield read is checked: a file truncated mid-fmt-chunk
+      // must fail parsing, not hand uninitialized stack values to callers
+      if (std::fread(&fmt, 2, 1, f) != 1 ||
+          std::fread(&ch, 2, 1, f) != 1 ||
+          std::fread(&sr, 4, 1, f) != 1 ||
+          std::fread(&byte_rate, 4, 1, f) != 1 ||
+          std::fread(&block_align, 2, 1, f) != 1 ||
+          std::fread(&bits, 2, 1, f) != 1)
+        return false;
       if (fmt == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
         uint16_t ext_size;
-        std::fread(&ext_size, 2, 1, f);
         uint16_t valid_bits;
         uint32_t mask;
-        std::fread(&valid_bits, 2, 1, f);
-        std::fread(&mask, 4, 1, f);
         uint16_t subfmt;
-        std::fread(&subfmt, 2, 1, f);
+        if (std::fread(&ext_size, 2, 1, f) != 1 ||
+            std::fread(&valid_bits, 2, 1, f) != 1 ||
+            std::fread(&mask, 4, 1, f) != 1 ||
+            std::fread(&subfmt, 2, 1, f) != 1)
+          return false;
         fmt = subfmt;  // first two bytes of the GUID give the format tag
         std::fseek(f, (long)(size - 16 - 2 - 2 - 4 - 2), SEEK_CUR);
       } else if (size > 16) {
         std::fseek(f, (long)(size - 16), SEEK_CUR);
       }
+      // reject nonsense geometry before anyone sizes a buffer from it
+      if (ch == 0 || ch > 64 || sr == 0 || sr > 2000000 ||
+          (bits != 8 && bits != 16 && bits != 24 && bits != 32 &&
+           bits != 64))
+        return false;
       info->format = fmt;
       info->channels = ch;
       info->sample_rate = (int32_t)sr;
@@ -166,7 +175,16 @@ bool parse_wav_header(FILE* f, WavInfo* info) {
       have_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0) {
       info->data_offset = std::ftell(f);
-      info->data_bytes = size;
+      if (info->data_offset < 0) return false;
+      // clamp the header-declared size to the bytes actually in the file —
+      // a corrupt header claiming ~4 GB must not drive the reader's (or
+      // the Python caller's) allocations
+      if (std::fseek(f, 0, SEEK_END) != 0) return false;
+      long file_end = std::ftell(f);
+      std::fseek(f, (long)info->data_offset, SEEK_SET);
+      int64_t avail = (int64_t)file_end - info->data_offset;
+      if (avail < 0) return false;
+      info->data_bytes = (int64_t)size < avail ? (int64_t)size : avail;
       if (!have_fmt) return false;
       int bytes_per_sample = info->bits / 8;
       if (bytes_per_sample == 0 || info->channels == 0) return false;

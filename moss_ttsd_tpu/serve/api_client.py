@@ -42,6 +42,13 @@ def wav_bytes_to_array(data: bytes):
         arr = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     elif width == 4:
         arr = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 3:
+        # 24-bit PCM (a common DAW export): widen each LE triple to int32
+        # by zero-padding the low byte, then scale by 2^31
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        quads = np.zeros((b.shape[0], 4), np.uint8)
+        quads[:, 1:] = b                     # little-endian: pad LOW byte
+        arr = quads.view("<i4")[:, 0].astype(np.float32) / 2147483648.0
     else:
         arr = np.frombuffer(raw, np.uint8).astype(np.float32) / 128.0 - 1.0
     if ch > 1:
@@ -95,7 +102,13 @@ class SpeechAPIClient:
                 return r.content
             except Exception as e:               # retry with backoff
                 last_err = e
-                time.sleep(2.0 * (attempt + 1))
+                status = getattr(getattr(e, "response", None),
+                                 "status_code", None)
+                if status is not None and 400 <= status < 500 \
+                        and status != 429:
+                    break                        # non-retryable client error
+                if attempt < self.max_retries - 1:
+                    time.sleep(2.0 * (attempt + 1))
         raise RuntimeError(f"speech API failed after {self.max_retries} "
                            f"retries: {last_err}")
 
@@ -193,7 +206,8 @@ def process_jsonl(jsonl_path: str, output_dir: str, client: SpeechAPIClient,
         if use_normalize:
             text = normalize_text(text)
         refs = build_references(item)
-        wav_bytes = client.generate_speech(text, refs)
+        wav_bytes = client.generate_speech(text, refs,
+                                           voice=item.get("voice"))
         out = os.path.join(output_dir, f"output_{idx}.wav")
         with open(out, "wb") as f:
             f.write(wav_bytes)

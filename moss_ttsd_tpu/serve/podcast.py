@@ -253,6 +253,10 @@ def generate_podcast_script(content: str, language: str = "zh",
     prompt = template.format(content=content[:max_content_chars])
     base_url = base_url or os.environ.get("PODCAST_LLM_BASE")
     api_key = api_key or os.environ.get("PODCAST_LLM_KEY", "")
+    if not base_url:
+        print("no LLM endpoint configured (set PODCAST_LLM_BASE or pass "
+              "base_url); using the canned fallback script — it IGNORES "
+              "your source material")
     if base_url:
         try:
             import requests
@@ -325,7 +329,10 @@ def main(argv=None):
         pipe = build_tiny_pipeline()
     else:
         from ..pipeline.batch import TTSPipeline
-        pipe = TTSPipeline.load(args.model_path, args.spt_config, args.spt_ckpt)
+        from ..cli.inference import SPT_CHECKPOINT_PATH, SPT_CONFIG_PATH
+        pipe = TTSPipeline.load(args.model_path,
+                                args.spt_config or SPT_CONFIG_PATH,
+                                args.spt_ckpt or SPT_CHECKPOINT_PATH)
     info = process_input_to_audio(args.input, pipe, args.output,
                                   language=args.language)
     print(json.dumps({k: v for k, v in info.items() if k != "script"},

@@ -101,6 +101,8 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int,
         return np.asarray(x, np.float32)
     lead = x.shape[:-1]
     n_in = x.shape[-1]
+    if n_in == 0:                      # reshape(-1, 0) would raise
+        return np.zeros(lead + (0,), np.float32)
     xf = np.ascontiguousarray(x, np.float32).reshape(-1, n_in)
     n_out = int(lib.ma_resample_out_len(n_in, sr_in, sr_out))
     out = np.empty((xf.shape[0], n_out), np.float32)

@@ -265,3 +265,53 @@ def test_gradio_synth_functions_accept_voice(monkeypatch):
     assert (out is None) == status.startswith("Generation produced no")
     with pytest.raises(ValueError):
         ga.synthesize_single("[S1]x", "", None, True, 0, voice="ghost")
+
+
+def test_wav_bytes_24bit_pcm():
+    """24-bit PCM (common DAW export) decodes to the actual samples, not a
+    3x-length uint8 misread."""
+    import io
+    import wave
+    from moss_ttsd_tpu.serve.api_client import wav_bytes_to_array
+    vals = np.array([0.5, -0.25, 0.0, 0.999], np.float64)
+    ints = (vals * (1 << 23)).astype(np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in ints)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(raw)
+    arr, sr = wav_bytes_to_array(buf.getvalue())
+    assert sr == 16000 and arr.shape == (4,)
+    np.testing.assert_allclose(arr, vals, atol=2e-7)
+
+
+def test_native_wav_reader_rejects_corrupt_headers(tmp_path):
+    """A truncated fmt chunk or a data size far beyond the file must fail
+    cleanly (None), never size allocations from garbage."""
+    from moss_ttsd_tpu.utils import native
+    if native._load() is None:
+        pytest.skip("native lib unavailable")
+    # header truncated mid-fmt
+    p1 = tmp_path / "trunc.wav"
+    p1.write_bytes(b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00")
+    assert native.read_wav(str(p1)) is None
+    # data chunk claiming ~4 GB on a 12-byte body: clamped to the real size
+    hdr = (b"RIFF\xff\xff\xff\x7fWAVEfmt \x10\x00\x00\x00"
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data\xf0\xff\xff\xff")
+    p2 = tmp_path / "huge.wav"
+    p2.write_bytes(hdr + b"\x00\x00" * 6)
+    out = native.read_wav(str(p2))
+    assert out is not None and out[0].shape == (1, 6)
+
+
+def test_native_resample_empty_input():
+    from moss_ttsd_tpu.utils import native
+    if native._load() is None:
+        pytest.skip("native lib unavailable")
+    out = native.resample(np.zeros((2, 0), np.float32), 24000, 16000)
+    assert out is not None and out.shape == (2, 0)
