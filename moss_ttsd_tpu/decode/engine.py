@@ -88,21 +88,14 @@ def sample_channels(rng, text_logits, speech_logits, presence_text,
     (restricted_text_head window start; 0 = full vocab). ``eos`` is always
     the FULL vocab id; returned channel-0 tokens are full ids too."""
     C = len(ch_params)
-    in_tf = srow < C - 1
-    t_logits = text_logits.at[:, eos - text_offset].add(
-        jnp.where(in_tf, NEG_INF, 0.0))
-    t_logits = apply_repetition_penalty(t_logits, presence_text,
-                                        ch_params[0].repetition_penalty)
     rngs = jax.random.split(rng, C)
-    toks = [sample_from_channel(rngs[0], t_logits, ch_params[0], prefilter,
-                                approx_topk) + text_offset]
-    for i in range(1, C):
-        sl = speech_logits[:, i - 1]
-        sl = sl.at[:, pad_speech].add(jnp.where(srow >= i, NEG_INF, 0.0))
-        sl = apply_repetition_penalty(sl, presence_speech[:, i - 1],
-                                      ch_params[i].repetition_penalty)
-        toks.append(sample_from_channel(rngs[i], sl, ch_params[i], prefilter))
-    return jnp.stack(toks, axis=-1)      # (B, C)
+    draw = lambda i, lg: (
+        sample_from_channel(rngs[i], lg, ch_params[i], prefilter, approx_topk)
+        if i == 0 else
+        sample_from_channel(rngs[i], lg, ch_params[i], prefilter))
+    return _sample_channels_body(draw, text_logits, speech_logits,
+                                 presence_text, presence_speech, srow,
+                                 ch_params, eos, pad_speech, text_offset)
 
 
 def sample_channels_rowkeys(keys, text_logits, speech_logits, presence_text,
@@ -118,22 +111,36 @@ def sample_channels_rowkeys(keys, text_logits, speech_logits, presence_text,
     sample_channels (restricted_text_head window start)."""
     from ..ops.sampling import sample_from_channel_rowkeys
     C = len(ch_params)
+    rngs = jax.vmap(lambda k: jax.random.split(k, C))(keys)   # (B, C, 2)
+    draw = lambda i, lg: (
+        sample_from_channel_rowkeys(rngs[:, i], lg, ch_params[i], prefilter,
+                                    approx_topk)
+        if i == 0 else
+        sample_from_channel_rowkeys(rngs[:, i], lg, ch_params[i], prefilter))
+    return _sample_channels_body(draw, text_logits, speech_logits,
+                                 presence_text, presence_speech, srow,
+                                 ch_params, eos, pad_speech, text_offset)
+
+
+def _sample_channels_body(draw, text_logits, speech_logits, presence_text,
+                          presence_speech, srow, ch_params, eos, pad_speech,
+                          text_offset):
+    """The ONE copy of the per-channel masking/penalty chain shared by the
+    static and rowkeys samplers — the pool-vs-static row-bitmatch contract
+    requires the two to stay identical, so only the draw closure differs."""
+    C = len(ch_params)
     in_tf = srow < C - 1
     t_logits = text_logits.at[:, eos - text_offset].add(
         jnp.where(in_tf, NEG_INF, 0.0))
     t_logits = apply_repetition_penalty(t_logits, presence_text,
                                         ch_params[0].repetition_penalty)
-    rngs = jax.vmap(lambda k: jax.random.split(k, C))(keys)   # (B, C, 2)
-    toks = [sample_from_channel_rowkeys(rngs[:, 0], t_logits, ch_params[0],
-                                        prefilter, approx_topk)
-            + text_offset]
+    toks = [draw(0, t_logits) + text_offset]
     for i in range(1, C):
         sl = speech_logits[:, i - 1]
         sl = sl.at[:, pad_speech].add(jnp.where(srow >= i, NEG_INF, 0.0))
         sl = apply_repetition_penalty(sl, presence_speech[:, i - 1],
                                       ch_params[i].repetition_penalty)
-        toks.append(sample_from_channel_rowkeys(rngs[:, i], sl, ch_params[i],
-                                                prefilter))
+        toks.append(draw(i, sl))
     return jnp.stack(toks, axis=-1)      # (B, C)
 
 
@@ -538,7 +545,9 @@ class GenerationEngine:
                  else max_new_tokens)
         if self.sampling.max_length is not None and max_new_tokens is None:
             counted = prompt_len - (self.cfg.channels - 1)
-            steps = min(steps, max(1, self.sampling.max_length - counted))
+            # a prompt already at/over max_length generates 0 new tokens
+            # (HF MaxLengthCriteria; the old max(1, ...) emitted one extra)
+            steps = min(steps, max(0, self.sampling.max_length - counted))
         sb = self.step_bucket
         buf = max(sb, -(-steps // sb) * sb)
         return steps, buf
@@ -589,7 +598,11 @@ class GenerationEngine:
             audit = (a_rows, a_flag)
         else:
             steps, audit = int(state.step), None
-        return GenerateResult(tokens=np.asarray(state.tokens[:, :base + steps]),
+        # read the FULL (static-shape) buffer and slice on host: a device
+        # slice by the data-dependent step count would compile one program
+        # per distinct steps value (remote compiles cost seconds through
+        # the tunnel); the padding rows are a few hundred KB at worst
+        return GenerateResult(tokens=np.asarray(state.tokens)[:, :base + steps],
                               steps=steps, base=base, audit=audit)
 
     def generate_stream(self, input_ids: np.ndarray, attention_mask: np.ndarray,
@@ -629,6 +642,13 @@ class GenerationEngine:
                              if 0 < b < max_steps)) if boundaries else None
         audit_on = (self.cfg.restricted_text_head
                     and self.cfg.restricted_audit_every > 0)
+        if max_steps == 0:
+            # prompt already at sampling.max_length: 0 new tokens (HF
+            # MaxLengthCriteria) — yield the prompt-only result so callers
+            # always see at least one segment
+            yield GenerateResult(tokens=host[:, :base], steps=0, base=base,
+                                 unfinished=np.zeros(B, bool))
+            return
         done = 0
         while done < max_steps:
             if bounds is not None:

@@ -28,11 +28,6 @@ def symexp(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
 
 
-def symlog(x: jnp.ndarray) -> jnp.ndarray:
-    """Reference modules.py:657-658."""
-    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
-
-
 class AdaLayerNorm(nn.Module):
     """Adaptive LayerNorm with per-class scale/shift embeddings
     (reference modules.py:1157-1184)."""
@@ -321,6 +316,13 @@ class Vocos(nn.Module):
         else:
             raise ValueError(f"unknown backbone {c.backbone!r}")
         if c.head == "istft":
+            if c.padding != "same":
+                # istft_same_masked implements same-padding only (the XY
+                # production config); silently computing 'same' semantics
+                # for padding='center' would misalign the waveform
+                raise NotImplementedError(
+                    f"ISTFT head supports padding='same' only, got "
+                    f"{c.padding!r} (the IMDCT heads honor both)")
             wav = ISTFTHead(c.dim, c.n_fft, c.hop_size, name="head")(h, lengths)
             up = c.hop_size
         elif c.head == "imdct_symexp":

@@ -50,7 +50,18 @@ def init_lora(params: Dict, rng: jax.Array, rank: int = 16,
 
 def apply_lora(params: Dict, lora: Dict, rank: int = 16, alpha: float = 32.0,
                use_rslora: bool = True) -> Dict:
-    """Merged params = W + scale * A @ B (differentiable in the factors)."""
+    """Merged params = W + scale * A @ B (differentiable in the factors).
+
+    ``rank`` only enters through the scale, so it MUST match the factors'
+    actual rank — a mismatch would silently mis-scale the merge (the
+    einsum runs fine on any rank). Validated against a.shape[-1];
+    decode/lora_registry derives rank from the factors the same way."""
+    for key, fac in lora.items():
+        if fac["a"].shape[-1] != rank:
+            raise ValueError(
+                f"rank={rank} but factor {key!r} has rank "
+                f"{fac['a'].shape[-1]}; the scale would be wrong — pass "
+                f"the rank the factors were built with")
     scale = lora_scale(rank, alpha, use_rslora)
 
     def merge(path, leaf):
@@ -76,11 +87,6 @@ def merge_lora(params: Dict, lora: Dict, rank: int = 16, alpha: float = 32.0,
 # projection (y = x W + scale (x A) B), so backward cotangents stay
 # rank-sized. The merge-based helpers above remain for tests/export and for
 # tiny geometries.
-
-def _is_lora_leaf(path: Tuple) -> bool:
-    last = path[-1].key if hasattr(path[-1], "key") else path[-1]
-    return last in ("lora_a", "lora_b")
-
 
 def split_lora_tree(params: Dict) -> Tuple[Dict, Dict]:
     """Full LoRA-model tree -> (frozen, trainable) nested dicts."""

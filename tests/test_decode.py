@@ -441,3 +441,26 @@ def test_get_fns_cache_thread_safe(monkeypatch):
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+def test_max_length_already_met_generates_zero(setup):
+    """A prompt already at/over sampling.max_length generates 0 new tokens
+    (HF MaxLengthCriteria; the engine used to force one step), in both the
+    one-shot and streaming paths."""
+    cfg, model, params = setup
+    rng = np.random.default_rng(7)
+    prompts = [make_prompt(cfg, rng, 6, 4)]
+    batch, mask = left_pad_batch(prompts, cfg.pad_token_id,
+                                 cfg.speech_pad_token)
+    L = batch.shape[1]
+    sampling = greedy_sampling()
+    sampling.max_length = L - cfg.channels + 1   # counted length == cap
+    sampling.max_new_tokens = 100
+    engine = GenerationEngine(cfg, params, sampling, bucket=L,
+                              cache_dtype=jnp.float32, step_bucket=64)
+    res = engine.generate(batch, mask, seed=0)
+    assert res.steps == 0
+    assert res.tokens.shape[1] == res.base       # prompt only, no new rows
+    outs = list(engine.generate_stream(batch, mask, seed=0))
+    assert len(outs) == 1 and outs[0].steps == 0
+    assert not outs[0].unfinished.any()
